@@ -1,0 +1,58 @@
+"""pandas_redshift_spark — a PySpark-native analytics engine with the
+capabilities of ``agawronski/pandas_redshift`` (reference v2.0.5).
+
+The reference is a pandas <-> S3 <-> Redshift ETL bridge
+(``pandas_redshift/core.py``, 326 LoC): it ships DataFrames to Redshift
+through CSV staging and pulls query results back through a single
+psycopg2 cursor.  Here Spark *is* the engine — every piece of SQL the
+reference used to delegate to Redshift executes natively on Spark via
+Catalyst/Tungsten, and the load/extract paths become distributed
+columnar reads/writes.
+
+Public surface (mirrors the reference's 14 public functions, see
+SURVEY.md §2.A):
+
+- :mod:`pandas_redshift_spark.session`   — SparkSession + table registry
+- :mod:`pandas_redshift_spark.sources.bridge` — connect/read_sql/
+  write_table/exec_sql/close (reference core.py:51-324)
+- :mod:`pandas_redshift_spark.sources.schema` — dtype mapping, identifier
+  validation, DDL generation (reference core.py:90-217)
+- :mod:`pandas_redshift_spark.operators` — the relational operator
+  inventory (SURVEY.md §2.B) + LLM-pipeline extensions (§2.C)
+- :mod:`pandas_redshift_spark.plans`     — physical-layout hint
+  translation (diststyle/distkey/sortkey -> Spark partitioning)
+- :mod:`pandas_redshift_spark.streaming` — Structured Streaming variants
+  of the event-window operators
+"""
+
+from pandas_redshift_spark.session import configure_session, Tables, TABLE_NAMES
+from pandas_redshift_spark.sources.bridge import (
+    SparkRedshiftBridge,
+    connect,
+    set_log_level,
+    mask_aws_credentials,
+)
+from pandas_redshift_spark.sources.schema import (
+    validate_column_names,
+    pd_dtype_to_redshift_dtype,
+    spark_dtype_to_redshift_dtype,
+    get_column_data_types,
+    build_create_table_ddl,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "configure_session",
+    "Tables",
+    "TABLE_NAMES",
+    "SparkRedshiftBridge",
+    "connect",
+    "set_log_level",
+    "mask_aws_credentials",
+    "validate_column_names",
+    "pd_dtype_to_redshift_dtype",
+    "spark_dtype_to_redshift_dtype",
+    "get_column_data_types",
+    "build_create_table_ddl",
+]

@@ -1,0 +1,7 @@
+"""Operator inventory (SURVEY.md §2.B native relational surface +
+§2.C LLM-pipeline extensions).  See :mod:`.registry` for the contract.
+"""
+
+from pandas_redshift_spark.operators.registry import QuerySpec, all_queries, query
+
+__all__ = ["QuerySpec", "all_queries", "query"]

@@ -1,0 +1,195 @@
+"""Aggregation operators (SURVEY.md §2.B "Aggregation" table).
+
+Every aggregate here compiles to Spark's two-phase hash aggregate
+(partial map-side combine, then final after a shuffle on the group
+keys) — the property that makes group-by linear-ish at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+@query(
+    "agg_groupby_having",
+    oracle="""
+    SELECT o_custkey,
+           round(sum(o_totalprice), 2) AS total_spent,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 5 AND sum(o_totalprice) > 10000
+    """,
+)
+def agg_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY (:62) + HAVING (:64) — HAVING is a filter over the
+    aggregated relation."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .filter((F.col("n_orders") >= 5) & (F.col("_raw_total") > 10000))
+        .drop("_raw_total")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_distinct_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) (:42): Spark expands this to a two-round
+    aggregation (distinct on (status, custkey) then count) — no
+    single-node distinct set is ever built."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB-scale variant of
+    COUNT(DISTINCT): constant memory per group, one shuffle, mergeable
+    sketches.  No SQL oracle (estimates are engine-specific); the
+    driver rows-only check applies and the unit test asserts the
+    estimate is within rsd of the exact count."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_filtered_case",
+    oracle="""
+    SELECT
+        l_linestatus,
+        CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_value,
+        round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 4) AS avg_bulk_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_filtered_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation via CASE inside SUM/AVG (CASE :20) — the
+    classic pivot-ish conditional aggregate."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("returned_value"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 4
+        ).alias("avg_bulk_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total).
+    Spark expands grouping sets map-side; still one shuffle."""
+    t = Tables(spark, sf_dir)
+    joined = (
+        t.customer.join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping-set combinations."""
+    o = Tables(spark, sf_dir).orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(min(l_extendedprice), 2) AS min_price,
+        round(max(l_extendedprice), 2) AS max_price,
+        round(stddev_samp(l_extendedprice), 4) AS std_price,
+        round(var_samp(l_extendedprice), 2) AS var_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/STDDEV/VARIANCE — single-pass mergeable moments."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        round(sum(l_extendedprice), 2) AS total_price,
+        round(avg(l_discount), 6) AS avg_discount
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate: partials reduce to a single row —
+    the only single-task stage is over ~#partitions rows, not data."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )

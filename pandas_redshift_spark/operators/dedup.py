@@ -1,0 +1,224 @@
+"""Deduplication operators over ``documents`` (north-star extension,
+SURVEY.md §2.C) — exact, hash-keyed, n-gram-Jaccard and MinHash-LSH.
+
+Scale design: every variant avoids O(n^2) comparisons.  Exact dedup is
+one hash shuffle on the content key; Jaccard joins only docs sharing a
+shingle (inverted-index join); MinHash-LSH bands candidates so the
+pair space stays near-linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT
+        min(doc_id) AS doc_id,
+        CAST(count(*) AS BIGINT) AS n_copies,
+        text
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group on the text itself, keep the lowest
+    doc_id as the deterministic survivor.  One shuffle keyed on text
+    (at 100 TB you'd key on sha2(text,256) to shrink shuffle rows —
+    see dedup_exact_hash)."""
+    d = Tables(spark, sf_dir).documents
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "n_copies", "text")
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, lang, sha256(text) AS content_hash,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, content_hash
+    FROM hashed
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup with window keep-first: survivors carry their
+    metadata (not just the group key).  The shuffle key is the 32-byte
+    digest, independent of document length — the right exact-dedup
+    shape for 100 TB of long documents."""
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.withColumn("content_hash", F.sha2("text", 256))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "content_hash")
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles of a text column as an array
+    (built-ins only: split -> sequence -> transform -> array_distinct)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT
+        i.doc_a, i.doc_b,
+        round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via an inverted-index
+    join: docs pair up only if they share a shingle, so the candidate
+    space is sum-of-squares of posting lists, not |docs|^2.  Shingle
+    selectivity is what keeps this linear-ish; at 100 TB you'd cap
+    posting-list length (drop ultra-common shingles) — the standard
+    "document frequency cut" — before the self-join."""
+    d = Tables(spark, sf_dir).documents
+    sh = d.select("doc_id", shingles().alias("shingle_set"))
+    tok = sh.select("doc_id", F.explode("shingle_set").alias("s"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates — the 100 TB-scale path
+    (no exact-SQL oracle: hash-family-specific; rows-only check +
+    unit-test recall vs dedup_ngram_jaccard).
+
+    Pipeline: word-3-gram shingles -> 32 minhash signatures computed
+    with xxhash64 under 32 salts (all JVM built-ins, no Python) ->
+    8 bands x 4 rows -> band-hash bucket join -> distinct candidate
+    pairs.  Only docs colliding in >=1 band are ever paired, so the
+    shuffle volume is ~32 longs/doc regardless of document size.
+    """
+    d = Tables(spark, sf_dir).documents
+    n_hashes, band_size = 32, 4
+    sh = d.select("doc_id", shingles().alias("ss"))
+    # minhash_i(doc) = min over shingles of xxhash64(salt_i, shingle)
+    sig_cols = [
+        F.array_min(F.transform(F.col("ss"), lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(
+            f"mh{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    sigs = sh.select("doc_id", *sig_cols)
+    bands = [
+        F.hash(*[F.col(f"mh{b * band_size + r}") for r in range(band_size)]).alias(
+            f"band{b}"
+        )
+        for b in range(n_hashes // band_size)
+    ]
+    banded = sigs.select("doc_id", *bands)
+    # one row per (band_idx, band_hash) — the LSH bucket key
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("h"))
+                    for b in range(n_hashes // band_size)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.h").alias("h"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (63-bit, token-level) — near-dup docs get
+    small Hamming distance.  Engine-specific hash function => rows-only
+    driver check; the unit test asserts identical texts share a
+    fingerprint and fingerprints are deterministic.
+
+    Computed entirely with built-ins: explode tokens -> xxhash64 ->
+    per-bit +/-1 vote aggregate -> reassemble bits.  One shuffle on
+    doc_id; 63 conditional-sum aggregates stay in whole-stage codegen.
+    """
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(63)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for b in range(63):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))

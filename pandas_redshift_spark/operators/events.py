@@ -1,0 +1,177 @@
+"""Event-time window analytics over the ``events`` table — batch
+implementations whose semantics mirror Structured Streaming windows
+(the streaming variants live in :mod:`pandas_redshift_spark.streaming`;
+the DuckDB oracle is batch-only, SURVEY.md §2.B "Streaming").
+
+Time buckets are emitted as formatted strings: events.ts is
+nanosecond-precision in parquet, which Spark reads at microsecond and
+DuckDB at nanosecond precision — strings keep the comparison exact at
+bucket granularity.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT
+        strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
+        event_type,
+        CAST(count(*) AS BIGINT) AS n_events,
+        round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — batch twin of
+    ``groupBy(F.window("ts", "1 hour"))``; uses F.window so the same
+    plan fragment is valid under readStream."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH starts AS (
+        SELECT DISTINCT
+            date_trunc('hour', ts) + (CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END)
+                - INTERVAL 30 MINUTE * s.n AS win_start
+        FROM events, (SELECT unnest([0, 1]) AS n) s
+    )
+    SELECT
+        strftime(w.win_start, '{_DUCK_FMT}') AS window_start,
+        CAST(count(e.event_id) AS BIGINT) AS n_events,
+        round(sum(e.value), 2) AS total_value
+    FROM starts w
+    JOIN events e
+      ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 60 MINUTE
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour width, 30-minute slide — each event lands
+    in exactly 2 windows.  The oracle reconstructs Spark's window
+    assignment (windows aligned to the epoch) with an explicit
+    slide-offset join."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT
+            user_id, event_id, ts, value,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, value,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        CAST(session_id AS BIGINT) AS session_id,
+        strftime(date_trunc('second', min(ts)), '{_DUCK_FMT}') AS session_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the classic
+    lag/flag/cumsum pattern (batch twin of ``F.session_window``).
+    Scales as a per-user window: one shuffle on user_id, sorted within
+    partitions; no cross-user state."""
+    ev = Tables(spark, sf_dir).events
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w_ord)
+    # NTZ can't cast to double directly; go through LTZ (session tz is
+    # pinned UTC by configure_session, so the conversion is exact)
+    secs = F.col("ts").cast("timestamp").cast("double")
+    prev_secs = prev_ts.cast("timestamp").cast("double")
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(prev_ts.isNull() | (secs - prev_secs > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new_session").over(w_run))
+    return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.date_format(F.date_trunc("second", F.min("ts")), _FMT).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    SELECT
+        CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS n_viewed,
+        CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS n_clicked,
+        CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_purchased
+    FROM events
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage funnel reach via conditional COUNT DISTINCT."""
+    ev = Tables(spark, sf_dir).events
+    return ev.agg(
+        F.countDistinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias(
+            "n_viewed"
+        ),
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias(
+            "n_clicked"
+        ),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchased"),
+    )

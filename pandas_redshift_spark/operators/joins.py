@@ -1,0 +1,255 @@
+"""Join operators (SURVEY.md §2.B "Joins" table).
+
+Redshift executes ANSI joins server-side for the reference; here
+Catalyst plans them.  Strategy notes per operator document why the
+physical plan is the right one at 100 TB (broadcast vs sort-merge,
+shuffle keys, AQE skew handling).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact-to-fact (JOIN :75, INNER :70, ON :101).
+
+    lineitem join orders is the one genuinely big-big join in the
+    schema: both sides shuffle on orderkey (sort-merge join); AQE
+    handles skew splitting.  The status filter is pushed below the
+    join on the orders side, shrinking the shuffled build input."""
+    t = Tables(spark, sf_dir)
+    joined = t.lineitem.join(
+        t.orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER (:77,:106): customers with zero orders survive with
+    count 0 (COUNT of a null column skips nulls in both engines)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, count(c.c_custkey) AS n_customers
+    FROM customer c
+    RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER (:122): every nation appears even with no customers."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 4500),
+         rich   AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+    SELECT
+        coalesce(b.o_custkey, r.c_custkey) AS custkey,
+        (b.o_custkey IS NOT NULL) AS is_big_buyer,
+        (r.c_custkey IS NOT NULL) AS is_rich
+    FROM buyers b
+    FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER (:58): symmetric difference visibility of two key sets."""
+    t = Tables(spark, sf_dir)
+    buyers = (
+        t.orders.filter(F.col("o_totalprice") > 4500).select("o_custkey").distinct()
+    )
+    rich = t.customer.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    return buyers.join(rich, F.col("o_custkey") == F.col("c_custkey"), "full").select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        F.col("o_custkey").isNotNull().alias("is_big_buyer"),
+        F.col("c_custkey").isNotNull().alias("is_rich"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI == correlated EXISTS (Redshift rewrites IN/EXISTS to
+    semi-join).  Semi-join never duplicates the probe side, so output
+    is bounded by |customer| no matter how many matching orders."""
+    t = Tables(spark, sf_dir)
+    big_orders = t.orders.filter(F.col("o_totalprice") > 4000)
+    return t.customer.join(
+        big_orders, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI == NOT EXISTS: customers who never ordered."""
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r
+    CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS (:28) — BroadcastNestedLoopJoin; only ever used on tiny
+    dimension tables (5 x 25 here)."""
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@query(
+    "join_star_broadcast",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions — the Spark
+    analogue of the reference's `diststyle all` replicated dim tables
+    (reference core.py:201-204).  The fact table never shuffles: three
+    BroadcastHashJoins then one aggregate shuffle on (region, nation).
+    """
+    t = Tables(spark, sf_dir)
+    dims = broadcast(
+        t.supplier.join(
+            broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        ).join(broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        t.lineitem.join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_non_equi",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_small_lots
+    FROM lineitem l
+    JOIN part p
+      ON l.l_partkey = p.p_partkey AND l.l_quantity < p.p_size / 2.0
+    GROUP BY p.p_brand
+    """,
+)
+def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + range residual (BETWEEN :14 family).
+
+    Because one conjunct is an equality, Catalyst still plans a hash
+    join on p_partkey with the range predicate as a post-join filter —
+    NOT a nested-loop — so it scales like a normal equi-join."""
+    t = Tables(spark, sf_dir)
+    p = broadcast(t.part)
+    joined = t.lineitem.join(
+        p,
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & (F.col("l_quantity") < F.col("p_size") / 2.0),
+    )
+    return joined.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_small_lots"))
+
+
+@query(
+    "join_multi_key",
+    oracle="""
+    SELECT l1.l_orderkey, l1.l_linenumber,
+           count(*) AS n_same_part_suppliers
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_partkey = l2.l_partkey AND l1.l_suppkey = l2.l_suppkey
+    GROUP BY l1.l_orderkey, l1.l_linenumber
+    """,
+)
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on a composite key: both sides shuffle once on
+    (partkey, suppkey) — a single co-partitioned sort-merge join."""
+    li = Tables(spark, sf_dir).lineitem
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_partkey") == F.col("l2.l_partkey"))
+            & (F.col("l1.l_suppkey") == F.col("l2.l_suppkey")),
+        )
+        .groupBy(F.col("l1.l_orderkey").alias("l_orderkey"), F.col("l1.l_linenumber").alias("l_linenumber"))
+        .agg(F.count(F.lit(1)).alias("n_same_part_suppliers"))
+    )

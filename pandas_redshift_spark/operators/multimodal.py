@@ -1,0 +1,156 @@
+"""Multimodal column plumbing (north-star extension, SURVEY.md §2.C).
+
+The corpus has no real image/audio bytes, so media payloads are modeled
+the way a production lake would: an opaque ``binary`` column plus a
+typed metadata struct.  Decode/feature-extraction run as Arrow-batched
+``mapInPandas`` UDFs — the real Spark plumbing (schema, batch shape,
+partitioning) with a deterministic fake where a codec library would
+plug in (the container ships no image/audio libs).
+
+``extract_features_batch`` is the swap-in point: replace the
+deterministic fake with PIL/librosa/ffmpeg calls and nothing else in
+the plan changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+#: output schema of the feature extractor (stable contract for sinks)
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("modality", StringType()),
+    ]
+)
+
+
+def decode_stub(payload: bytes) -> bytes:
+    """Placeholder for a real media decode (PIL.Image.open /
+    librosa.load / pyav frame sampling).  The container has no codec
+    libraries, so this is the documented stub seam.
+
+    Raises NotImplementedError for modalities we can't decode here;
+    callers use the deterministic byte-level fake instead.
+    """
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this "
+        "environment; swap decode_stub for a real decoder in production"
+    )
+
+
+def make_feature_extractor():
+    """Build the Arrow-batched feature extractor as a *closure* so
+    cloudpickle serializes it by value: executor Python workers don't
+    necessarily have this package on their sys.path (the driver may
+    run from any cwd), and a module-level function would be pickled
+    by reference and fail to import worker-side."""
+
+    def extract_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Deterministic byte-level fake of an image/audio featurizer:
+        length, first byte, mean byte value.  Vectorized per Arrow
+        batch, not per-row Python."""
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len).astype("int64")
+            first = payloads.map(lambda b: b[0] if len(b) else -1).astype("int64")
+            mean = payloads.map(
+                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "first_byte": first,
+                    "byte_mean": mean.round(4),
+                    "modality": "text/utf-8",
+                }
+            )
+
+    return extract_features_batch
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(strlen(text) AS BIGINT) AS n_bytes,
+        CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        'text/utf-8' AS modality
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas: encode text to
+    a binary payload (standing in for image/audio bytes), then run the
+    Arrow-batched extractor.  The oracle independently recomputes the
+    byte-level features in SQL — a genuine end-to-end check that the
+    UDF plumbing (schema, Arrow transfer, batching) is correct.
+    byte_mean is excluded from the oracle (no portable SQL byte-mean)
+    and covered by the unit test instead."""
+    d = Tables(spark, sf_dir).documents
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = payloads.mapInPandas(make_feature_extractor(), schema=FEATURE_SCHEMA)
+    return feats.select("doc_id", "n_bytes", "first_byte", "modality")
+
+
+@query(
+    "multimodal_struct_pack",
+    oracle="""
+    SELECT
+        doc_id,
+        lang AS meta_lang,
+        source AS meta_source,
+        CAST(n_chars AS BIGINT) AS meta_n_chars,
+        CAST(json_extract_string('{"k": ' || CAST(doc_id % 100 AS VARCHAR) || '}', '$.k') AS BIGINT) AS props_k
+    FROM documents
+    """,
+)
+def multimodal_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata struct columns: pack {lang, source, n_chars} into
+    a struct, round-trip a JSON props payload through from_json, then
+    flatten for the oracle comparison.  (Struct columns themselves
+    don't hash portably across engines, so the check flattens.)"""
+    d = Tables(spark, sf_dir).documents
+    packed = d.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+        F.concat(F.lit('{"k": '), (F.col("doc_id") % 100).cast("string"), F.lit("}")).alias(
+            "props_json"
+        ),
+    )
+    parsed = packed.withColumn(
+        "props", F.from_json("props_json", "struct<k: bigint>")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+        F.col("meta.n_chars").cast("bigint").alias("meta_n_chars"),
+        F.col("props.k").alias("props_k"),
+    )

@@ -1,0 +1,76 @@
+"""Query registry: every implemented operator from SURVEY.md §2 is a
+named ``(spark, sf_dir) -> DataFrame`` callable, optionally paired with
+an ANSI-SQL oracle string that DuckDB runs over the same parquet tables
+(the driver's correctness gate, ``__spark_entry__.py``).
+
+Conventions (FIXTURES.md "oracle-parity cautions"):
+
+- alias every computed column identically in Spark and oracle SQL;
+- round aggregated doubles (sums to 2dp, avgs to 4-6dp, scores to 4dp)
+  so parallel-summation float jitter can't flip the value hash;
+- integer SUMs in oracle SQL are CAST(... AS BIGINT) because DuckDB
+  widens integer SUM to HUGEINT while Spark keeps LongType;
+- event-time buckets are emitted as formatted strings (Spark us vs
+  DuckDB ns timestamp units would otherwise differ in dtype).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering an operator implementation.
+
+    ``oracle`` is the DuckDB-executable ANSI SQL equivalent; omit it
+    only for genuinely non-SQL-expressible operators (LSH, streaming).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every operator module so its @query decorators run."""
+    import importlib
+
+    for mod in (
+        "relational",
+        "joins",
+        "aggregation",
+        "windows",
+        "setops",
+        "scalars",
+        "events",
+        "dedup",
+        "similarity",
+        "textstats",
+        "multimodal",
+    ):
+        importlib.import_module(f"pandas_redshift_spark.operators.{mod}")
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)

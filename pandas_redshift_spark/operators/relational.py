@@ -1,0 +1,186 @@
+"""Scan / projection / filter / predicate operators (SURVEY.md §2.B
+"Scans" + "Projection / filter / predicates" tables).
+
+The reference delegates all of these to Redshift as SQL text through
+``cursor.execute`` (reference ``pandas_redshift/core.py:84``); here each
+is a native Catalyst plan.  All predicates below compile to pushed-down
+parquet filters (`PushedFilters` in .explain) — nothing is evaluated
+in Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_quantity), 2)                                        AS sum_qty,
+        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+        round(avg(l_quantity), 4)                                        AS avg_qty,
+        round(avg(l_extendedprice), 4)                                   AS avg_price,
+        round(avg(l_discount), 6)                                        AS avg_disc,
+        count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-style pricing summary: scan -> pushed filter ->
+    partial+final hash aggregate -> sort.  One shuffle (on the two
+    low-cardinality group keys), so it scales linearly with input.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "scan_projection",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           o_totalprice AS total_price,
+           upper(o_orderstatus) AS status
+    FROM orders
+    """,
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare scan + column pruning + aliasing (reference README.md:32
+    `SELECT *` surface).  The parquet ReadSchema contains only the four
+    referenced columns."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.upper("o_orderstatus").alias("status"),
+    )
+
+
+@query(
+    "filter_between_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 5000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'P'
+    """,
+)
+def filter_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN (reserve list :14) + IN (:68) + <> predicates, all pushed
+    to the parquet scan."""
+    o = Tables(spark, sf_dir).orders
+    return o.filter(
+        F.col("o_totalprice").between(1000, 5000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") != "P")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%gold%' OR p_brand LIKE 'Brand#1_'
+    """,
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE (:78) with % and _ wildcards; Catalyst rewrites the %-only
+    pattern to a Contains pushed into the scan."""
+    p = Tables(spark, sf_dir).part
+    return p.filter(
+        F.col("p_name").like("%gold%") | F.col("p_brand").like("Brand#1_")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "case_when_cast",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        CASE
+            WHEN o_totalprice >= 4000 THEN 'high'
+            WHEN o_totalprice >= 2000 THEN 'mid'
+            ELSE 'low'
+        END AS price_band
+    FROM orders
+    """,
+)
+def case_when_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN/THEN/ELSE/END (:20,:148,:135,:44,:50) and CAST (:21).
+
+    Note: double->int CAST truncates in Spark but rounds in DuckDB, so
+    the intent is made explicit with floor() on both sides."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.when(F.col("o_totalprice") >= 4000, "high")
+        .when(F.col("o_totalprice") >= 2000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT
+        c_custkey,
+        coalesce(nullif(c_mktsegment, 'MACHINERY'), 'REDACTED') AS segment,
+        (c_acctbal IS NULL) AS bal_is_null
+    FROM customer
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISNULL (:74) / NULLIF / COALESCE surface."""
+    c = Tables(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("REDACTED")).alias(
+            "segment"
+        ),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+    )
+
+
+@query(
+    "distinct_values",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (:42) — hash-aggregate dedup; partial aggregation keeps
+    the shuffle tiny regardless of input size."""
+    return Tables(spark, sf_dir).orders.select("o_orderstatus", "o_orderpriority").distinct()

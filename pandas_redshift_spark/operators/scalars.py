@@ -1,0 +1,194 @@
+"""Scalar-function sampler (SURVEY.md §2.B "Scalar functions"):
+string / date-time / math / conditional / JSON families, all JVM-side
+built-ins (no Python UDFs) so they stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+        c_custkey,
+        lower(c_name)                                   AS name_lower,
+        upper(c_mktsegment)                             AS seg_upper,
+        CAST(length(c_name) AS BIGINT)                  AS name_len,
+        substring(c_name, 1, 8)                         AS name_prefix,
+        replace(c_name, '#', '-')                       AS name_dashed,
+        concat(c_name, ':', c_mktsegment)               AS name_seg,
+        trim('  ' || c_name || ' ')                     AS name_trimmed,
+        split_part(c_name, '#', 2)                      AS name_num,
+        CAST(strpos(c_name, '#') AS BIGINT)             AS hash_pos
+    FROM customer
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/length/substring/replace/concat/trim/split_part/
+    position (reference dialect evidence: LEADING :76, TRAILING :139)."""
+    c = Tables(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(year(o_orderdate) AS INT)                   AS order_year,
+        CAST(month(o_orderdate) AS INT)                  AS order_month,
+        CAST(dayofmonth(o_orderdate) AS INT)             AS order_day,
+        CAST(quarter(o_orderdate) AS INT)                AS order_quarter,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+                                                         AS days_to_2002,
+        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract / date_trunc / datediff / dateadd (COPY dateformat-auto
+    surface, reference core.py:244-249).  Date-valued results are
+    emitted as formatted strings so Spark-us vs DuckDB-ns timestamp
+    dtypes can't skew the driver's hash."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(
+            F.lit("2002-01-01 00:00:00").cast("timestamp_ntz"), F.col("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        round(abs(l_discount - 0.05), 4)          AS disc_dev,
+        CAST(floor(l_quantity / 7) AS BIGINT)     AS qty_bucket,
+        CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kilo,
+        round(sqrt(l_extendedprice), 4)           AS price_sqrt,
+        round(power(l_discount, 2), 6)            AS disc_sq,
+        CAST(CAST(l_quantity AS BIGINT) % 5 AS BIGINT) AS qty_mod5,
+        round(ln(l_extendedprice + 1), 6)         AS price_ln,
+        round(log10(l_extendedprice + 1), 6)      AS price_log10
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/round/floor/ceil/sqrt/power/mod/ln/log10."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_kilo"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 5).cast("bigint").alias("qty_mod5"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT
+        s_suppkey,
+        greatest(s_acctbal, 0.0)                    AS bal_floor0,
+        least(s_acctbal, 5000.0)                    AS bal_cap5k,
+        coalesce(nullif(s_name, ''), 'unknown')     AS name_or_unknown,
+        CASE WHEN s_acctbal > 0 THEN 'credit' ELSE 'debit' END AS bal_sign
+    FROM supplier
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/greatest/least (Redshift NVL/DECODE family)."""
+    s = Tables(spark, sf_dir).supplier
+    return s.select(
+        "s_suppkey",
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_unknown"
+        ),
+        F.when(F.col("s_acctbal") > 0, "credit").otherwise("debit").alias("bal_sign"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT
+        event_id,
+        json_extract_string(props, '$.k')                    AS k_str,
+        CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_int,
+        CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+             THEN 'hi' ELSE 'lo' END                         AS k_band
+    FROM events
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over events.props (Redshift
+    json_extract_path_text analogue) via get_json_object."""
+    ev = Tables(spark, sf_dir).events
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+        F.when(k.cast("bigint") >= 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+@query(
+    "scalar_regex_funcs",
+    oracle="""
+    SELECT
+        p_partkey,
+        regexp_extract(p_type, '^([a-z]+)', 1)            AS type_first_word,
+        regexp_replace(p_name, '[aeiou]', '*', 'g')       AS name_devoweled,
+        regexp_matches(p_type, 'brushed|polished')        AS is_finished
+    FROM part
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract/replace/match (SIMILAR TO :125 family)."""
+    p = Tables(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), "^([a-z]+)", 1).alias("type_first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("name_devoweled"),
+        F.col("p_type").rlike("brushed|polished").alias("is_finished"),
+    )

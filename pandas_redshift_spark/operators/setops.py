@@ -1,0 +1,149 @@
+"""Set operations + sort/limit/offset (SURVEY.md §2.B "Set operations"
+and "Sort / limit / top-k").
+
+UNION is the one set op with a live reference example (CTAS-with-UNION,
+reference README.md:102-109); the rest are reserve-list evidence
+(UNION :142, INTERSECT :71, EXCEPT :51, MINUS :86, ORDER :105,
+LIMIT :79, TOP :138, OFFSET :98).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+def _buyers_f(t: Tables) -> DataFrame:
+    return t.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+def _buyers_o(t: Tables) -> DataFrame:
+    return t.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup): union + distinct — Spark dedups via hash
+    aggregate after a single shuffle."""
+    t = Tables(spark, sf_dir)
+    return _buyers_f(t).union(_buyers_o(t)).distinct()
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL: pure concatenation, zero shuffle."""
+    t = Tables(spark, sf_dir)
+    return _buyers_f(t).union(_buyers_o(t))
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — planned as a semi-join."""
+    t = Tables(spark, sf_dir)
+    return _buyers_f(t).intersect(_buyers_o(t))
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / MINUS (distinct semantics) — planned as an anti-join."""
+    t = Tables(spark, sf_dir)
+    return _buyers_f(t).subtract(_buyers_o(t))
+
+
+@query(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT n: physically TakeOrderedAndProject — each
+    task keeps a 20-row heap, the driver merges heaps; no global sort
+    ever materializes.  Unique-key tie-break keeps the result
+    deterministic."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET (:98) — Spark 3.4+ supports offset natively."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT
+        c_custkey,
+        CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal
+    FROM customer
+    ORDER BY bal DESC NULLS LAST, c_custkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering (NULLS :95) with injected nulls."""
+    c = Tables(spark, sf_dir).customer
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.round("c_acctbal", 2))
+    return (
+        c.select("c_custkey", bal.alias("bal"))
+        .orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey"))
+        .limit(50)
+    )

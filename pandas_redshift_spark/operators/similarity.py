@@ -1,0 +1,231 @@
+"""Similarity search over ``embeddings.embedding: array<float>[64]``
+(north-star extension, SURVEY.md §2.C).
+
+Brute-force cosine is the correctness baseline (oracle-checked against
+DuckDB's list_cosine_similarity); the LSH variant is the scale path —
+random-hyperplane signatures bucket candidates so the pair space stays
+near-linear instead of |queries| x |corpus|.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns using only
+    JVM built-ins (zip_with product + aggregate sum) — stays inside
+    codegen, no Python round-trip."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _emb_double(t: Tables) -> DataFrame:
+    return t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.emb, c.emb), 4) AS score
+        FROM q CROSS JOIN c
+        WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast the
+    (small) query set against the full corpus, score JVM-side, rank
+    with a per-query window.  At scale: queries broadcast, corpus
+    streams — one pass, no corpus shuffle; the window is per-query so
+    the WindowGroupLimit keeps 5 rows per partition."""
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t)
+    q = broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    scored = (
+        emb.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle="""
+    WITH sub AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT
+        a.vec_id AS vec_a,
+        b.vec_id AS vec_b,
+        (a.label = b.label) AS same_label,
+        round(list_cosine_similarity(a.emb, b.emb), 4) AS score
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.3 on a deterministic 1/5 sample, with the
+    label agreement bit (cluster ground truth).  The quadratic pair
+    space is the *point* of the baseline; sim_lsh_buckets below is the
+    sub-quadratic variant."""
+    t = Tables(spark, sf_dir)
+    sub = _emb_double(t).filter(F.col("vec_id") % 5 == 0)
+    a = sub.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("emb").alias("ea")
+    )
+    b = sub.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("emb").alias("eb")
+    )
+    score = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(score >= 0.3)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("la") == F.col("lb")).alias("same_label"),
+            F.round(score, 4).alias("score"),
+        )
+    )
+
+
+@query("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane (signed
+    random projection) LSH — the 100 TB path.  No SQL oracle
+    (hash-family specific); unit test measures recall vs
+    sim_bruteforce_topk.
+
+    Signatures: 16 deterministic pseudo-random hyperplanes derived from
+    xxhash64(plane, dim) — sign of <v, h_p> gives bit p.  Vectors
+    agreeing on any of 4 contiguous 4-bit bands become candidates; only
+    candidates are exactly re-scored.  Everything is built-ins, so the
+    signature pass is one codegen stage over the corpus."""
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t)
+    n_planes, band_bits = 16, 4
+
+    # hyperplane component h[p][d] in {-1,+1} from parity of xxhash64(p, d)
+    def plane_bit(p: int) -> Column:
+        # sum_d emb[d] * sign_pd  ; sign_pd = +/-1 from hash parity
+        idx = F.sequence(F.lit(0), F.size("emb") - 1)
+        terms = F.zip_with(
+            F.col("emb"),
+            F.transform(
+                idx,
+                lambda d, p=p: F.when(
+                    F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda v, s: v * s,
+        )
+        proj = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    sig = emb.select(
+        "vec_id", "emb", *[plane_bit(p).alias(f"bit{p}") for p in range(n_planes)]
+    )
+    bands = [
+        F.concat_ws(
+            "", *[F.col(f"bit{b * band_bits + r}") for r in range(band_bits)]
+        ).alias(f"band{b}")
+        for b in range(n_planes // band_bits)
+    ]
+    banded = sig.select("vec_id", "emb", *bands)
+    buckets = banded.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(b)), F.col(f"band{b}"))
+                    for b in range(n_planes // band_bits)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    q = buckets.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "bucket"
+    )
+    cand = (
+        buckets.join(broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
+
+
+@query(
+    "sim_centroid_by_label",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dims AS (SELECT unnest(range(1, 9)) AS dim)
+    SELECT e.label, CAST(d.dim AS INT) AS dim, round(avg(e.emb[d.dim]), 6) AS centroid_val
+    FROM e CROSS JOIN dims d
+    GROUP BY e.label, d.dim
+    """,
+)
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first 8 dims shown): posexplode + avg — the
+    aggregate shape behind IVF coarse quantization (centroid build is a
+    plain group-by, mergeable at any scale)."""
+    t = Tables(spark, sf_dir)
+    e = _emb_double(t)
+    flat = e.select(
+        "label", F.posexplode("emb").alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).cast("int").alias("dim"), "val")
+    return (
+        flat.filter(F.col("dim") <= 8)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )

@@ -1,0 +1,220 @@
+"""Text-analysis operators over ``documents`` (north-star extension,
+SURVEY.md §2.C): token counting, quality scoring, language-ID
+heuristic, word frequencies, fingerprinting.
+
+All hot-path logic is JVM built-ins (split/filter/aggregate/explode);
+nothing is row-at-a-time Python, so every operator here is one codegen
+scan plus at most one aggregate shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+# tiny deterministic stopword list used by quality scoring (shared by
+# the Spark and oracle sides; a real pipeline would broadcast a larger
+# dictionary)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tokens FROM documents)
+    SELECT
+        doc_id,
+        lang,
+        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(tokens)) AS BIGINT) AS n_unique_tokens,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        round(n_chars * 1.0 / len(tokens), 4) AS avg_token_len,
+        CAST(len(list_filter(tokens, t -> t IN {_SW_SQL})) AS BIGINT) AS n_stopwords
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts, vocabulary size, stopword count —
+    per-document, no shuffle at all (pure map stage)."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.col("n_chars") / F.size(toks), 4).alias("avg_token_len"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint").alias(
+            "n_stopwords"
+        ),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens, n_chars FROM documents)
+    SELECT
+        doc_id,
+        round(len(list_filter(tokens, t -> t IN {_SW_SQL})) * 1.0 / len(tokens), 4)
+            AS stopword_ratio,
+        round(len(list_distinct(tokens)) * 1.0 / len(tokens), 4) AS unique_ratio,
+        least(round(len(tokens) / 100.0, 4), 1.0) AS length_score,
+        CASE WHEN len(tokens) BETWEEN 20 AND 1000
+              AND len(list_distinct(tokens)) * 1.0 / len(tokens) > 0.05
+             THEN TRUE ELSE FALSE END AS passes_filter
+    FROM tok
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (Gopher/C4-style): stopword ratio,
+    type-token ratio, length score, and a boolean keep/drop verdict."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.round(sw / n, 4).alias("stopword_ratio"),
+        F.round(uniq / n, 4).alias("unique_ratio"),
+        F.least(F.round(n / 100.0, 4), F.lit(1.0)).alias("length_score"),
+        (n.between(20, 1000) & (uniq / n > 0.05)).alias("passes_filter"),
+    )
+
+
+@query(
+    "text_lang_source_stats",
+    oracle="""
+    SELECT
+        lang,
+        source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        round(avg(n_chars), 4) AS avg_chars,
+        CAST(min(n_chars) AS BIGINT) AS min_chars,
+        CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition stats per (lang, source) — the bread-and-
+    butter monitoring query of a training-data pipeline."""
+    d = Tables(spark, sf_dir).documents
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@query(
+    "text_word_freq",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    freq AS (SELECT word, count(*) AS n FROM tok GROUP BY word)
+    SELECT word, CAST(n AS BIGINT) AS n
+    FROM freq
+    ORDER BY n DESC, word
+    LIMIT 25
+    """,
+)
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 word frequencies: explode -> count -> top-k.
+    Partial aggregation collapses each input partition to its local
+    vocabulary before the shuffle, so shuffle volume is O(vocab) not
+    O(tokens)."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(25)
+    )
+
+
+# per-language marker words for the language-ID heuristic (public
+# high-frequency function words; deterministic, dictionary-free)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de5", "shi4", "le5", "zai4"),
+}
+
+
+def _marker_count(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
+    scores AS (
+        SELECT doc_id, lang AS actual_lang,
+            len(list_filter(tokens, t -> t IN ('the','and','of','is')))    AS s_en,
+            len(list_filter(tokens, t -> t IN ('el','la','de','que')))     AS s_es,
+            len(list_filter(tokens, t -> t IN ('der','die','und','das')))  AS s_de,
+            len(list_filter(tokens, t -> t IN ('le','la','et','les')))     AS s_fr,
+            len(list_filter(tokens, t -> t IN ('de5','shi4','le5','zai4'))) AS s_zh
+        FROM tok
+    )
+    SELECT doc_id, actual_lang,
+        CASE
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh'
+        END AS predicted_lang
+    FROM scores
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count per-language function words,
+    argmax with a fixed tie-break order (en > es > de > fr > zh).
+    Dictionary scoring is a pure map stage; a real n-gram model would
+    swap in a broadcast table without changing the plan shape."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    s = {lang: _marker_count(toks, lang) for lang in LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+
+
+@query("text_fingerprint")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    the token stream (mod 2^61-1), computed with F.aggregate — a pure
+    fold, no Python.  Rows-only driver check (no portable SQL hash);
+    unit test asserts equal texts <=> equal fingerprints.
+    """
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    # modulus 2^31-1 keeps acc*1000003 + h < 2^52 — no ANSI long
+    # overflow (Spark 4 runs ANSI mode by default)
+    m = F.lit(2147483647)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(1000003) + F.pmod(F.xxhash64(t), m)) % m,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"), F.col("n_chars").cast("bigint").alias("n_chars"))

@@ -1,0 +1,220 @@
+"""Window-function operators (SURVEY.md §2.B "Window functions").
+
+Windows reach the reference only as SQL pass-through (PARTITION is
+reserve-list :109); here they are ``Window.partitionBy(...).orderBy(...)``
+specs.  Partitioned windows shuffle once on the partition key and sort
+within partitions — no global sort — so they scale with the widest
+single partition, not total data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) ranked
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: ROW_NUMBER + filter.  The o_orderkey
+    tie-break makes row_number deterministic (required for oracle
+    parity); Spark plans a WindowGroupLimit pushdown so each partition
+    keeps only 3 rows before the final window sort."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT
+        p_partkey,
+        p_brand,
+        rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+        dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank,
+        ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_quartile
+    FROM part
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE over one window spec (single shuffle +
+    sort shared by all three functions)."""
+    p = Tables(spark, sf_dir).part
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    w_tiled = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+        F.ntile(4).over(w_tiled).cast("bigint").alias("price_quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS value_delta
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over event time per user (event_id tie-break for
+    determinism at equal timestamps)."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 2) AS running_spend,
+        CAST(count(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame."""
+    o = Tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_sliding_avg",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        round(avg(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ), 4) AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame (moving average)."""
+    o = Tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        first_value(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        ) AS first_order,
+        last_value(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        ) AS last_order
+    FROM orders
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with full-partition frames (the default
+    frame would make last_value == current row)."""
+    o = Tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@query(
+    "window_percent_rank_global",
+    oracle="""
+    SELECT
+        o_orderkey,
+        round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS price_pctile
+    FROM orders
+    """,
+)
+def window_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK over an unpartitioned window.  NOTE: a global
+    window is a single-partition sort — fine for dimension-sized
+    inputs, an anti-pattern on the fact table at 100 TB (use a
+    partitioned window or approx quantiles instead)."""
+    o = Tables(spark, sf_dir).orders
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("price_pctile"),
+    )

@@ -1,0 +1,59 @@
+"""Physical-layout hint translation (SURVEY.md §1.5): the reference's
+Redshift CREATE TABLE clauses (diststyle/distkey/sortkey, reference
+``pandas_redshift/core.py:199-211``) mapped onto Spark partitioning.
+
+| Redshift clause        | Spark translation                          |
+|------------------------|--------------------------------------------|
+| diststyle even         | round-robin `repartition(n)`               |
+| diststyle all          | broadcast hint (replicate to every node)   |
+| distkey(col)           | hash `repartition(col)` (co-located joins) |
+| sortkey(a,b,...)       | `sortWithinPartitions` (parquet min/max    |
+|                        | stats give zone-map skipping for free)     |
+| interleaved sortkey    | unsupported (no Spark analogue; nearest is |
+|                        | Z-ordering) — raises                       |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+
+def apply_layout(
+    df: DataFrame,
+    diststyle: str = "even",
+    distkey: str = "",
+    sortkey: str = "",
+    sort_interleaved: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Translate Redshift physical hints into a repartitioned/sorted
+    DataFrame prior to write (or join)."""
+    if sort_interleaved:
+        raise NotImplementedError(
+            "interleaved sortkey has no Spark analogue (nearest is "
+            "Z-ordering); declared unsupported — see SURVEY.md §1.5"
+        )
+    out = df
+    if distkey:
+        # distkey overrides diststyle, as in the reference (core.py:205-207)
+        out = out.repartition(num_partitions, distkey) if num_partitions else out.repartition(distkey)
+    elif diststyle == "all":
+        out = broadcast(out)
+    elif diststyle == "even":
+        if num_partitions:
+            out = out.repartition(num_partitions)
+    else:
+        raise ValueError("diststyle must be either 'even' or 'all'")
+    if sortkey:
+        keys = [k.strip() for k in sortkey.split(",") if k.strip()]
+        out = out.sortWithinPartitions(*keys)
+    return out
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture .explain output as a string (plan-inspection helper for
+    tests and tuning)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )

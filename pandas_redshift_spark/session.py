@@ -1,0 +1,132 @@
+"""SparkSession configuration and the test-corpus table registry.
+
+The reference holds a psycopg2 connection + boto3 client in module
+globals (``pandas_redshift/core.py:52-59,63``).  Here the session object
+is the :class:`pyspark.sql.SparkSession` itself; this module only adds
+(a) the runtime confs the engine relies on and (b) a lazy, cached
+registry over the driver-provided parquet corpus
+(``/root/testdata/sf*/``, tables listed in ``TABLE_NAMES``).
+
+Scale notes (100 TB design):
+
+- All confs set here are *session* confs safe to set at runtime on a
+  shared cluster session; nothing requires restarting the JVM.
+- AQE is left on (Spark default) — it coalesces shuffle partitions,
+  switches to broadcast joins at runtime, and splits skewed partitions.
+- Tables are plain parquet scans: Catalyst pushes filters/projections
+  into the scan, so `Tables` never materializes anything.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: every table in the driver corpus (TESTDATA.md)
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs the engine depends on (idempotent).
+
+    - ``nanosAsLong``: the ``events`` table stores TIMESTAMP(NANOS)
+      which Spark's parquet reader rejects by default; reading nanos as
+      long and converting explicitly keeps the scan vectorized.
+    - UTC session timezone: makes TIMESTAMP_LTZ <-> NTZ conversions
+      deterministic and independent of cluster-node locale.
+    - Arrow: vectorized pandas interop for the bridge API and any
+      pandas UDFs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # AQE is on by default in Spark 3.2+; assert rather than assume.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def build_session(app_name: str = "pandas_redshift_spark") -> SparkSession:
+    """Local-mode builder used by tests and bench (cluster users bring
+    their own session and call :func:`configure_session`)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)
+
+
+class Tables:
+    """Lazy accessor for the corpus tables under one scale-factor dir.
+
+    ``Tables(spark, sf_dir).lineitem`` returns the DataFrame for
+    ``{sf_dir}/lineitem.parquet``.  Each table is a bare parquet scan
+    (plus, for ``events``, an exact nanos->micros timestamp conversion)
+    so predicate pushdown and column pruning stay intact.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self._spark = configure_session(spark)
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._spark
+
+    @property
+    def sf_dir(self) -> str:
+        return self._sf_dir
+
+    def load(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+        if name not in self._cache:
+            df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
+            if name == "events":
+                # parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong
+                # it arrives as a long.  `DIV 1000` is exact integer
+                # division (a double divide would lose precision at
+                # ~1.7e18), then cast through LTZ micros to NTZ under
+                # the UTC session tz — matching DuckDB's naive reading.
+                df = df.withColumn(
+                    "ts",
+                    F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+                )
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self.load(name)
+        except KeyError as exc:
+            raise AttributeError(str(exc)) from exc
+
+    def register_views(self) -> None:
+        """Register every table as a temp view (for ``spark.sql`` use)."""
+        for name in TABLE_NAMES:
+            self.load(name).createOrReplaceTempView(name)

@@ -1,0 +1,345 @@
+"""The reference's 14-function public API re-expressed Spark-first
+(SURVEY.md §2.A / §7 Phase 2).
+
+Where the reference moves data pandas -> CSV-in-memory -> single S3
+object -> Redshift COPY over one socket (reference
+``pandas_redshift/core.py:120-144,220-304``), the bridge moves it as a
+distributed write: Arrow-ingest to a Spark DataFrame, task-parallel
+columnar output, atomic overwrite via Spark's commit protocol.  No
+module globals (reference core.py:52-63) — all state lives on one
+:class:`SparkRedshiftBridge` object.
+
+The JDBC path (live Redshift/Postgres) is built but exercised only
+behind configuration — there is no warehouse in CI; the local catalog
+/ parquet path is the tested default.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.plans.layout import apply_layout
+from pandas_redshift_spark.sources.schema import (
+    apply_validated_names,
+    build_create_table_ddl,
+    get_column_data_types,
+    validate_column_names,
+)
+
+logger = logging.getLogger("pandas_redshift_spark")
+logger.addHandler(logging.NullHandler())
+
+#: module-level masking default, mirrors reference logging_config
+#: (core.py:23-28)
+logging_config = {"logging_level": logging.INFO, "mask_secrets": True}
+
+_LEVELS = {
+    "debug": logging.DEBUG,
+    "info": logging.INFO,
+    "warn": logging.WARNING,
+    "warning": logging.WARNING,
+    "error": logging.ERROR,
+}
+
+
+def set_log_level(level: str, mask_secrets: bool = True) -> None:
+    """Port of reference set_log_level (core.py:30-40)."""
+    if level not in _LEVELS:
+        raise ValueError(f"log level must be one of {sorted(_LEVELS)}")
+    logger.setLevel(_LEVELS[level])
+    logging_config["logging_level"] = _LEVELS[level]
+    logging_config["mask_secrets"] = mask_secrets
+
+
+_KEY_RE = re.compile(r"(aws_access_key_id|access.key)(['\"=: ]+)([A-Z0-9]{16,20})", re.I)
+_SECRET_RE = re.compile(
+    r"(aws_secret_access_key|secret.key)(['\"=: ]+)([A-Za-z0-9/+=]{30,60})", re.I
+)
+_PASSWORD_RE = re.compile(r"(password)(['\"=: ]+)(\S+)", re.I)
+
+
+def mask_aws_credentials(s: str) -> str:
+    """Redact credentials from loggable command text (port of
+    reference mask_aws_credentials, core.py:43-48, extended to JDBC
+    passwords)."""
+    if not logging_config.get("mask_secrets", True):
+        return s
+    for pattern in (_KEY_RE, _SECRET_RE, _PASSWORD_RE):
+        s = pattern.sub(lambda m: m.group(1) + m.group(2) + "*" * 8, s)
+    return s
+
+
+@dataclass
+class SparkRedshiftBridge:
+    """Connection-equivalent: one object holds what the reference keeps
+    in module globals (psycopg2 conn core.py:52-59, boto3 client
+    core.py:62-79).
+
+    - ``jdbc_options`` non-empty -> remote mode: reads/writes go
+      through `spark.read/write.format("jdbc")` with partitioned
+      extract (fixes the one-socket fetchall bottleneck, core.py:86).
+    - otherwise local-catalog mode: `spark.sql` executes on Spark
+      itself and writes land in the session catalog / parquet paths.
+    """
+
+    spark: SparkSession
+    jdbc_options: dict[str, str] = field(default_factory=dict)
+    s3_options: dict[str, str] = field(default_factory=dict)
+    closed: bool = False
+
+    # -- connect_to_s3 (core.py:62-79) --------------------------------
+    def configure_s3(
+        self,
+        aws_access_key_id: str | None = None,
+        aws_secret_access_key: str | None = None,
+        bucket: str | None = None,
+        subdirectory: str | None = None,
+        aws_iam_role: str | None = None,
+        **kwargs: Any,
+    ) -> "SparkRedshiftBridge":
+        """Record S3 staging config as Hadoop S3A session confs (the
+        Spark equivalent of the reference's boto3 globals)."""
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if aws_access_key_id:
+            hconf.set("fs.s3a.access.key", aws_access_key_id)
+        if aws_secret_access_key:
+            hconf.set("fs.s3a.secret.key", aws_secret_access_key)
+        if kwargs.get("aws_session_token"):
+            hconf.set("fs.s3a.session.token", kwargs["aws_session_token"])
+        self.s3_options = {
+            "bucket": bucket or "",
+            "subdirectory": (subdirectory + "/") if subdirectory else "",
+            "aws_iam_role": aws_iam_role or "",
+        }
+        return self
+
+    def _check_open(self) -> None:
+        if self.closed:
+            raise RuntimeError("bridge is closed (close_up_shop was called)")
+
+    # -- redshift_to_pandas (core.py:82-87) ----------------------------
+    def read_sql(self, sql_query: str, query_params: list | None = None) -> pd.DataFrame:
+        """Execute SQL on the engine, return a *pandas* DataFrame —
+        signature-compatible with reference redshift_to_pandas.  The
+        distributed-native variant is :meth:`sql`."""
+        return self.sql(sql_query, query_params).toPandas()
+
+    def sql(self, sql_query: str, query_params: list | None = None) -> DataFrame:
+        """Distributed extract: Spark executes the SQL (local mode) or
+        pushes the whole query down to the warehouse as a JDBC subquery
+        (remote mode) — either way no single-socket fetchall."""
+        self._check_open()
+        logger.info("executing query: %s", mask_aws_credentials(sql_query))
+        if self.jdbc_options:
+            reader = (
+                self.spark.read.format("jdbc")
+                .options(**self.jdbc_options)
+                .option("query", sql_query)
+            )
+            return reader.load()
+        if query_params:
+            # positional %s params (psycopg2 style, core.py:84) ->
+            # Spark named-parameter SQL
+            for p in query_params:
+                sql_query = sql_query.replace("%s", _sql_literal(p), 1)
+        return self.spark.sql(sql_query)
+
+    # -- pandas_to_redshift (core.py:269-304) --------------------------
+    def write_table(
+        self,
+        data_frame: "pd.DataFrame | DataFrame",
+        table_name: str,
+        column_data_types: list[str] | None = None,
+        index: bool = False,
+        append: bool = False,
+        diststyle: str = "even",
+        distkey: str = "",
+        sort_interleaved: bool = False,
+        sortkey: str = "",
+        verbose: bool = True,
+        **kwargs: Any,
+    ) -> None:
+        """Load pipeline: validate names -> (infer types) -> single
+        atomic distributed write.  Replaces the reference's 4-step
+        staged load (CSV -> S3 put_object -> DROP/CREATE -> COPY,
+        core.py:289-304) and its non-atomicity hazard: Spark's
+        mode('overwrite') commits or leaves the old table, never an
+        empty shell."""
+        self._check_open()
+        if isinstance(data_frame, pd.DataFrame):
+            if index:
+                data_frame = data_frame.reset_index()
+            validate_column_names(data_frame.columns)
+            sdf = self.spark.createDataFrame(data_frame)
+            sdf = apply_validated_names(sdf)
+        else:
+            sdf = apply_validated_names(data_frame)
+
+        if column_data_types is None:
+            column_data_types = get_column_data_types(sdf)
+
+        mode = "append" if append else "overwrite"
+        if self.jdbc_options:
+            ddl_types = ", ".join(
+                f"{c} {t}" for c, t in zip(sdf.columns, column_data_types)
+            )
+            writer = (
+                sdf.write.format("jdbc")
+                .options(**self.jdbc_options)
+                .option("dbtable", table_name)
+                .option("createTableColumnTypes", ddl_types)
+            )
+            layout = _layout_create_options(diststyle, distkey, sort_interleaved, sortkey)
+            if layout:
+                writer = writer.option("createTableOptions", layout)
+            writer.mode(mode).save()
+        else:
+            out = apply_layout(
+                sdf, diststyle=diststyle, distkey=distkey, sortkey=sortkey
+            )
+            out.write.mode(mode).saveAsTable(_catalog_name(table_name))
+        if verbose:
+            logger.info("wrote table %s (mode=%s)", table_name, mode)
+
+    # -- df_to_s3 (core.py:120-144) ------------------------------------
+    def stage_csv(
+        self,
+        data_frame: "pd.DataFrame | DataFrame",
+        csv_name: str | None = None,
+        index: bool = False,
+        delimiter: str = ",",
+        path_prefix: str | None = None,
+    ) -> str:
+        """Stage a DataFrame as CSV files — the distributed analogue of
+        df_to_s3's single put_object (one file per task instead of one
+        object total).  Returns the staged directory path."""
+        self._check_open()
+        if isinstance(data_frame, pd.DataFrame):
+            if index:
+                data_frame = data_frame.reset_index()
+            sdf = self.spark.createDataFrame(data_frame)
+        else:
+            sdf = data_frame
+        csv_name = csv_name or f"staged-{uuid.uuid4()}"
+        base = path_prefix or (
+            f"s3a://{self.s3_options['bucket']}/{self.s3_options.get('subdirectory','')}"
+            if self.s3_options.get("bucket")
+            else "/tmp/pandas_redshift_spark_stage/"
+        )
+        path = f"{base.rstrip('/')}/{csv_name}"
+        (
+            sdf.write.option("header", True)
+            .option("sep", delimiter)
+            .mode("overwrite")
+            .csv(path)
+        )
+        logger.info("staged csv at %s", path)
+        return path
+
+    # -- s3_to_redshift (core.py:220-266) -------------------------------
+    def load_staged_csv(
+        self,
+        table_name: str,
+        staged_path: str,
+        delimiter: str = ",",
+        quotechar: str = '"',
+        append: bool = False,
+    ) -> None:
+        """Load staged CSV into a table — the COPY analogue: a
+        distributed CSV scan + write instead of a warehouse-side COPY
+        of one file (~one slice, core.py:139-141)."""
+        self._check_open()
+        sdf = (
+            self.spark.read.option("header", True)
+            .option("sep", delimiter)
+            .option("quote", quotechar)
+            .option("inferSchema", True)
+            .csv(staged_path)
+        )
+        mode = "append" if append else "overwrite"
+        sdf.write.mode(mode).saveAsTable(_catalog_name(table_name))
+
+    # -- exec_commit (core.py:307-309) -----------------------------------
+    def exec_sql(self, sql_query: str) -> None:
+        """DDL/DML passthrough (CTAS-with-UNION README.md:102-109) —
+        executes on the session catalog; commit is implicit."""
+        self._check_open()
+        logger.info("exec: %s", mask_aws_credentials(sql_query))
+        self.spark.sql(sql_query).collect()
+
+    # -- close_up_shop (core.py:312-324) ----------------------------------
+    def close(self, stop_spark: bool = False) -> None:
+        self.closed = True
+        self.jdbc_options = {}
+        self.s3_options = {}
+        if stop_spark:
+            self.spark.stop()
+
+    def __enter__(self) -> "SparkRedshiftBridge":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+
+def connect(
+    spark: SparkSession,
+    dbname: str | None = None,
+    host: str | None = None,
+    port: int = 5439,
+    user: str | None = None,
+    password: str | None = None,
+    **kwargs: Any,
+) -> SparkRedshiftBridge:
+    """Factory mirroring reference connect_to_redshift (core.py:51-59).
+    With host/dbname it configures JDBC remote mode; without, Spark
+    itself is the engine (local catalog)."""
+    jdbc: dict[str, str] = {}
+    if host and dbname:
+        jdbc = {
+            "url": f"jdbc:redshift://{host}:{port}/{dbname}",
+            "user": user or "",
+            "password": password or "",
+            "driver": kwargs.pop("driver", "com.amazon.redshift.jdbc42.Driver"),
+        }
+        jdbc.update({k: str(v) for k, v in kwargs.items()})
+    return SparkRedshiftBridge(spark=spark, jdbc_options=jdbc)
+
+
+def _sql_literal(p: Any) -> str:
+    if p is None:
+        return "NULL"
+    if isinstance(p, (int, float)):
+        return str(p)
+    escaped = str(p).replace("'", "''")
+    return f"'{escaped}'"
+
+
+def _catalog_name(table_name: str) -> str:
+    # 'schema.table' strings are kept; Spark catalogs accept the same
+    # two-part shape once the database exists.
+    return table_name
+
+
+def _layout_create_options(
+    diststyle: str, distkey: str, sort_interleaved: bool, sortkey: str
+) -> str:
+    """Redshift physical clauses for JDBC createTableOptions — same
+    text the reference appends to CREATE TABLE (core.py:199-211)."""
+    parts = []
+    if distkey:
+        parts.append(f"distkey({distkey})")
+    elif diststyle:
+        if diststyle not in ("even", "all"):
+            raise ValueError("diststyle must be either 'even' or 'all'")
+        parts.append(f"diststyle {diststyle}")
+    if sortkey:
+        parts.append(("interleaved " if sort_interleaved else "") + f"sortkey({sortkey})")
+    return " ".join(parts)

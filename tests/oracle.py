@@ -1,0 +1,80 @@
+"""Local replica of the driver's oracle-differential check: run a
+registered Spark query and its DuckDB oracle over the same parquet
+tables, then compare row count, column names, and (order-insensitively)
+values — floats with tolerance, everything else exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from pandas_redshift_spark.session import TABLE_NAMES
+
+_FLOAT_RTOL = 1e-7
+_FLOAT_ATOL = 1e-8
+
+
+def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("bool")
+    if len(out) == 0:
+        return out.reset_index(drop=True)
+    sort_key = out.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1)
+    out = out.loc[sort_key.sort_values(kind="mergesort").index].reset_index(drop=True)
+    return out
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(oracle_pdf)} (oracle)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    )
+    a = _normalize(spark_pdf)
+    b = _normalize(oracle_pdf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
+            ok = np.isclose(
+                sa.astype("float64"),
+                sb.astype("float64"),
+                rtol=_FLOAT_RTOL,
+                atol=_FLOAT_ATOL,
+                equal_nan=True,
+            )
+            assert ok.all(), (
+                f"{name}: column {c!r} mismatch at rows "
+                f"{list(np.flatnonzero(~ok)[:5])}:\n"
+                f"spark={sa[~ok].head().tolist()}\noracle={sb[~ok].head().tolist()}"
+            )
+        else:
+            eq = (sa == sb) | (sa.isna() & sb.isna())
+            assert eq.all(), (
+                f"{name}: column {c!r} mismatch at rows {list(np.flatnonzero(~eq)[:5])}:\n"
+                f"spark={sa[~eq].head().tolist()}\noracle={sb[~eq].head().tolist()}"
+            )
