@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "total_headline_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Execution is forced with a noop-format write (full pipeline runs,
+nothing is collected to the driver), matching how a cluster job would
+be bounded by compute+shuffle rather than driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pandas_redshift_spark.operators import all_queries  # noqa: E402
+from pandas_redshift_spark.session import build_session  # noqa: E402
+
+#: headline set: one representative per operator family, weighted
+#: toward the shuffly/joinful ones that dominate at scale
+HEADLINE = (
+    "q1_pricing_summary",
+    "join_inner",
+    "join_star_broadcast",
+    "join_non_equi",
+    "agg_count_distinct",
+    "agg_cube",
+    "window_topk_per_group",
+    "window_running_sum",
+    "setop_union_distinct",
+    "sort_limit_topn",
+    "events_sessionization",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "text_word_freq",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = build_session("pandas_redshift_spark-bench")
+    specs = all_queries()
+
+    # warm the JVM/codegen once with the flagship query (not timed)
+    specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables
+from pandas_redshift_spark.session import Tables, ensure_parallelism
 
 
 @query(
@@ -116,9 +116,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity is what keeps this linear-ish; at 100 TB you'd cap
     posting-list length (drop ultra-common shingles) — the standard
     "document frequency cut" — before the self-join."""
-    d = Tables(spark, sf_dir).documents
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
     sh = d.select("doc_id", shingles().alias("shingle_set"))
-    tok = sh.select("doc_id", F.explode("shingle_set").alias("s"))
+    # postings list feeds BOTH sides of the self-join and the sizes
+    # aggregate; persist so shingling runs once, not three times
+    tok = sh.select("doc_id", F.explode("shingle_set").alias("s")).persist()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -150,7 +152,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.  Only docs colliding in >=1 band are ever paired, so the
     shuffle volume is ~32 longs/doc regardless of document size.
     """
-    d = Tables(spark, sf_dir).documents
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
     n_hashes, band_size = 32, 4
     sh = d.select("doc_id", shingles().alias("ss"))
     # minhash_i(doc) = min over shingles of xxhash64(salt_i, shingle)
@@ -179,7 +181,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.h").alias("h"))
+    ).select(
+        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.h").alias("h")
+    ).persist()  # both self-join sides reuse the signature pipeline
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -205,7 +209,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit +/-1 vote aggregate -> reassemble bits.  One shuffle on
     doc_id; 63 conditional-sum aggregates stay in whole-stage codegen.
     """
-    d = Tables(spark, sf_dir).documents
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables
+from pandas_redshift_spark.session import Tables, ensure_parallelism
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -33,8 +33,12 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _emb_double(t: Tables) -> DataFrame:
-    return t.embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    # vector math is CPU-bound: spread the (often single-file) corpus
+    # across all slots before scoring
+    return ensure_parallelism(
+        t.embeddings.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
 
 

@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables
+from pandas_redshift_spark.session import Tables, ensure_parallelism
 
 # tiny deterministic stopword list used by quality scoring (shared by
 # the Spark and oracle sides; a real pipeline would broadcast a larger
@@ -207,7 +207,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, no Python.  Rows-only driver check (no portable SQL hash);
     unit test asserts equal texts <=> equal fingerprints.
     """
-    d = Tables(spark, sf_dir).documents
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
     toks = F.split("text", " ")
     # modulus 2^31-1 keeps acc*1000003 + h < 2^52 — no ANSI long
     # overflow (Spark 4 runs ANSI mode by default)

@@ -78,6 +78,19 @@ def build_session(app_name: str = "pandas_redshift_spark") -> SparkSession:
     return configure_session(spark)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than
+    the cluster has slots.  CPU-heavy per-row stages (shingling,
+    vector math, Python UDFs) otherwise run single-task when the
+    source is one small file; on a real lake with thousands of files
+    this is a no-op — the partition count is already >= parallelism,
+    and no shuffle is added."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 class Tables:
     """Lazy accessor for the corpus tables under one scale-factor dir.
 
