@@ -202,7 +202,11 @@ class SparkRedshiftBridge:
             writer.mode(mode).save()
         else:
             out = apply_layout(
-                sdf, diststyle=diststyle, distkey=distkey, sortkey=sortkey
+                sdf,
+                diststyle=diststyle,
+                distkey=distkey,
+                sortkey=sortkey,
+                sort_interleaved=sort_interleaved,
             )
             out.write.mode(mode).saveAsTable(_catalog_name(table_name))
         if verbose:

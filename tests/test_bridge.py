@@ -1,0 +1,98 @@
+"""End-to-end tests of the bridge API (the reference's user-facing
+workflow re-expressed on Spark): write a pandas frame to a table, query
+it back with SQL, CTAS-with-UNION passthrough (reference
+README.md:99-110), CSV staging round-trip, close semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pandas_redshift_spark.sources.bridge import connect
+from pandas_redshift_spark.sources.schema import ReservedWordError
+
+
+@pytest.fixture()
+def bridge(spark):
+    b = connect(spark)
+    yield b
+    for t in ("nba_shots", "t_ctas", "t_roundtrip", "t_layout"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_write_then_read_back(bridge):
+    pdf = pd.DataFrame(
+        {"Player": ["a", "b", "c"], "Pts": [10, 20, 30], "Won": [True, False, True]}
+    )
+    bridge.write_table(pdf, "nba_shots")
+    out = bridge.read_sql("SELECT player, pts FROM nba_shots WHERE pts > 15")
+    assert sorted(out.columns) == ["player", "pts"]  # names lowercased
+    assert len(out) == 2 and set(out["pts"]) == {20, 30}
+
+
+def test_append_mode(bridge):
+    pdf = pd.DataFrame({"x": [1, 2]})
+    bridge.write_table(pdf, "t_roundtrip")
+    bridge.write_table(pdf, "t_roundtrip", append=True)
+    assert bridge.sql("SELECT count(*) AS n FROM t_roundtrip").first()["n"] == 4
+
+
+def test_overwrite_mode(bridge):
+    bridge.write_table(pd.DataFrame({"x": [1, 2, 3]}), "t_roundtrip")
+    bridge.write_table(pd.DataFrame({"x": [9]}), "t_roundtrip")
+    assert bridge.sql("SELECT count(*) AS n FROM t_roundtrip").first()["n"] == 1
+
+
+def test_reserved_column_rejected(bridge):
+    with pytest.raises(ReservedWordError):
+        bridge.write_table(pd.DataFrame({"select": [1]}), "t_roundtrip")
+
+
+def test_exec_sql_ctas_union(bridge):
+    """The reference's README example: CREATE TABLE AS ... UNION ...
+    (README.md:102-109) executed natively by Spark."""
+    bridge.write_table(pd.DataFrame({"a": [1, 2]}), "t_roundtrip")
+    bridge.exec_sql(
+        "CREATE TABLE t_ctas AS SELECT a FROM t_roundtrip UNION SELECT a + 10 FROM t_roundtrip"
+    )
+    assert bridge.sql("SELECT count(*) AS n FROM t_ctas").first()["n"] == 4
+
+
+def test_query_params(bridge):
+    bridge.write_table(pd.DataFrame({"a": [1, 2, 3]}), "t_roundtrip")
+    out = bridge.read_sql("SELECT a FROM t_roundtrip WHERE a >= %s", [2])
+    assert len(out) == 2
+
+
+def test_stage_csv_roundtrip(bridge, tmp_path):
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["x", "y"]})
+    path = bridge.stage_csv(pdf, "stage1", path_prefix=str(tmp_path))
+    bridge.load_staged_csv("t_roundtrip", path)
+    out = bridge.read_sql("SELECT * FROM t_roundtrip")
+    assert len(out) == 2 and set(out.columns) == {"k", "v"}
+
+
+def test_layout_hints_accepted(bridge):
+    pdf = pd.DataFrame({"k": list(range(10)), "v": list("abcdefghij")})
+    bridge.write_table(pdf, "t_layout", distkey="k", sortkey="k")
+    assert bridge.sql("SELECT count(*) AS n FROM t_layout").first()["n"] == 10
+
+
+def test_interleaved_sortkey_unsupported(bridge):
+    with pytest.raises(NotImplementedError):
+        bridge.write_table(
+            pd.DataFrame({"k": [1]}), "t_layout", sortkey="k", sort_interleaved=True
+        )
+
+
+def test_close_blocks_use(spark):
+    b = connect(spark)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.sql("SELECT 1")
+
+
+def test_context_manager(spark):
+    with connect(spark) as b:
+        assert b.sql("SELECT 1 AS one").first()["one"] == 1
+    assert b.closed
