@@ -1,0 +1,111 @@
+"""Structured Streaming variants of the event-window operators
+(SURVEY.md §2.B "Streaming": the reference has *no* streaming — its
+client is synchronous psycopg2, reference core.py:5,53 — so this is
+north-star extension surface mirroring the batch semantics in
+operators/events.py).
+
+Design: the batch and streaming variants share window semantics —
+``F.window`` / ``F.session_window`` produce identical buckets either
+way — so the batch oracle (DuckDB) validates the logic, and these
+wrappers add watermarks + incremental state on top.
+
+At scale: watermark-bounded state means the engine keeps only open
+windows in the state store; late events beyond the watermark are
+dropped deterministically rather than growing state forever.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.session import configure_session
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file-at-a-time
+    micro-batches; in production this would be Kafka/Kinesis with the
+    same downstream plan).  ts arrives as TIMESTAMP(NANOS) parquet ->
+    long (nanosAsLong) -> cast to event-time TIMESTAMP (LTZ, UTC
+    session) because watermarks operate on TimestampType."""
+    configure_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # batch probe for schema
+    # the file stream source requires a *directory*; stage a symlink
+    # dir (the corpus ships single-file tables; a production lake
+    # would already be a directory of parquet parts)
+    import hashlib
+    import os
+
+    stage = f"/tmp/prs_stream_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/events.events_tumbling_window:
+    1-hour tumbling windows, per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via F.session_window (30-minute
+    inactivity gap) — same session boundaries as the batch
+    lag/flag/cumsum implementation in operators/events.py."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within the
+    watermark horizon — dropDuplicatesWithinWatermark keeps state only
+    for the watermark window, the streaming analogue of exact dedup
+    with bounded memory."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
+    """Execute a streaming plan against all currently-available input
+    (Trigger.AvailableNow) into an in-memory sink and block until done.
+    Returns the StreamingQuery (results via spark.sql(select * from
+    query_name))."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,56 @@
+"""Structured Streaming tests: the streaming window operators must
+produce the same results as their batch twins once the stream is fully
+consumed (Trigger.AvailableNow over the static events file)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_redshift_spark.operators.events import events_tumbling_window
+from pandas_redshift_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_aggregate,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream):
+    # complete mode: append would hold back windows not yet closed by
+    # the watermark when available input is exhausted
+    run_to_memory(tumbling_counts(events_stream), "t_tumbling", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in events_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_session_stream_produces_sessions(spark, sf_dir, events_stream):
+    run_to_memory(session_aggregate(events_stream), "t_sessions", output_mode="complete")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert rows
+    # session event counts must sum to the total event count
+    total = sum(r.n_events for r in rows)
+    batch_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == batch_total
+
+
+def test_stream_dedup_bounded(spark, sf_dir, events_stream):
+    run_to_memory(stream_dedup(events_stream), "t_dedup")
+    out = spark.sql("SELECT user_id, event_type FROM t_dedup")
+    n = out.count()
+    distinct_pairs = out.distinct().count()
+    assert n == distinct_pairs  # no duplicate survivors within watermark
+    assert n > 0
