@@ -1,0 +1,327 @@
+"""Advanced / composite operators: as-of join, pivot, percentiles,
+LISTAGG, deterministic sampling, and TPC-H-style multi-join workloads
+(the star-schema analytics the reference's users run through Redshift,
+reference README.md:32-42 NBA fact-table example).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+) -> DataFrame:
+    """Generic as-of join (SURVEY.md §2.B joins: "as-of / interval
+    join — absent in reference dialect, extension only") via the
+    union-tag-window pattern: tag both streams, sort by time within
+    the partition key, carry the last right-side value forward.
+
+    One shuffle on partition_key + an in-partition sort — linear at
+    any scale, vs the naive per-row MAX subquery which re-scans the
+    right side.  Ties (equal timestamps) resolve right-before-left so
+    a same-instant right row is visible to the left row."""
+    l_tag = left.withColumn("_t", F.col(left_ts)).withColumn("_is_l", F.lit(1))
+    r_tag = (
+        right.select(
+            F.col(partition_key),
+            F.col(right_ts).alias("_t"),
+            F.col(right_value).alias("_rv"),
+        )
+        .withColumn("_is_l", F.lit(0))
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(partition_key)
+        .orderBy("_t", "_is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_l") == 1).drop("_t", "_is_l", "_rv")
+
+
+@query(
+    "asof_join_last_view",
+    oracle="""
+    SELECT
+        p.event_id,
+        p.user_id,
+        strftime(date_trunc('second', (
+            SELECT max(v.ts) FROM events v
+            WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        )), '%Y-%m-%d %H:%M:%S') AS last_view_at
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent prior 'view' by
+    the same user.  The oracle states the semantics as a correlated
+    MAX subquery; the Spark plan is the linear union-window pattern."""
+    ev = Tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        views.withColumn("view_ts", F.col("ts")),
+        partition_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="view_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.date_trunc("second", F.col("_asof")), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_view_at"
+        ),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS f_total,
+        round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS o_total,
+        round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregate).  Explicit value list keeps
+    it one pass — without it Spark needs an extra distinct-values job."""
+    o = Tables(spark, sf_dir).orders
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("f_total"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("o_total"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("p_total"),
+    )
+
+
+@query(
+    "unpivot_price_components",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, component, round(amount, 4) AS amount
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'price' AS component, l_extendedprice AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_extendedprice * l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_extendedprice * l_tax FROM lineitem
+    )
+    """,
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via stack() — one scan, no union of three
+    scans like the oracle formulation."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'price', l_extendedprice, "
+            "'discount', l_extendedprice * l_discount, "
+            "'tax', l_extendedprice * l_tax) AS (component, amount_raw)"
+        ),
+    ).select(
+        "l_orderkey", "l_linenumber", "component", F.round("amount_raw", 4).alias("amount")
+    )
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+        round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+        round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics,
+    matching DuckDB quantile_cont).  NOTE: exact percentile gathers
+    per-group values — fine for bounded groups; the 100 TB default is
+    percentiles_approx below."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+@query("percentiles_approx")
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): constant memory,
+    mergeable — the scalable variant (rows-only check; sketch results
+    are engine-specific).  Unit test bounds the error vs exact."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "median_price_approx"
+        ),
+    )
+
+
+@query(
+    "listagg_names",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(c.c_name, '|' ORDER BY c.c_name) AS customer_list
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def listagg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (Redshift string_agg): collect_list + array_sort +
+    array_join.  The explicit sort makes distributed collection
+    deterministic — collect_list order is otherwise partition-
+    dependent."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias(
+                "customer_list"
+            )
+        )
+    )
+
+
+@query("sample_bernoulli")
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE analogue: seeded Bernoulli sample (10%).  RNG
+    streams are engine-specific -> rows-only check; with a fixed seed
+    and stable partitioning the sample is reproducible within Spark."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT
+        l.l_orderkey,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter ->
+    fact join -> agg -> top-k.  customer is broadcast (small side),
+    lineitem|orders is the only real shuffle; final TakeOrdered."""
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = broadcast(t.customer.filter(F.col("c_mktsegment") == "BUILDING"))
+    orders = t.orders.filter(F.col("o_orderdate") < cutoff)
+    li = t.lineitem.filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT
+        n.n_name,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table star join where
+    customer and supplier must share a nation.  All dims broadcast;
+    the two fact-side shuffles (lineitem|orders on orderkey, then agg)
+    are the only data movement."""
+    t = Tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    nations_in_asia = broadcast(
+        t.nation.join(
+            t.region.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    supp = broadcast(
+        t.supplier.join(nations_in_asia, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    orders = t.orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )

@@ -62,6 +62,8 @@ def _load_all() -> None:
         "windows",
         "setops",
         "scalars",
+        "subqueries",
+        "advanced",
         "events",
         "dedup",
         "similarity",

@@ -1,0 +1,180 @@
+"""Subquery operators (SURVEY.md §2.B: IN :68 / ANY :8 / SOME :127 /
+ALL :3 / EXISTS — the quantified/correlated surface Redshift executes
+for the reference behind ``cursor.execute``).
+
+These run through ``spark.sql`` over registered temp views: subquery
+decorrelation (RewriteCorrelatedScalarSubquery etc., SURVEY.md §4) is
+exactly the Catalyst machinery the reference never had client-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    Tables(spark, sf_dir).register_views()
+    return spark.sql(text)
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region WHERE r_name = 'ASIA'
+        )
+    )
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested uncorrelated IN subqueries — planned as chained left-semi
+    joins with the inner dims broadcast."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+                SELECT r_regionkey FROM region WHERE r_name = 'ASIA'
+            )
+        )
+        """,
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS diff_from_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (above-average orders): the scalar
+    aggregate computes once and broadcasts into the filter — no
+    re-evaluation per row."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS diff_from_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """,
+    )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT c.c_custkey,
+           (SELECT max(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey)
+               AS max_order
+    FROM customer c
+    """,
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    left outer join against a pre-aggregated orders side (one shuffle,
+    no per-row re-execution; the reference relied on Redshift for the
+    same rewrite)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c.c_custkey,
+               (SELECT max(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey)
+                   AS max_order
+        FROM customer c
+        """,
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    )
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -> left-semi join after decorrelation."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+        )
+        """,
+    )
+
+
+@query(
+    "subquery_quantified_all",
+    oracle="""
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice >= ALL (
+        SELECT p2.p_retailprice FROM part p2 WHERE p2.p_brand = part.p_brand
+    )
+    """,
+)
+def subquery_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified >= ALL (:3): per-brand price maxima.  Spark SQL has
+    no ALL operator; the standard rewrite >= (SELECT max(...)) is the
+    plan Redshift would produce anyway."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, p_retailprice
+        FROM part
+        WHERE p_retailprice >= (
+            SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand
+        )
+        """,
+    )
+
+
+@query(
+    "subquery_in_any",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = ANY (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ) AND o_totalprice < 1000
+    """,
+)
+def subquery_in_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """= ANY (:8) == IN; planned as a semi-join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        ) AND o_totalprice < 1000
+        """,
+    )
