@@ -149,6 +149,25 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-status and per-priority totals in
+    one pass (neither CUBE nor ROLLUP expresses exactly these two
+    sets).  Spark expands the sets before the partial aggregate, so it
+    is still a single shuffle."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
     "agg_stats",
     oracle="""
     SELECT

@@ -146,22 +146,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no exact-SQL oracle: hash-family-specific; rows-only check +
     unit-test recall vs dedup_ngram_jaccard).
 
-    Pipeline: word-3-gram shingles -> 32 minhash signatures computed
-    with xxhash64 under 32 salts (all JVM built-ins, no Python) ->
-    8 bands x 4 rows -> band-hash bucket join -> distinct candidate
-    pairs.  Only docs colliding in >=1 band are ever paired, so the
-    shuffle volume is ~32 longs/doc regardless of document size.
+    Pipeline: word-3-gram shingles -> ONE xxhash64 over each shingle
+    STRING (the expensive variable-length hash, done once) -> 32
+    minhash signatures mh_i = min over shingles of xxhash64(i, base)
+    re-mixing only the fixed-width base long (cheap constant-cost
+    hash; ~the cost of an affine permutation but overflow-safe under
+    ANSI mode) -> 8 bands x 4 rows -> band-hash bucket join ->
+    distinct candidate pairs.  Only docs colliding in >=1 band are
+    ever paired, so the shuffle volume is ~32 longs/doc regardless
+    of document size.
     """
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
     n_hashes, band_size = 32, 4
-    sh = d.select("doc_id", shingles().alias("ss"))
-    # minhash_i(doc) = min over shingles of xxhash64(salt_i, shingle)
-    sig_cols = [
-        F.array_min(F.transform(F.col("ss"), lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(
-            f"mh{i}"
-        )
-        for i in range(n_hashes)
-    ]
+    # base hash once per shingle; signatures re-mix the long only
+    sh = d.select(
+        "doc_id", F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+    def _remix_min(i: int):
+        def fn(h):
+            return F.xxhash64(F.lit(i), h)
+
+        return F.array_min(F.transform(F.col("hs"), fn))
+
+    sig_cols = [_remix_min(i).alias(f"mh{i}") for i in range(n_hashes)]
     sigs = sh.select("doc_id", *sig_cols)
     bands = [
         F.hash(*[F.col(f"mh{b * band_size + r}") for r in range(band_size)]).alias(

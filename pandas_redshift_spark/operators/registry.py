@@ -64,6 +64,8 @@ def _load_all() -> None:
         "scalars",
         "subqueries",
         "advanced",
+        "tpch",
+        "sourcesinks",
         "events",
         "dedup",
         "similarity",

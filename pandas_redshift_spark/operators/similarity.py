@@ -210,6 +210,105 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dups AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.999
+    )
+    SELECT e.vec_id, (dups.dup_id IS NOT NULL) AS is_duplicate
+    FROM e LEFT JOIN dups ON e.vec_id = dups.dup_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (SURVEY.md §2.C dedup family): a
+    vector is a duplicate iff some lower-id vector is cosine >= 0.999
+    to it — keep-first survivor selection, no transitive closure.
+
+    Small-sf oracle path is the all-pairs broadcast join shown here;
+    the 100 TB path reuses the random-hyperplane LSH bucketing of
+    sim_lsh_topk to restrict pairs to same-bucket candidates (near-
+    identical vectors agree on every band with probability ~1)."""
+    t = Tables(spark, sf_dir)
+    e = _emb_double(t).select("vec_id", "emb")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    dups = (
+        a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.999)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return e.join(
+        broadcast(dups), F.col("vec_id") == F.col("dup_id"), "left"
+    ).select("vec_id", F.col("dup_id").isNotNull().alias("is_duplicate"))
+
+
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via IVF (inverted-file) coarse
+    quantization — the other classic ANN scale path next to LSH.  No
+    SQL oracle (assignment is centroid-seed specific); the unit test
+    measures recall vs sim_bruteforce_topk.
+
+    Build: the first K=16 vectors by id seed the coarse centroids (a
+    deterministic stand-in for k-means — at scale you'd run
+    ML KMeans over a sample).  Every vector is assigned to its nearest
+    centroid (one broadcast pass, no shuffle).  Probe: each query
+    searches only its nprobe=4 nearest cells, so the scored candidate
+    set is ~nprobe/K of the corpus instead of all of it."""
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t).select("vec_id", "emb")
+    k_cells, nprobe = 16, 4
+
+    cents = broadcast(
+        emb.filter(F.col("vec_id") < k_cells).select(
+            F.col("vec_id").alias("cell"), F.col("emb").alias("c_emb")
+        )
+    )
+
+    def nearest_cells(df: DataFrame, id_col: str, n: int) -> DataFrame:
+        """Top-n cells by cosine(centroid, vector) per input row."""
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_sim").desc(), F.col("cell")
+        )
+        return (
+            df.join(cents, how="cross")
+            .withColumn("c_sim", cosine(F.col("emb"), F.col("c_emb")))
+            .withColumn("c_rn", F.row_number().over(w))
+            .filter(F.col("c_rn") <= n)
+            .drop("c_emb", "c_sim", "c_rn")
+        )
+
+    # corpus: each vector lives in exactly its nearest cell
+    assigned = nearest_cells(emb, "vec_id", 1)
+    # queries: probe the nprobe nearest cells
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    probes = broadcast(
+        nearest_cells(
+            q.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("emb")),
+            "vec_id",
+            nprobe,
+        ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell")
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
+
+
+@query(
     "sim_centroid_by_label",
     oracle="""
     WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

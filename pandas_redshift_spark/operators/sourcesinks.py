@@ -1,0 +1,180 @@
+"""Source/sink operators surfaced through the correctness gate
+(SURVEY.md §2.B "Scans / sources / sinks").
+
+These are the Spark-native replacements for the reference's whole ETL
+loop — CSV staging (reference pandas_redshift/core.py:120-144), COPY
+load (core.py:220-266), drop/create-vs-append table sink
+(core.py:215-216,297-300) and CTAS-with-UNION DDL passthrough
+(reference README.md:102-109) — each exercised as a real write+read
+roundtrip whose result is oracle-checked against the source tables.
+
+Scale notes: every write here is a distributed multi-file write (one
+file per task) — the exact fix for the reference's single
+``put_object`` bottleneck (core.py:139-141).  Reads are schema-explicit
+so CSV type inference can't drift.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "pandas_redshift_spark_stage")
+
+
+def _stage_dir(name: str) -> str:
+    """Fresh staging directory per operator run (the reference used a
+    uuid4-suffixed CSV name per load, core.py:291; a cleaned fixed dir
+    keeps reruns deterministic)."""
+    path = os.path.join(_STAGE_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + CSV source in one roundtrip (the reference's staging
+    wire format, core.py:137-141 + COPY csv options core.py:241-243):
+    write customer as headered pipe-delimited CSV, read it back with an
+    explicit schema (no inference drift).  Distributed: one CSV file
+    per task vs the reference's single in-memory StringIO object."""
+    c = Tables(spark, sf_dir).customer
+    path = _stage_dir("csv_roundtrip")
+    (
+        c.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "|")
+        .option("quote", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("sep", "|")
+        .option("quote", '"')
+        .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+        .csv(path)
+    )
+    return back.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "sink_overwrite_append",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(copies AS BIGINT) AS copies
+    FROM (
+        SELECT n_nationkey, n_name, n_regionkey, count(*) AS copies
+        FROM (
+            SELECT * FROM nation
+            UNION ALL
+            SELECT * FROM nation
+        )
+        GROUP BY n_nationkey, n_name, n_regionkey
+    )
+    """,
+)
+def sink_overwrite_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table sink with overwrite-then-append semantics (the reference's
+    drop/create vs ``append=True`` branch, core.py:297-300): write
+    nation with mode=overwrite, append it again, read back and count
+    copies per key.  Spark's commit protocol makes the overwrite atomic
+    — the reference's drop+commit-then-COPY was not (SURVEY.md §3)."""
+    n = Tables(spark, sf_dir).nation
+    path = _stage_dir("sink_overwrite_append")
+    n.write.mode("overwrite").parquet(path)
+    n.write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("n_nationkey", "n_name", "n_regionkey").agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+
+
+@query(
+    "ctas_union_segments",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderkey, o_totalprice, 'high' AS bucket
+        FROM orders WHERE o_totalprice >= 150000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'low' AS bucket
+        FROM orders WHERE o_totalprice < 1000
+    )
+    """,
+)
+def ctas_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS + UNION DDL passthrough — the reference README's flagship
+    ``exec_commit`` example (reference README.md:102-109: CREATE TABLE
+    AS SELECT ... UNION ...) executed by Catalyst against the session
+    catalog instead of Redshift, materialized as parquet at an explicit
+    location, then scanned back."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    path = _stage_dir("ctas_union_segments")
+    spark.sql("DROP TABLE IF EXISTS prs_ctas_union_segments")
+    spark.sql(
+        f"""
+        CREATE TABLE prs_ctas_union_segments
+        USING PARQUET LOCATION '{path}'
+        AS
+        SELECT o_orderkey, o_totalprice, 'high' AS bucket
+        FROM orders WHERE o_totalprice >= 150000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'low' AS bucket
+        FROM orders WHERE o_totalprice < 1000
+        """
+    )
+    return spark.table("prs_ctas_union_segments")
+
+
+@query(
+    "ddl_create_insert_select",
+    oracle="""
+    SELECT r_name, CAST(n_nations AS BIGINT) AS n_nations
+    FROM (
+        SELECT r.r_name, count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    )
+    """,
+)
+def ddl_create_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL/DML passthrough (= exec_commit, core.py:307-309): CREATE
+    TABLE with an explicit schema, INSERT INTO ... SELECT, then query
+    it.  The catalog is Spark's session catalog — the rebuild has no
+    remote engine to delegate DDL to (SURVEY.md §0)."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    path = _stage_dir("ddl_create_insert")
+    spark.sql("DROP TABLE IF EXISTS prs_region_stats")
+    spark.sql(
+        f"CREATE TABLE prs_region_stats (r_name STRING, n_nations BIGINT) "
+        f"USING PARQUET LOCATION '{path}'"
+    )
+    spark.sql(
+        """
+        INSERT INTO prs_region_stats
+        SELECT r.r_name, count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+    return spark.table("prs_region_stats")

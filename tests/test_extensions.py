@@ -19,6 +19,7 @@ from pandas_redshift_spark.operators.multimodal import (
 )
 from pandas_redshift_spark.operators.similarity import (
     sim_bruteforce_topk,
+    sim_ivf_topk,
     sim_lsh_topk,
 )
 from pandas_redshift_spark.operators.textstats import text_fingerprint
@@ -80,6 +81,25 @@ def test_lsh_topk_is_subset_of_universe_and_overlaps_exact(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.score) < 1e-6
+
+
+def test_ivf_topk_scores_match_exact_and_recall(spark, sf_dir):
+    """IVF probe results are a subset of the exact pair space: every
+    reported score must equal the brute-force score for that pair, and
+    top-1 recall over the probed queries should be substantial (the
+    corpus is clustered, so nprobe=4 of 16 cells covers most true
+    neighbors)."""
+    approx = sim_ivf_topk(spark, sf_dir).collect()
+    assert approx, "IVF returned nothing"
+    exact_rows = sim_bruteforce_topk(spark, sf_dir).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact_rows}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.score) < 1e-6
+    top1_exact = {(r.query_id, r.neighbor_id) for r in exact_rows if r.rn == 1}
+    top1_ivf = {(r.query_id, r.neighbor_id) for r in approx if r.rn == 1}
+    recall = len(top1_exact & top1_ivf) / len(top1_exact)
+    assert recall >= 0.5, f"IVF top-1 recall {recall}"
 
 
 def test_approx_count_distinct_within_rsd(spark, sf_dir):
