@@ -47,6 +47,32 @@ def test_session_stream_produces_sessions(spark, sf_dir, events_stream):
     assert total == batch_total
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir, events_stream):
+    """applyInPandasWithState per-user totals after full consumption
+    must equal the batch aggregate (single AvailableNow micro-batch =
+    one final update per user)."""
+    from pandas_redshift_spark.streaming.stateful import (
+        batch_user_totals,
+        user_running_totals,
+    )
+
+    run_to_memory(user_running_totals(events_stream), "t_state", output_mode="update")
+    # keep only the last update per user (one micro-batch -> already final)
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.last_seen)
+        for r in spark.sql("SELECT * FROM t_state").collect()
+    }
+    events_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_batch = events_batch.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.last_seen)
+        for r in batch_user_totals(events_batch).collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_bounded(spark, sf_dir, events_stream):
     run_to_memory(stream_dedup(events_stream), "t_dedup")
     out = spark.sql("SELECT user_id, event_type FROM t_dedup")
