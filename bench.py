@@ -27,6 +27,10 @@ from pandas_redshift_spark.session import build_session  # noqa: E402
 #: toward the shuffly/joinful ones that dominate at scale
 HEADLINE = (
     "q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
     "join_inner",
     "join_star_broadcast",
     "join_non_equi",

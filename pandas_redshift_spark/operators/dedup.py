@@ -118,25 +118,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document frequency cut" — before the self-join."""
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
     sh = d.select("doc_id", shingles().alias("shingle_set"))
-    # postings list feeds BOTH sides of the self-join and the sizes
-    # aggregate; persist so shingling runs once, not three times
-    tok = sh.select("doc_id", F.explode("shingle_set").alias("s")).persist()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # carry the set size onto every posting row: |A| and |B| then ride
+    # through the self-join for free (grouping keys), so no separate
+    # sizes aggregate + two re-joins — postings are built once,
+    # persisted for the two self-join sides
+    tok = sh.select(
+        "doc_id", F.size("shingle_set").alias("n"), F.explode("shingle_set").alias("s")
+    ).persist()
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return inter.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
