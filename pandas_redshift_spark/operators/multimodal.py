@@ -154,3 +154,77 @@ def multimodal_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_chars").cast("bigint").alias("meta_n_chars"),
         F.col("props.k").alias("props_k"),
     )
+
+
+#: frame-sampler output schema (stable contract for downstream sinks)
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_head", LongType()),
+    ]
+)
+
+
+def make_frame_sampler(frame_size: int = 64, stride: int = 4):
+    """Factory for the Arrow-batched frame sampler (closure-pickled —
+    see make_feature_extractor).  Models video frame sampling /
+    image tiling: slice each binary payload into fixed-size frames and
+    keep every ``stride``-th one.  Swap the byte-slicing for a real
+    pyav/ffmpeg frame decode in production; the Spark plumbing
+    (mapInPandas fan-out of multiple rows per input row, schema,
+    batching) is the real thing."""
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_len, out_head = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    frame = payload[i * frame_size : (i + 1) * frame_size]
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_len.append(len(frame))
+                    out_head.append(frame[0] if frame else -1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "frame_bytes": pd.Series(out_len, dtype="int64"),
+                    "frame_head": pd.Series(out_head, dtype="int64"),
+                }
+            )
+
+    return sample_frames
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, strlen(text) AS n, unnest(range(0, (strlen(text) + 63) // 64, 4)) AS frame_idx
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        CAST(frame_idx AS BIGINT) AS frame_idx,
+        CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes,
+        CAST(ascii(substr(
+            (SELECT text FROM documents d2 WHERE d2.doc_id = f.doc_id),
+            (frame_idx * 64 + 1)::INT, 1)) AS BIGINT) AS frame_head
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: every 4th 64-byte frame of
+    each document's UTF-8 bytes (standing in for video frames /
+    image tiles), one output row per sampled frame.  The oracle
+    recomputes frame offsets, lengths, and first bytes in pure SQL, so
+    the row-fanout mapInPandas plumbing is end-to-end verified.  (The
+    corpus text is ASCII, so byte offsets == char offsets.)"""
+    d = Tables(spark, sf_dir).documents
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(make_frame_sampler(), schema=FRAME_SCHEMA)

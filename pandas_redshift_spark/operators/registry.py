@@ -66,6 +66,7 @@ def _load_all() -> None:
         "advanced",
         "tpch",
         "sourcesinks",
+        "skew",
         "events",
         "dedup",
         "similarity",

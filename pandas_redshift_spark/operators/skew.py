@@ -1,0 +1,102 @@
+"""Skew mitigation operators (brief: "skewed keys hurt ... salting for
+skew, AQE for runtime re-plan").  The reference delegated data layout
+to Redshift's distkey (core.py:205-207); at 100 TB on Spark, hot keys
+need either AQE's skew-join splitting (on by default — session.py) or
+explicit salting when the skew is in an aggregation or a
+non-broadcastable join.  Both patterns here are oracle-checked for
+semantic equivalence with their unsalted forms.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+#: salt fan-out; at 100 TB size this ~= (hot-key rows / target partition rows)
+N_SALTS = 8
+
+
+def salt_col(deterministic_from: str, n_salts: int = N_SALTS) -> Column:
+    """Deterministic salt in [0, n_salts) derived from a high-cardinality
+    column (not rand(): reruns and retried tasks must salt identically)."""
+    return F.pmod(F.xxhash64(F.col(deterministic_from)), F.lit(n_salts))
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: events.event_type has only a
+    handful of hot groups, so a naive final aggregate funnels whole
+    key-groups through single tasks.  Phase 1 aggregates (event_type,
+    salt) — fan-out x8 — phase 2 merges the partials.  Identical
+    result to the plain GROUP BY (the oracle), and both phases are
+    mergeable partial aggregations, so this composes at any scale.
+
+    (For plain sums Spark's own map-side partial aggregation already
+    handles this; explicit salting is the pattern for when the
+    aggregate state is large — collect_list, percentile buffers,
+    count-distinct sets — and a hot key would OOM one task.)"""
+    ev = Tables(spark, sf_dir).events
+    phase1 = (
+        ev.withColumn("salt", salt_col("event_id"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("value").alias("pv"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, t.type_weight
+    FROM events e
+    JOIN (
+        SELECT event_type, round(avg(value), 4) AS type_weight
+        FROM events GROUP BY event_type
+    ) t ON e.event_type = t.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join on a pathologically skewed key (every event
+    row hits one of ~6 event_type values).  Probe side gets a
+    deterministic salt; build side is replicated n_salts times
+    (explode over sequence) so (key, salt) partitions are uniform.
+    Result is oracle-identical to the plain equi-join.
+
+    This is the fallback when the build side is too big to broadcast
+    AND AQE's skew splitting can't help (e.g. the skew is on the build
+    side too).  Cost model: build side inflates x n_salts — choose
+    n_salts ~= hot-partition-bytes / target-partition-bytes."""
+    ev = Tables(spark, sf_dir).events
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("type_weight"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
+        .withColumnRenamed("event_type", "d_event_type")
+    )
+    probe = ev.select("event_id", "event_type").withColumn(
+        "salt", salt_col("event_id")
+    )
+    return probe.join(
+        dim.hint("shuffle_hash"),
+        (probe.event_type == dim.d_event_type) & (probe.salt == dim.salt),
+    ).select("event_id", "event_type", "type_weight")

@@ -218,3 +218,38 @@ def window_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.percent_rank().over(w), 6).alias("price_pctile"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        CAST(count(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice
+            RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS n_similar_cheaper,
+        round(avg(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice
+            RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING
+        ), 4) AS avg_nearby_price
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (value-based, not row-based): peers within a
+    +/-5000 price band of the current row.  Unlike ROWS frames, ties
+    and value gaps change membership — distinct SQL semantics the
+    engine must honor.  Same single shuffle on the partition key as
+    any other window."""
+    o = Tables(spark, sf_dir).orders
+    base = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    w_trail = base.rangeBetween(-5000, Window.currentRow)
+    w_band = base.rangeBetween(-5000, 5000)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w_trail).alias("n_similar_cheaper"),
+        F.round(F.avg("o_totalprice").over(w_band), 4).alias("avg_nearby_price"),
+    )
