@@ -229,7 +229,7 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         l.l_orderkey,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
         strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
         o.o_orderpriority
     FROM customer c
@@ -257,7 +257,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -277,7 +277,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n.n_name,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -319,7 +319,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )

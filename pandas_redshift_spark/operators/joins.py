@@ -20,7 +20,7 @@ from pandas_redshift_spark.session import Tables
     "join_inner",
     oracle="""
     SELECT o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -42,7 +42,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -170,7 +170,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_broadcast",
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -194,7 +194,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )

@@ -67,6 +67,7 @@ def _load_all() -> None:
         "tpch",
         "sourcesinks",
         "skew",
+        "bucketing",
         "events",
         "dedup",
         "similarity",

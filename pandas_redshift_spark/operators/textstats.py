@@ -218,3 +218,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * F.lit(1000003) + F.pmod(F.xxhash64(t), m)) % m,
     )
     return d.select("doc_id", fp.alias("fingerprint"), F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle="""
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT)
+            AS n_bpe_tokens,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count estimate (brief: "token counting (whitespace
+    + a BPE-ish regex)"): letter runs stay one token, digits split
+    per-character, punctuation splits per-character — the
+    GPT-2-family pre-tokenizer shape.  Pure regexp_extract_all, stays
+    in codegen; the whitespace count rides along for the ratio."""
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), F.lit(0))
+        ).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )

@@ -101,7 +101,7 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         c.c_custkey,
         c.c_name,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
         round(c.c_acctbal, 2) AS acctbal,
         n.n_name
     FROM customer c
@@ -132,7 +132,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )

@@ -1,0 +1,52 @@
+"""Plan-shape assertions: the physical plans PLANS.md documents must
+actually hold — pushdown reaches scans, dims broadcast, bucketed
+joins don't shuffle, and batch relational queries never drop into
+Python evaluation."""
+
+from __future__ import annotations
+
+import re
+
+from pandas_redshift_spark.operators import all_queries
+
+
+def _plan(spark, name, sf_dir):
+    df = all_queries()[name].fn(spark, sf_dir)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    plan = _plan(spark, "bucketed_join_colocated", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_filters_push_to_scan(spark, sf_dir):
+    plan = _plan(spark, "tpch_q3_shipping_priority", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING\)", plan)
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "tpch_q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    """No Python-eval nodes in any §2.B relational plan (UDFs are only
+    allowed in the multimodal/stateful extension surface)."""
+    py_nodes = re.compile(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas")
+    for name in (
+        "q1_pricing_summary",
+        "join_star_broadcast",
+        "window_topk_per_group",
+        "dedup_minhash_lsh",
+        "sim_lsh_topk",
+        "text_langid_heuristic",
+        "text_bpe_token_estimate",
+    ):
+        assert not py_nodes.search(_plan(spark, name, sf_dir)), name
