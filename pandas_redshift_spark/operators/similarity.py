@@ -17,29 +17,40 @@ from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables, ensure_parallelism
 
 
+def dot(x: Column, y: Column) -> Column:
+    """Dot product of two array<double> columns using only JVM
+    built-ins (zip_with product + aggregate sum) — stays JVM-side, no
+    Python round-trip."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<double> columns using only
-    JVM built-ins (zip_with product + aggregate sum) — stays inside
-    codegen, no Python round-trip."""
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    """Cosine similarity computing all three dot products inline.
+    Prefer :func:`cosine_pre` with per-row precomputed norms in
+    pairwise loops — this form re-derives |a| and |b| for every pair
+    (3x the vector math)."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a single dot product plus precomputed norms — the
+    pairwise-scoring fast path: norms are computed once per *row*
+    (O(n)) instead of once per *pair* (O(n^2))."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def _emb_double(t: Tables) -> DataFrame:
     # vector math is CPU-bound: spread the (often single-file) corpus
-    # across all slots before scoring
-    return ensure_parallelism(
-        t.embeddings.select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-        )
+    # across all slots before scoring; precompute the L2 norm once per
+    # vector so pairwise stages do one dot product per pair
+    e = t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    return ensure_parallelism(e).withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
 
 
 @query(
@@ -79,7 +90,9 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(t)
     q = broadcast(
         emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
         )
     )
     scored = (
@@ -87,7 +100,9 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+            F.round(
+                cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -118,12 +133,18 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     sub = _emb_double(t).filter(F.col("vec_id") % 5 == 0)
     a = sub.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("emb").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = sub.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("emb").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    score = cosine(F.col("ea"), F.col("eb"))
+    score = cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
         a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .filter(score >= 0.3)
@@ -143,34 +164,31 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-family specific); unit test measures recall vs
     sim_bruteforce_topk.
 
-    Signatures: 16 deterministic pseudo-random hyperplanes derived from
-    xxhash64(plane, dim) — sign of <v, h_p> gives bit p.  Vectors
-    agreeing on any of 4 contiguous 4-bit bands become candidates; only
-    candidates are exactly re-scored.  Everything is built-ins, so the
-    signature pass is one codegen stage over the corpus."""
+    Signatures: 16 deterministic pseudo-random ±1 hyperplanes (seeded
+    PRNG, materialized driver-side as literal arrays — they are
+    constants, so evaluating a hash per (plane, dim) per row would be
+    pure waste) — sign of <v, h_p> gives bit p.  Vectors agreeing on
+    any of 4 contiguous 4-bit bands become candidates; only candidates
+    are exactly re-scored.  Everything is built-ins, so the signature
+    pass is one codegen stage over the corpus."""
+    import random
+
     t = Tables(spark, sf_dir)
     emb = _emb_double(t)
-    n_planes, band_bits = 16, 4
+    n_planes, band_bits, n_dims = 16, 4, 64
+    rng = random.Random(42)
+    planes = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_dims)]
+        for _ in range(n_planes)
+    ]
 
-    # hyperplane component h[p][d] in {-1,+1} from parity of xxhash64(p, d)
     def plane_bit(p: int) -> Column:
-        # sum_d emb[d] * sign_pd  ; sign_pd = +/-1 from hash parity
-        idx = F.sequence(F.lit(0), F.size("emb") - 1)
-        terms = F.zip_with(
-            F.col("emb"),
-            F.transform(
-                idx,
-                lambda d, p=p: F.when(
-                    F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda v, s: v * s,
-        )
-        proj = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+        # sign of <emb, h_p> with h_p a literal ±1 array
+        h_p = F.array(*[F.lit(v) for v in planes[p]])
+        return F.when(dot(F.col("emb"), h_p) > 0, F.lit(1)).otherwise(F.lit(0))
 
     sig = emb.select(
-        "vec_id", "emb", *[plane_bit(p).alias(f"bit{p}") for p in range(n_planes)]
+        "vec_id", "emb", "nrm", *[plane_bit(p).alias(f"bit{p}") for p in range(n_planes)]
     )
     bands = [
         F.concat_ws(
@@ -178,10 +196,11 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(n_planes // band_bits)
     ]
-    banded = sig.select("vec_id", "emb", *bands)
+    banded = sig.select("vec_id", "emb", "nrm", *bands)
     buckets = banded.select(
         "vec_id",
         "emb",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -190,21 +209,30 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bucket"),
-    )
+    ).persist()  # both the query side and the corpus side read this
     q = buckets.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
     )
     cand = (
         buckets.join(broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "emb")
-        .distinct()
+        .select(
+            "query_id", "q_emb", "q_nrm", F.col("vec_id").alias("neighbor_id"), "emb", "nrm"
+        )
+        # dedup multi-band collisions on the id pair only — a full-row
+        # distinct would hash the 64-dim arrays themselves
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
-    ).distinct()
+        F.round(
+            cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
+        ).alias("score"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
 
@@ -232,12 +260,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_lsh_topk to restrict pairs to same-bucket candidates (near-
     identical vectors agree on every band with probability ~1)."""
     t = Tables(spark, sf_dir)
-    e = _emb_double(t).select("vec_id", "emb")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    e = _emb_double(t).select("vec_id", "emb", "nrm")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
     dups = (
         a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.999)
+        .filter(cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.999)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
@@ -260,12 +292,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     searches only its nprobe=4 nearest cells, so the scored candidate
     set is ~nprobe/K of the corpus instead of all of it."""
     t = Tables(spark, sf_dir)
-    emb = _emb_double(t).select("vec_id", "emb")
+    emb = _emb_double(t).select("vec_id", "emb", "nrm")
     k_cells, nprobe = 16, 4
 
     cents = broadcast(
         emb.filter(F.col("vec_id") < k_cells).select(
-            F.col("vec_id").alias("cell"), F.col("emb").alias("c_emb")
+            F.col("vec_id").alias("cell"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
         )
     )
 
@@ -276,24 +310,26 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             df.join(cents, how="cross")
-            .withColumn("c_sim", cosine(F.col("emb"), F.col("c_emb")))
+            .withColumn(
+                "c_sim",
+                cosine_pre(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+            )
             .withColumn("c_rn", F.row_number().over(w))
             .filter(F.col("c_rn") <= n)
-            .drop("c_emb", "c_sim", "c_rn")
+            .drop("c_emb", "c_nrm", "c_sim", "c_rn")
         )
 
     # corpus: each vector lives in exactly its nearest cell
     assigned = nearest_cells(emb, "vec_id", 1)
     # queries: probe the nprobe nearest cells
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
-    )
+    q = emb.filter(F.col("vec_id") < 10)
     probes = broadcast(
-        nearest_cells(
-            q.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("emb")),
-            "vec_id",
-            nprobe,
-        ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell")
+        nearest_cells(q, "vec_id", nprobe).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
     )
     scored = (
         assigned.join(probes, "cell")
@@ -301,7 +337,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+            F.round(
+                cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
