@@ -22,6 +22,7 @@ import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
@@ -178,3 +179,75 @@ def ddl_create_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("prs_region_stats")
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned scan: write
+    events partitioned by event_type, then aggregate one partition.
+    The read-back plan prunes to a single partition directory
+    (PartitionFilters, asserted in tests/test_plans.py) — the lake
+    analogue of the reference's sortkey zone maps (core.py:208-211),
+    and the core trick that turns a 100 TB scan into a 100 GB one."""
+    ev = Tables(spark, sf_dir).events
+    path = _stage_dir("partitioned_events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "join_dynamic_partition_prune",
+    oracle="""
+    WITH hot AS (
+        SELECT event_type, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type HAVING avg(value) > 50
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(max(hot.avg_value), 4) AS avg_value
+    FROM events e JOIN hot ON e.event_type = hot.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is partitioned on the
+    join key; the dim side's filter is only known at runtime (HAVING
+    over an aggregate), so Catalyst injects a dynamicpruning subquery
+    that skips fact partitions for keys the dim filtered out — the
+    join-time equivalent of static pruning, essential when the
+    partition predicate can't be written literally."""
+    ev = Tables(spark, sf_dir).events
+    path = _stage_dir("dpp_events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    hot = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .filter(F.col("avg_value") > 50)
+        .withColumnRenamed("event_type", "h_event_type")
+    )
+    return (
+        fact.join(broadcast(hot), fact.event_type == hot.h_event_type)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("avg_value"), 4).alias("avg_value"),
+        )
+    )

@@ -36,6 +36,16 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_partitioned_scan_prunes(spark, sf_dir):
+    plan = _plan(spark, "sink_partitioned_prune", sf_dir)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type", plan), plan
+
+
+def test_dynamic_partition_pruning_subquery(spark, sf_dir):
+    plan = _plan(spark, "join_dynamic_partition_prune", sf_dir)
+    assert "dynamicpruning" in plan, plan
+
+
 def test_relational_queries_stay_jvm_side(spark, sf_dir):
     """No Python-eval nodes in any §2.B relational plan (UDFs are only
     allowed in the multimodal/stateful extension surface)."""
