@@ -251,3 +251,41 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("avg_value"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "dml_update_delete_rewrite",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           round(CASE WHEN p_brand = 'Brand#1' THEN p_retailprice * 1.1
+                      ELSE p_retailprice END, 4) AS p_retailprice
+    FROM part
+    WHERE p_size >= 5
+    """,
+)
+def dml_update_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML on an immutable lake: DELETE (:38) and UPDATE (:143 in the
+    reference's reserved list; both reach Redshift via exec_commit,
+    core.py:307-309) expressed as partition rewrites — filter-out for
+    DELETE, conditional recompute for UPDATE, one atomic overwrite.
+    This is the parquet-lake pattern under Delta/Iceberg's MERGE; at
+    100 TB you'd partition first and rewrite only affected partitions
+    (see sink_partitioned_prune)."""
+    p = Tables(spark, sf_dir).part
+    staged = _stage_dir("dml_rewrite")
+    # DELETE FROM part WHERE p_size < 5
+    after_delete = p.filter(~(F.col("p_size") < 5))
+    # UPDATE part SET p_retailprice = p_retailprice * 1.1 WHERE p_brand = 'Brand#1'
+    after_update = after_delete.withColumn(
+        "p_retailprice",
+        F.round(
+            F.when(F.col("p_brand") == "Brand#1", F.col("p_retailprice") * 1.1).otherwise(
+                F.col("p_retailprice")
+            ),
+            4,
+        ),
+    )
+    after_update.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged).select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
