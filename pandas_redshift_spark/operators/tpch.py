@@ -282,3 +282,234 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade by
+    year.  The disjunctive nation-pair predicate can't be pushed into
+    either single-nation scan — it lives on the join output; both
+    nation copies broadcast, one fact shuffle on orderkey."""
+    t = Tables(spark, sf_dir)
+    n1 = broadcast(t.nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(t.nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")))
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("nk1") == F.col("s_nationkey"))
+        .join(n2, F.col("nk2") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT l_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of PROMO
+    part revenue sold into an ASIA-region market, per year — an
+    8-table join where every dimension broadcasts and the conditional
+    share ratio folds into the final aggregate."""
+    t = Tables(spark, sf_dir)
+    cust_nations = broadcast(
+        t.nation.join(
+            t.region.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cnk"))
+    )
+    supp_n = broadcast(
+        t.nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    )
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(broadcast(t.part.filter(F.col("p_type") == "PROMO")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust_nations, F.col("cnk") == F.col("c_nationkey"))
+        .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp_n, F.col("snk") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    keeps zero-order customers (COUNT of the null-extended side is 0),
+    then a second tiny aggregate over counts.  count(o_orderkey) — not
+    count(*) — is the load-bearing outer-join semantic here."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue "view" is computed once
+    and reused for both the scalar max and the equality filter — in
+    Spark that's a persisted aggregate feeding a broadcast scalar
+    join (no second scan of lineitem)."""
+    t = Tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+        .persist()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(broadcast(best), F.col("total_revenue") == F.col("mx"))
+        .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    aggregate over the fact table itself.  Run through spark.sql so
+    Catalyst's decorrelation rewrites it to a per-partkey aggregate +
+    join — one pass over lineitem for the averages instead of a
+    re-scan per row (the rewrite Redshift would do for the reference)."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
