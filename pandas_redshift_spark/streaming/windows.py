@@ -65,6 +65,25 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/events.events_sliding_window:
+    1-hour windows sliding every 30 minutes (each event in exactly 2
+    windows).  State is bounded by watermark x slide count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via F.session_window (30-minute
     inactivity gap) — same session boundaries as the batch

@@ -8,10 +8,12 @@ import pyspark.sql.functions as F
 import pytest
 
 from pandas_redshift_spark.operators.events import events_tumbling_window
+from pandas_redshift_spark.operators.events import events_sliding_window
 from pandas_redshift_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
     session_aggregate,
+    sliding_counts,
     stream_dedup,
     tumbling_counts,
 )
@@ -33,6 +35,19 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream):
     want = {
         (r.window_start, r.event_type): (r.n_events, r.total_value)
         for r in events_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_stream):
+    run_to_memory(sliding_counts(events_stream), "t_sliding", output_mode="complete")
+    got = {
+        (r.window_start,): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_sliding").collect()
+    }
+    want = {
+        (r.window_start,): (r.n_events, r.total_value)
+        for r in events_sliding_window(spark, sf_dir).collect()
     }
     assert got == want
 
