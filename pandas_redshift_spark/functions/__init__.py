@@ -1,0 +1,20 @@
+"""Reusable column-expression building blocks (the library face of the
+operator inventory — a user composes these the way reference users
+composed SQL snippets for Redshift).
+
+Everything here returns a :class:`pyspark.sql.Column` built purely from
+JVM built-in functions: no Python UDFs, so any expression composed from
+this module stays inside whole-stage codegen.
+
+- vectors: :func:`dot`, :func:`cosine`, :func:`cosine_pre`
+  (operators/similarity.py)
+- text:    :func:`shingles` — word n-gram sets (operators/dedup.py)
+- skew:    :func:`salt_col` — deterministic salt for hot keys
+  (operators/skew.py)
+"""
+
+from pandas_redshift_spark.operators.dedup import shingles
+from pandas_redshift_spark.operators.similarity import cosine, cosine_pre, dot
+from pandas_redshift_spark.operators.skew import salt_col
+
+__all__ = ["dot", "cosine", "cosine_pre", "shingles", "salt_col"]

@@ -60,7 +60,8 @@ def normalize_column_name(name: str) -> str:
     import re
 
     out = str(name).lower()
-    if re.search(r"\s", out):
+    already_quoted = out.startswith('"') and out.endswith('"') and len(out) >= 2
+    if re.search(r"\s", out) and not already_quoted:
         out = f'"{out}"'
     return out
 

@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure schema/identifier
+functions — the reference's only unit-testable native logic
+(SURVEY.md §5: the reference itself ships zero tests)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pandas_redshift_spark.sources.schema import (
+    REDSHIFT_RESERVED_WORDS,
+    ReservedWordError,
+    normalize_column_name,
+    pd_dtype_to_redshift_dtype,
+    validate_column_names,
+)
+
+_ident = st.text(
+    alphabet=string.ascii_letters + string.digits + "_ ",
+    min_size=1,
+    max_size=24,
+).filter(lambda s: s.strip() and s.strip().lower() not in REDSHIFT_RESERVED_WORDS)
+
+
+@given(_ident)
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent_and_lowercase(name):
+    once = normalize_column_name(name)
+    # idempotent: normalizing an already-normalized name is a no-op
+    assert normalize_column_name(once) == once
+    assert once == once.lower()
+    # whitespace names come back quoted (reference core.py:110-116)
+    if any(c.isspace() for c in name.strip()):
+        assert once.startswith('"') and once.endswith('"')
+
+
+@given(st.sampled_from(sorted(REDSHIFT_RESERVED_WORDS)))
+@settings(max_examples=60, deadline=None)
+def test_reserved_words_always_rejected_any_case(word):
+    for variant in (word, word.upper(), word.capitalize()):
+        try:
+            validate_column_names([variant])
+        except ReservedWordError:
+            continue
+        raise AssertionError(f"{variant!r} accepted")
+
+
+@given(st.lists(_ident, min_size=1, max_size=8, unique_by=lambda s: s.strip().lower()))
+@settings(max_examples=100, deadline=None)
+def test_validate_preserves_arity_and_order(names):
+    out = validate_column_names(names)
+    assert len(out) == len(names)
+    for given_name, got in zip(names, out):
+        assert got == normalize_column_name(given_name)
+
+
+@given(st.sampled_from([
+    ("int64", "BIGINT"),
+    ("int32", "INTEGER"),
+    ("int16", "INTEGER"),
+    ("int8", "INTEGER"),
+    ("float64", "DOUBLE PRECISION"),
+    ("float32", "REAL"),
+    ("datetime64[ns]", "TIMESTAMP"),
+    ("bool", "BOOLEAN"),
+    ("object", "VARCHAR(256)"),
+]))
+def test_dtype_mapping_table(pair):
+    dtype, want = pair
+    assert pd_dtype_to_redshift_dtype(dtype) == want
