@@ -289,3 +289,46 @@ def dml_update_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(staged).select(
         "p_partkey", "p_brand", "p_size", "p_retailprice"
     )
+
+
+@query(
+    "dml_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+        FROM nation WHERE n_nationkey % 2 = 0           -- updates
+        UNION ALL
+        SELECT n_nationkey + 100, 'NEW_' || n_name, n_regionkey
+        FROM nation WHERE n_nationkey < 5               -- inserts
+    )
+    SELECT n_nationkey, n_name, n_regionkey FROM changes
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey NOT IN (SELECT n_nationkey FROM changes)
+    """,
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert on an immutable lake (matched -> update, not
+    matched -> insert): changes win over base via anti-join + union,
+    one atomic overwrite — the parquet equivalent of Delta/Iceberg
+    MERGE INTO and of a Redshift staging-table merge (the reference's
+    append-vs-overwrite flag, core.py:297-300, cannot express this).
+    At 100 TB: partition both sides on the key and rewrite only
+    partitions containing changed keys (see sink_partitioned_prune)."""
+    n = Tables(spark, sf_dir).nation
+    updates = n.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", F.upper("n_name").alias("n_name"), "n_regionkey"
+    )
+    inserts = n.filter(F.col("n_nationkey") < 5).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    changes = updates.unionByName(inserts)
+    keep = n.join(
+        broadcast(changes.select("n_nationkey")), "n_nationkey", "left_anti"
+    ).select("n_nationkey", "n_name", "n_regionkey")
+    merged = changes.unionByName(keep)
+    staged = _stage_dir("merge_upsert")
+    merged.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)

@@ -10,7 +10,7 @@ scan plus at most one aggregate shuffle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables, ensure_parallelism
@@ -243,4 +243,62 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), F.lit(0))
         ).cast("bigint").alias("n_bpe_tokens"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed sklearn-style idf = ln((N+1)/(df+1)) + 1) with
+    top-3 terms per document — all built-ins, exactly reproducible in
+    SQL (unlike HashingTF, whose bucketed counts are hash-specific).
+    Two shuffles ((doc, term) counts and term document-frequencies) +
+    a broadcast of the df table; the per-doc window prunes to 3 rows
+    via WindowGroupLimit."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(_bc(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
     )
