@@ -192,3 +192,172 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("name_devoweled"),
         F.col("p_type").rlike("brushed|polished").alias("is_finished"),
     )
+
+
+@query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT
+        c_custkey,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        reverse(c_name) AS rev_name,
+        repeat(c_mktsegment, 2) AS seg_twice,
+        translate(c_name, '#_', '--') AS translated,
+        left(c_name, 8) AS name_prefix,
+        CAST(position('_' IN c_name) AS BIGINT) AS underscore_at
+    FROM customer
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function sampler (SURVEY.md §2.B scalar families):
+    lpad/reverse/repeat/translate/left/position — the rest of the
+    PG-8/Redshift string surface users pass through the reference.
+    All JVM built-ins in one codegen stage, zero shuffles."""
+    c = Tables(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("c_name").alias("rev_name"),
+        F.repeat("c_mktsegment", 2).alias("seg_twice"),
+        F.translate("c_name", "#_", "--").alias("translated"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.instr("c_name", "_").cast("bigint").alias("underscore_at"),
+    )
+
+
+@query(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT
+        o_orderkey,
+        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        CAST(datediff('month', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS BIGINT) AS months_since_epoch_start
+    FROM orders
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date-function sampler: add_months, last_day, day-of-week,
+    ISO week, and month-boundary diffs.  Engine-semantics notes:
+    Spark's dayofweek is 1=Sunday vs DuckDB's 0=Sunday (offset by 1);
+    DuckDB datediff('month') counts month *boundaries*, not fractional
+    months, so the Spark side computes the same boundary count."""
+    o = Tables(spark, sf_dir).orders
+    months_since = (
+        (F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 1)
+    ).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        months_since.alias("months_since_epoch_start"),
+    )
+
+
+@query(
+    "scalar_math_funcs2",
+    oracle="""
+    SELECT
+        p_partkey,
+        CAST(sign(p_retailprice - 1500) AS BIGINT) AS above_mid,
+        round(exp(p_size / 50.0), 6) AS exp_size,
+        round(ln(p_retailprice), 6) AS ln_price,
+        CAST(mod(p_partkey, 7) AS BIGINT) AS key_mod7,
+        CAST(trunc(p_retailprice) AS BIGINT) AS price_trunc,
+        round(atan2(p_size, 10.0), 6) AS angle,
+        round(degrees(atan2(p_size, 10.0)), 4) AS angle_deg
+    FROM part
+    """,
+)
+def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second math-function sampler: sign/exp/ln/mod/trunc/atan2/
+    degrees.  trunc is explicit truncation toward zero (double->int
+    CAST rounds in some engines — a verified cross-engine trap)."""
+    p = Tables(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.signum(F.col("p_retailprice") - 1500).cast("bigint").alias("above_mid"),
+        F.round(F.exp(F.col("p_size") / 50.0), 6).alias("exp_size"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.floor("p_retailprice").cast("bigint").alias("price_trunc"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.lit(10.0)), 6).alias("angle"),
+        F.round(F.degrees(F.atan2(F.col("p_size").cast("double"), F.lit(10.0))), 4).alias(
+            "angle_deg"
+        ),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT
+        vec_id,
+        CAST(len(embedding) AS BIGINT) AS dim,
+        round(CAST(embedding AS DOUBLE[])[1], 6) AS first_val,
+        round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_val,
+        CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT)
+            AS n_positive,
+        round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                             'sum'), 6) AS sum_sq,
+        round(list_sort(CAST(embedding AS DOUBLE[]))[1], 6) AS min_val
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function sampler (SURVEY.md §2.B "array/map —
+    absent in reference dialect, extension for embeddings"): size /
+    element_at / array_max / filter / transform+aggregate / sort.
+    These are the building blocks of every vector operator in
+    operators/similarity.py; all stay JVM-side."""
+    e = Tables(spark, sf_dir).embeddings
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("first_val"),
+        F.round(F.array_max(emb), 6).alias("max_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sum_sq"),
+        F.round(F.array_min(emb), 6).alias("min_val"),
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_mod10,
+        (json_extract_string(props, '$.missing') IS NOT NULL) AS has_missing
+    FROM events
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-as-map access over events.props (``{"k": N}``): parse once
+    into map<string,string> and read keys — the from_json/MapType path
+    (vs get_json_object per key in scalar_json_funcs, which re-parses
+    the document per extraction).  map_keys/getItem/absent-key
+    semantics are the exercised surface."""
+    ev = Tables(spark, sf_dir).events
+    m = F.from_json("props", "map<string,string>")
+    k = m.getItem("k").cast("bigint")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        k.alias("k_val"),
+        (k % 10 == 0).alias("k_mod10"),
+        m.getItem("missing").isNotNull().alias("has_missing"),
+    )
