@@ -175,3 +175,43 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("n_purchased"),
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT
+        strftime(f.cohort_week, '{_DUCK_FMT}') AS cohort_week,
+        CAST(datediff('week', f.cohort_week, a.wk) AS BIGINT) AS weeks_since,
+        CAST(count(*) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted in each subsequent active week.  Both aggregates shuffle
+    on user_id, so AQE plans the self-join without a third exchange;
+    the final matrix is tiny (weeks x weeks).  Spark and DuckDB both
+    start weeks on Monday, so the buckets align exactly."""
+    ev = Tables(spark, sf_dir).events
+    wk = F.date_trunc("week", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("wk")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", _FMT).alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
