@@ -10,14 +10,11 @@ is what replaces Redshift's distkey co-location in a lake architecture.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.operators.sourcesinks import _stage_dir
 from pandas_redshift_spark.session import Tables
 
 N_BUCKETS = 8
@@ -30,11 +27,8 @@ def write_bucketed(
     analogue).  Explicit location keeps the warehouse path independent
     of the caller's cwd."""
     spark = df.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(), "pandas_redshift_spark_stage", f"bucketed_{table}"
-    )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _stage_dir(f"bucketed_{table}")
     (
         df.write.bucketBy(n_buckets, key)
         .sortBy(key)

@@ -69,16 +69,22 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(text_col: str = "text", n: int = 3):
     """Distinct word n-gram shingles of a text column as an array
-    (built-ins only: split -> sequence -> transform -> array_distinct)."""
+    (built-ins only: split -> sequence -> transform -> array_distinct).
+    Texts with fewer than ``n`` tokens yield an EMPTY array — the
+    guard matters because sequence(0, -1) would count downward and
+    element_at(_, 0) throws under ANSI mode."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
             ),
         )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

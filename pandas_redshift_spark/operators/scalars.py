@@ -285,7 +285,7 @@ def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.col("p_size") / 50.0), 6).alias("exp_size"),
         F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
         F.pmod(F.col("p_partkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
-        F.floor("p_retailprice").cast("bigint").alias("price_trunc"),
+        F.col("p_retailprice").cast("bigint").alias("price_trunc"),  # Spark double->int CAST truncates toward zero (= trunc)
         F.round(F.atan2(F.col("p_size").cast("double"), F.lit(10.0)), 6).alias("angle"),
         F.round(F.degrees(F.atan2(F.col("p_size").cast("double"), F.lit(10.0))), 4).alias(
             "angle_deg"

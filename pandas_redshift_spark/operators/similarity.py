@@ -175,7 +175,11 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     emb = _emb_double(t)
-    n_planes, band_bits, n_dims = 16, 4, 64
+    n_planes, band_bits = 16, 4
+    # probe the embedding width from the data — literal planes of the
+    # wrong length would zip_with-pad with nulls and silently zero
+    # every signature bit
+    n_dims = t.embeddings.select(F.size("embedding").alias("d")).first()["d"]
     rng = random.Random(42)
     planes = [
         [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_dims)]
@@ -209,7 +213,8 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bucket"),
-    ).persist()  # both the query side and the corpus side read this
+    )  # query side's vec_id<10 filter pushes to the scan, so its
+    # recompute is 10 signature rows — not worth pinning a persist
     q = buckets.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),

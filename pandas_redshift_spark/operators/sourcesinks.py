@@ -239,9 +239,15 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(path)
     hot = (
         ev.groupBy("event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
-        .filter(F.col("avg_value") > 50)
-        .withColumnRenamed("event_type", "h_event_type")
+        # filter on the RAW average (the oracle's HAVING is unrounded —
+        # filtering the rounded value would flip groups whose true avg
+        # sits in [50, 50.00005)); round only for output
+        .agg(F.avg("value").alias("avg_raw"))
+        .filter(F.col("avg_raw") > 50)
+        .select(
+            F.col("event_type").alias("h_event_type"),
+            F.round("avg_raw", 4).alias("avg_value"),
+        )
     )
     return (
         fact.join(broadcast(hot), fact.event_type == hot.h_event_type)

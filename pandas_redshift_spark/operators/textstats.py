@@ -288,13 +288,22 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(_bc(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ).alias("tfidf"),
+    # corpus size joins in as a broadcast 1-row aggregate — keeps the
+    # whole query one lazy plan (an eager d.count() would scan the
+    # table at call time even if the result is never executed)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(_bc(df), "term")
+        .crossJoin(_bc(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

@@ -472,8 +472,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-        .persist()
-    )
+    )  # used twice in ONE plan (scalar max + join): ReuseExchange
+    # dedupes the aggregate exchange, no persist needed
     best = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(broadcast(best), F.col("total_revenue") == F.col("mx"))

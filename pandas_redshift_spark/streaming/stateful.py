@@ -65,7 +65,9 @@ def make_running_totals_fn():
             batch_last = pdf["ts"].max()
             iso = batch_last.strftime("%Y-%m-%d %H:%M:%S")
             last = max(last, iso) if last else iso
-        state.update((n, round(total, 6), last))
+        # keep the RAW running total in state — re-rounding every
+        # micro-batch would accumulate drift vs the batch twin
+        state.update((n, total, last))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
