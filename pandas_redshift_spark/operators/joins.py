@@ -140,14 +140,25 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    )
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI == NOT EXISTS: customers who never ordered."""
+    """LEFT ANTI == NOT EXISTS: customers with no order in 1996H1.
+    (The unrestricted variant — customers who never ordered — is empty
+    in this corpus, which would make the check vacuous.)"""
     t = Tables(spark, sf_dir)
+    h1 = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
     return t.customer.join(
-        t.orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        h1, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -162,7 +162,7 @@ def subquery_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_custkey = ANY (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-    ) AND o_totalprice < 1000
+    ) AND o_totalprice < 20000
     """,
 )
 def subquery_in_any(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,6 +175,6 @@ def subquery_in_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_custkey IN (
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-        ) AND o_totalprice < 1000
+        ) AND o_totalprice < 20000
         """,
     )
