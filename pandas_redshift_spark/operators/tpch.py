@@ -513,3 +513,408 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
           )
         """
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, round(o.unit_cost, 4) AS unit_cost
+    FROM offer o
+    JOIN part p     ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 30
+      AND o.unit_cost = (
+          SELECT min(o2.unit_cost) FROM offer o2
+          WHERE o2.l_partkey = o.l_partkey
+      )
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the corpus has
+    no partsupp, so a supplier's offer price for a part is its observed
+    min unit price in lineitem.  The correlated per-part min becomes a
+    groupBy + equi-join on (partkey, unit_cost); the offer aggregate is
+    computed once and reused by both sides (ReuseExchange), dims
+    broadcast.  Exact-equality join on the min is engine-stable because
+    both sides carry the identical double value."""
+    t = Tables(spark, sf_dir)
+    offer = (
+        t.lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = offer.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    p = broadcast(
+        t.part.filter((F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 30))
+    )
+    return (
+        offer.join(best, (F.col("l_partkey") == F.col("bp")) & (F.col("unit_cost") == F.col("best_cost")))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+        SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted: no partsupp, so
+    supply cost is proxied as half the part's retail price.  part is
+    filtered BEFORE the join (LIKE pushed to its scan) and broadcast,
+    pre-shrinking lineitem; the only shuffle is lineitem|orders on
+    orderkey, then a 25x7-group aggregate."""
+    t = Tables(spark, sf_dir)
+    p = broadcast(t.part.filter(F.col("p_name").like("%widget%")))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t.lineitem.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH partval AS (
+        SELECT l_partkey, sum(l_extendedprice) AS value
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, round(value, 2) AS value
+    FROM partval
+    WHERE value > (SELECT 1.5 * avg(value) FROM partval)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted to
+    lineitem-observed part value from a 3-nation supplier group.  The
+    canonical fraction-of-total HAVING threshold (0.0001/SF) is
+    replaced by the scale-invariant 1.5x the mean part value, so the
+    query selects a stable tail at every SF.  The per-part aggregate is
+    computed once; the uncorrelated scalar threshold re-aggregates the
+    SAME aggregated output (ReuseExchange) and broadcasts as a 1-row
+    join — lineitem is scanned once."""
+    t = Tables(spark, sf_dir)
+    supp = broadcast(
+        t.supplier.join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("s_suppkey")
+    )
+    partval = (
+        t.lineitem.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = partval.agg((1.5 * F.avg("value")).alias("threshold"))
+    return (
+        partval.join(broadcast(total), F.col("value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    supplier-complaints NOT IN exclusion becomes negative-balance
+    suppliers.  The exclusion list is tiny -> broadcast anti join (no
+    null-aware hazard: s_suppkey is non-null); part prunes to 7 sizes
+    before broadcasting; count(DISTINCT) shuffles once on the group
+    keys with partial distinct-aggregation map-side."""
+    t = Tables(spark, sf_dir)
+    bad = broadcast(t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = broadcast(
+        t.part.filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+    )
+    return (
+        t.lineitem.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): three disjunctive brand/size/
+    quantity blocks spanning both join sides.  Catalyst derives the
+    single-side implications (brand IN (...) pushes to the part scan,
+    quantity BETWEEN 1 AND 30 to the lineitem scan) and evaluates the
+    full disjunction on the broadcast-join output."""
+    t = Tables(spark, sf_dir)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    blocks = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        t.lineitem.join(broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(blocks)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ), red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ), part_avg AS (
+        SELECT l_partkey, avg(qty) AS avg_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM shipped sh
+    JOIN red_parts rp ON rp.p_partkey = sh.l_partkey
+    JOIN part_avg pa  ON pa.l_partkey = sh.l_partkey
+    JOIN supplier s   ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n     ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty > 1.3 * pa.avg_qty
+    ORDER BY s.s_name, n.n_name
+    """,
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: no
+    partsupp availqty, so a supplier qualifies by shipping >1.3x the
+    average supplier's 1996 volume of some 'red' part.  The
+    (part,supplier) aggregate feeds both the per-part average and the
+    comparison — one lineitem scan, one reused exchange, dims
+    broadcast, DISTINCT on a tiny name set."""
+    t = Tables(spark, sf_dir)
+    shipped = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_avg = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("qty").alias("avg_qty")
+    )
+    red = broadcast(t.part.filter(F.col("p_name").like("red%")).select("p_partkey"))
+    return (
+        shipped.join(red, F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("qty") > 1.3 * F.col("avg_qty"))
+        .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3 JOIN orders o3
+            ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+    lateness is shipping >90 days after the order date (no
+    commit/receipt dates).  Keeps the canonical EXISTS + NOT EXISTS
+    double correlation on the same fact table; run through spark.sql
+    so Catalyst plans them as a semi join and an anti join sharing the
+    orderkey partitioning.  Reference delegates this via
+    pandas_redshift/core.py:84."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3 JOIN orders o3
+                ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+        SELECT CAST(c.c_nationkey % 7 AS BIGINT) AS cntrycode, c.c_acctbal
+        FROM customer c
+        WHERE CAST(c.c_nationkey % 7 AS BIGINT) IN (1, 2, 4)
+          AND c.c_acctbal > (
+              SELECT avg(c2.c_acctbal) FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND CAST(c2.c_nationkey % 7 AS BIGINT) IN (1, 2, 4)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+    )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: country
+    code is nationkey mod 7 (the corpus has no c_phone), and "never
+    ordered" becomes "no order since 2000-01-01" (every corpus
+    customer has some order).  Rich but dormant customers:
+    uncorrelated scalar avg broadcast as a 1-row join + anti join
+    against date-filtered orders on custkey.  At scale the anti join's
+    build side is the filtered orders' custkeys — far smaller than
+    orders itself, and the date filter pushes to the orders scan."""
+    t = Tables(spark, sf_dir)
+    code = (F.col("c_nationkey") % 7).cast("bigint")
+    cust = t.customer.withColumn("cntrycode", code).filter(
+        F.col("cntrycode").isin(1, 2, 4)
+    )
+    thresh = broadcast(
+        cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.join(
+            t.orders.filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")).select(
+                "o_custkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .join(thresh, F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
