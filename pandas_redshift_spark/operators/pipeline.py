@@ -1,0 +1,282 @@
+"""Training-data pipeline stages over ``documents`` (north-star
+extension, SURVEY.md §2.C): deterministic dataset splits, greedy
+sequence packing, benchmark decontamination, stratified sampling and a
+quality-filter funnel.
+
+These are the operations a 100 TB pretraining corpus actually goes
+through between raw crawl and tokenizer.  All of them are pure
+built-in-function plans (no Python UDFs): hashing is ``md5``/*xxhash*,
+packing is a window cumulative sum, decontamination is an
+inverted-index join against a broadcast benchmark set.  Determinism is
+the design center — every stage is a pure function of (doc_id, text),
+so re-runs and backfills produce byte-identical splits at any scale.
+
+The reference has no pipeline surface at all (it forwards SQL text,
+pandas_redshift/core.py:84); these extend the delegated-SQL model with
+the operators its Redshift backend could not express.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pandas_redshift_spark.operators.dedup import shingles
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables, ensure_parallelism
+
+
+@query(
+    "pipe_split_deterministic",
+    oracle="""
+    WITH assigned AS (
+        SELECT
+            CASE
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train'
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'f'
+                    THEN 'val'
+                ELSE 'test'
+            END AS split,
+            n_chars
+        FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def pipe_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent hash:
+    first hex nibble of md5('split:'||doc_id) — 13/16 train, 2/16 val,
+    1/16 test.  Hash-based assignment is the scale-correct pattern: no
+    global sort or sampling pass, stable under re-partitioning and
+    incremental appends, and any worker can recompute membership
+    without coordination.  The salt prefix decorrelates this split
+    from any other hash use of doc_id."""
+    d = Tables(spark, sf_dir).documents
+    nib = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
+    split = (
+        F.when(nib < "d", "train").when(nib < "f", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "pipe_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, n_tokens,
+               CAST((sum(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS bin_id
+        FROM toks
+        WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lang, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (per language,
+    in doc_id order) into ~2048-token training bins — bin id is the
+    exclusive running token count integer-divided by the budget.  One
+    window shuffle on lang; the same plan shape packs 100 TB because
+    the window never materializes more than a partition.  In a real
+    tokenizer pipeline n_tokens comes from text_bpe_token_estimate;
+    whitespace counts keep the oracle exact here."""
+    d = Tables(spark, sf_dir).documents
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+@query(
+    "pipe_decontaminate",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingle_set) AS s FROM sh WHERE doc_id % 53 = 0
+    ),
+    train AS (
+        SELECT doc_id, len(shingle_set) AS n_grams, unnest(shingle_set) AS s
+        FROM sh WHERE doc_id % 53 <> 0
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           round(count(*) * 1.0 / t.n_grams, 4) AS overlap
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id, t.n_grams
+    HAVING count(*) * 1.0 / t.n_grams >= 0.05
+    ORDER BY overlap DESC, doc_id
+    """,
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    3-gram sets overlap an eval/benchmark set (here: doc_id % 53 == 0
+    stands in for the benchmark corpus) above 5%.  The benchmark's
+    distinct shingles are tiny relative to the corpus, so the
+    membership probe is a BROADCAST join against the exploded training
+    shingles — the corpus-side data never shuffles, which is what
+    makes contamination checks affordable at 100 TB."""
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    sh = d.select("doc_id", shingles().alias("shingle_set"))
+    bench = (
+        sh.filter(F.col("doc_id") % 53 == 0)
+        .select(F.explode("shingle_set").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 53 != 0).select(
+        "doc_id",
+        F.size("shingle_set").cast("bigint").alias("n_grams"),
+        F.explode("shingle_set").alias("s"),
+    )
+    hit = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    overlap = F.col("n_hit") / F.col("n_grams")
+    return (
+        hit.filter(overlap >= 0.05)
+        .select("doc_id", "n_grams", "n_hit", F.round(overlap, 4).alias("overlap"))
+        .orderBy(F.col("overlap").desc(), "doc_id")
+    )
+
+
+@query(
+    "pipe_sample_stratified",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang,
+               substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN '1a'
+                                             ELSE '80' END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM keyed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates (the standard
+    rebalancing move: keep ~10% of dominant 'en', ~50% of the rest)
+    via deterministic hash buckets — substring(md5, 1, 2) gives 256
+    lexicographic buckets, and a per-stratum hex threshold selects the
+    rate.  Unlike TABLESAMPLE this is reproducible across engines,
+    partitionings and runs, and supports exact set-difference audits
+    between two sampling configs."""
+    d = Tables(spark, sf_dir).documents
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    thresh = F.when(F.col("lang") == "en", "1a").otherwise("80")
+    return (
+        d.select("lang", bucket.alias("bucket"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("bucket") < thresh, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "pipe_quality_funnel",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    staged AS (
+        SELECT lang,
+               CASE
+                   WHEN n_tokens < 20 THEN 'reject_too_short'
+                   WHEN n_chars > 5.8 * n_tokens THEN 'reject_long_tokens'
+                   WHEN n_chars < 5.1 * n_tokens THEN 'reject_short_tokens'
+                   ELSE 'keep'
+               END AS stage
+        FROM scored
+    )
+    SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM staged
+    GROUP BY lang, stage
+    ORDER BY lang, stage
+    """,
+)
+def pipe_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel (C4/Gopher-style rule cascade, reduced to
+    the signals this corpus carries): classify every document into its
+    FIRST failing rule — too few tokens, implausibly long average
+    token, implausibly short average token — or 'keep', and report the
+    funnel per language.  A single narrow projection + 20-group
+    aggregate: the whole filter cascade costs one corpus scan and
+    nothing shuffles but the counts."""
+    d = Tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    stage = (
+        F.when(n_tokens < 20, "reject_too_short")
+        .when(F.col("n_chars") > 5.8 * n_tokens, "reject_long_tokens")
+        .when(F.col("n_chars") < 5.1 * n_tokens, "reject_short_tokens")
+        .otherwise("keep")
+    )
+    return (
+        d.select("lang", stage.alias("stage"))
+        .groupBy("lang", "stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "stage")
+    )

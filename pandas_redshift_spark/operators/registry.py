@@ -73,6 +73,7 @@ def _load_all() -> None:
         "similarity",
         "textstats",
         "multimodal",
+        "pipeline",
     ):
         importlib.import_module(f"pandas_redshift_spark.operators.{mod}")
 

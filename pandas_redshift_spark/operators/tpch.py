@@ -542,23 +542,25 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier), adapted: the corpus has
     no partsupp, so a supplier's offer price for a part is its observed
     min unit price in lineitem.  The correlated per-part min becomes a
-    groupBy + equi-join on (partkey, unit_cost); the offer aggregate is
-    computed once and reused by both sides (ReuseExchange), dims
-    broadcast.  Exact-equality join on the min is engine-stable because
-    both sides carry the identical double value."""
+    window min over the (part, supplier) offer aggregate — one
+    exchange on partkey instead of a re-aggregate plus self-join —
+    and dims broadcast.  Exact-equality against the window min is
+    engine-stable because both values are the identical double."""
+    from pyspark.sql import Window
+
     t = Tables(spark, sf_dir)
     offer = (
         t.lineitem.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    best = offer.groupBy(F.col("l_partkey").alias("bp")).agg(
-        F.min("unit_cost").alias("best_cost")
-    )
     p = broadcast(
         t.part.filter((F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 30))
     )
     return (
-        offer.join(best, (F.col("l_partkey") == F.col("bp")) & (F.col("unit_cost") == F.col("best_cost")))
+        offer.withColumn(
+            "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("unit_cost") == F.col("best_cost"))
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))

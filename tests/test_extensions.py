@@ -133,3 +133,40 @@ def test_multimodal_byte_mean(spark, sf_dir):
         assert got.n_bytes == len(raw)
         assert got.first_byte == raw[0]
         assert abs(got.byte_mean - round(sum(raw) / len(raw), 4)) < 1e-3
+
+
+def test_cluster_components_match_union_find(spark, sf_dir):
+    """The iterative min-label propagation must produce exactly the
+    components a driver-side union-find computes on the same pairs."""
+    from pandas_redshift_spark.operators.dedup import dedup_cluster_components
+
+    pairs = [
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected: dict[int, list[int]] = {}
+    for node in parent:
+        expected.setdefault(find(node), []).append(node)
+    expected_sets = {
+        root: sorted(members) for root, members in expected.items()
+    }
+
+    got = {
+        r.component_id: list(r.members)
+        for r in dedup_cluster_components(spark, sf_dir).collect()
+    }
+    assert got == expected_sets
+    # every component's id is its min member (deterministic survivor)
+    for cid, members in got.items():
+        assert cid == min(members)
