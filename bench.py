@@ -31,6 +31,8 @@ HEADLINE = (
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_waiting_suppliers",
     "join_inner",
     "join_star_broadcast",
     "join_non_equi",
@@ -43,6 +45,7 @@ HEADLINE = (
     "events_sessionization",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "pipe_decontaminate",
     "sim_bruteforce_topk",
     "text_word_freq",
 )

@@ -325,3 +325,51 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("revenue").desc())
     )
+
+
+@query(
+    "recursive_cte_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01' AS m
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2002-06-01'
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_price
+    FROM months LEFT JOIN orders o
+      ON strftime(o.o_orderdate, '%Y-%m') = strftime(months.m, '%Y-%m')
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x) generating a complete
+    month spine 1995-01..2002-06, left-joined to monthly order totals
+    — the canonical gap-filling report where months with zero orders
+    still appear.  The spine is ~90 rows regardless of data scale, so
+    it broadcasts and the fact side aggregates without ever shuffling
+    more than month-group rows.  Redshift (PG8-derived) accepts the
+    same construct, so this is delegated-dialect surface
+    (pandas_redshift/core.py:84), not just an extension."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01' AS m
+            UNION ALL
+            SELECT CAST(add_months(m, 1) AS DATE) FROM months
+            WHERE m < DATE '2002-06-01'
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_price
+        FROM months LEFT JOIN orders o
+          ON date_format(o.o_orderdate, 'yyyy-MM') = date_format(months.m, 'yyyy-MM')
+        GROUP BY month
+        ORDER BY month
+        """
+    )

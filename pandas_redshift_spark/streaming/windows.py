@@ -128,3 +128,33 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "app
     )
     q.awaitTermination()
     return q
+
+
+def user_profile(events_batch: DataFrame) -> DataFrame:
+    """Static per-user profile (all-time event count + avg value) —
+    the batch-computed feature table a streaming job enriches against.
+    In production this is a periodically refreshed lake table."""
+    return events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("hist_events"),
+        F.avg("value").alias("hist_avg_value"),
+    )
+
+
+def enrich_stream_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: every micro-batch of the event
+    stream is enriched with the (small, slowly-changing) user profile.
+    The static side broadcasts once per micro-batch — no stream-side
+    shuffle and no state store involvement, which is why stream-static
+    is the preferred enrichment shape before reaching for
+    stream-stream joins.  Downstream aggregates by profile attributes
+    then work normally (here: per-activity-band event counts)."""
+    banded = events.join(F.broadcast(profile), "user_id").withColumn(
+        "band",
+        F.when(F.col("hist_events") >= 20, "heavy")
+        .when(F.col("hist_events") >= 5, "mid")
+        .otherwise("light"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

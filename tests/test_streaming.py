@@ -95,3 +95,34 @@ def test_stream_dedup_bounded(spark, sf_dir, events_stream):
     distinct_pairs = out.distinct().count()
     assert n == distinct_pairs  # no duplicate survivors within watermark
     assert n > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_stream):
+    """Stream-static broadcast enrichment must produce exactly the
+    batch join's per-band aggregate once the stream drains."""
+    from pandas_redshift_spark.streaming.windows import (
+        enrich_stream_with_profile,
+        run_to_memory,
+        user_profile,
+    )
+    from pandas_redshift_spark.session import Tables, configure_session
+
+    configure_session(spark)
+    batch = Tables(spark, sf_dir).events
+    profile = user_profile(batch)
+    expected = {
+        r.band: (r.n_events, r.avg_value)
+        for r in enrich_stream_with_profile(batch, profile).collect()
+    }
+
+    run_to_memory(
+        enrich_stream_with_profile(events_stream, profile),
+        "enriched_bands",
+        output_mode="complete",
+    )
+    got = {
+        r.band: (r.n_events, r.avg_value)
+        for r in spark.sql("SELECT * FROM enriched_bands").collect()
+    }
+    assert got == expected
+    assert sum(v[0] for v in got.values()) == batch.count()
