@@ -338,3 +338,65 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_dir("merge_upsert")
     merged.write.mode("overwrite").parquet(staged)
     return spark.read.parquet(staged)
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, round(value, 4) AS value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (the lake's other text wire
+    format; the reference only ever staged CSV, core.py:137-141):
+    write events as JSONL, read back with an explicit schema, and
+    extract a typed property — exercising both the format codec and
+    the JSON path functions on the same bytes.  Distributed multi-file
+    write, schema-explicit read (no sampling-inference pass, which at
+    100 TB would cost a full extra scan)."""
+    e = Tables(spark, sf_dir).events.select("event_id", "event_type", "value", "props")
+    path = _stage_dir("json_roundtrip")
+    e.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).json(path)
+    return (
+        back.withColumn("prop_k", F.get_json_object("props", "$.k").cast("bigint"))
+        .filter(F.col("prop_k").isNotNull())
+        .select("event_id", "event_type", F.round("value", 4).alias("value"), "prop_k")
+    )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip: the second columnar format Spark
+    ships natively (vectorized reader, predicate pushdown, zone-map
+    stats like parquet).  A month of lineitem is written to ORC and
+    read back with the ship-date filter applied on the ORC scan — at
+    scale the same PushedFilters row-group skipping applies as with
+    parquet, so format choice doesn't change the plan shape."""
+    li = Tables(spark, sf_dir).lineitem
+    path = _stage_dir("orc_roundtrip")
+    li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp_ntz"))
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round("l_extendedprice", 2).alias("price"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables, ensure_parallelism
@@ -310,4 +311,90 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+@query(
+    "text_bigram_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS tokens FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest([
+            tokens[i+1] || ' ' || tokens[i+2]
+            for i in range(greatest(len(tokens) - 1, 0))
+        ]) AS bg
+        FROM toks
+    ),
+    unigrams AS (SELECT unnest(tokens) AS w FROM toks),
+    bc AS (SELECT bg, count(*) AS cab FROM bigrams GROUP BY bg),
+    uc AS (SELECT w, count(*) AS c FROM unigrams GROUP BY w),
+    tot AS (
+        SELECT (SELECT sum(c) FROM uc) AS n,
+               (SELECT sum(cab) FROM bc) AS b
+    )
+    SELECT bg AS bigram, CAST(cab AS BIGINT) AS n_pair,
+           (cab * 1.0 / b) / ((ua.c * 1.0 / n) * (ub.c * 1.0 / n)) AS lift
+    FROM bc
+    JOIN uc ua ON ua.w = string_split(bg, ' ')[1]
+    JOIN uc ub ON ub.w = string_split(bg, ' ')[2]
+    CROSS JOIN tot
+    WHERE cab >= 20
+    ORDER BY lift DESC, bigram
+    LIMIT 50
+    """,
+)
+def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-word bigram lift (= exp(PMI) —
+    the log is deliberately omitted so the score is pure IEEE
+    mul/div on exact counts, bit-identical across engines; libm log
+    implementations are not).  Two explode+count shuffles (bigrams,
+    unigrams), two broadcast joins of the unigram counts back onto
+    bigram rows, scalar totals as a 1-row cross join.  The min-support
+    cut (>=20) happens before the joins, so at 100 TB only the bigram
+    head — not the long tail — flows through scoring."""
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigram_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = d.select(F.explode(bigram_arr).alias("bg"))
+    unigrams = d.select(F.explode(toks).alias("w"))
+    bc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cab")).filter(
+        F.col("cab") >= 20
+    )
+    uc = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = broadcast(
+        unigrams.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+            bigrams.agg(F.count(F.lit(1)).alias("b"))
+        )
+    )
+    ua = uc.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    lift = (F.col("cab") / F.col("b")) / (
+        (F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n"))
+    )
+    return (
+        bc.withColumn("wa", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("wb", F.split(F.col("bg"), " ").getItem(1))
+        .join(broadcast(ua), "wa")
+        .join(broadcast(ub), "wb")
+        .crossJoin(tot)
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("cab").alias("n_pair"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "bigram")
+        .limit(50)
     )
