@@ -253,3 +253,39 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_trail).alias("n_similar_cheaper"),
         F.round(F.avg("o_totalprice").over(w_band), 4).alias("avg_nearby_price"),
     )
+
+
+@query(
+    "window_cume_dist_nth_value",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           cume_dist() OVER w AS bal_cume,
+           nth_value(s_name, 2) OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS runner_up
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value: per-nation balance percentile and the
+    nation's runner-up supplier name.  cume_dist is an exact ratio of
+    identical integers (engine-stable double); nth_value needs the
+    full-partition frame to see row 2 from every position.  One window
+    shuffle on nationkey serves both functions."""
+    sup = Tables(spark, sf_dir).supplier
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        sup.select(
+            "s_suppkey",
+            "s_name",
+            F.cume_dist().over(w).alias("bal_cume"),
+            F.nth_value("s_name", 2).over(w_full).alias("runner_up"),
+        )
+        .orderBy("s_suppkey")
+    )
