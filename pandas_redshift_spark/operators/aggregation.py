@@ -212,3 +212,35 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_discount"),
     )
+
+
+@query("agg_hll_sketch_union")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+
+    hll_sketch_agg): per-event-type sketches of the distinct-user set,
+    plus an all-types row built by UNIONING the per-type sketches
+    (hll_union_agg) — never re-touching the raw events.  This is THE
+    100 TB distinct-count architecture: partial sketches are built
+    map-side, merge associatively across partitions/days, and roll up
+    to any coarser grain without a second scan.  Sketch bytes are
+    engine-specific => rows-only driver check; the semantic test
+    bounds the estimates against exact counts.
+
+    The reference could only ever ship COUNT(DISTINCT ...) SQL text to
+    Redshift (core.py:84); sketch state is not expressible there."""
+    e = Tables(spark, sf_dir).events
+    per_type = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sketch")
+    )
+    typed = per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sketch)").cast("bigint").alias("approx_users"),
+    )
+    overall = (
+        per_type.agg(F.expr("hll_union_agg(sketch, true)").alias("sketch"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.expr("hll_sketch_estimate(sketch)").cast("bigint").alias("approx_users"),
+        )
+    )
+    return typed.unionByName(overall).orderBy("event_type")

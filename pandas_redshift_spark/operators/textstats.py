@@ -370,14 +370,13 @@ def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bigrams = d.select(F.explode(bigram_arr).alias("bg"))
     unigrams = d.select(F.explode(toks).alias("w"))
-    bc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cab")).filter(
-        F.col("cab") >= 20
-    )
+    bc_all = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
+    bc = bc_all.filter(F.col("cab") >= 20)
     uc = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # totals re-aggregate the count aggregates (ReuseExchange), NOT the
+    # raw corpus — two fewer full explode passes at 100 TB
     tot = broadcast(
-        unigrams.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-            bigrams.agg(F.count(F.lit(1)).alias("b"))
-        )
+        uc.agg(F.sum("c").alias("n")).crossJoin(bc_all.agg(F.sum("cab").alias("b")))
     )
     ua = uc.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
     ub = uc.select(F.col("w").alias("wb"), F.col("c").alias("cb"))

@@ -170,3 +170,21 @@ def test_cluster_components_match_union_find(spark, sf_dir):
     # every component's id is its min member (deterministic survivor)
     for cid, members in got.items():
         assert cid == min(members)
+
+
+def test_hll_sketch_union_tracks_exact_counts(spark, sf_dir):
+    """HLL sketch estimates (lgConfigK=12 -> ~1.6% rsd) must track the
+    exact distinct-user counts, and the unioned ALL row must cover the
+    full user set without rescanning events."""
+    from pandas_redshift_spark.operators.aggregation import agg_hll_sketch_union
+
+    got = {r.event_type: r.approx_users for r in agg_hll_sketch_union(spark, sf_dir).collect()}
+    e = Tables(spark, sf_dir).events
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
