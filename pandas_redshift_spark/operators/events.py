@@ -215,3 +215,64 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type, day
+    ),
+    stats AS (
+        SELECT event_type, day, n_events,
+               count(*) OVER w AS n_days,
+               sum(n_events) OVER w AS s1,
+               sum(n_events * n_events) OVER w AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, day, n_events,
+           (n_events - (s1 * 1.0 / n_days))
+             / sqrt((s2 - (s1 * 1.0 / n_days) * s1) / (n_days - 1)) AS z_score
+    FROM stats
+    WHERE n_days > 1
+    ORDER BY event_type, day
+    """,
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per-type daily event counts scored as
+    z-scores against that type's own mean/variance.  The variance is
+    computed from sum and sum-of-squares over EXACT integer counts
+    (doubles are exact for integers < 2^53), written with a fixed
+    operation order — so Spark and DuckDB produce bit-identical
+    z-scores, which a builtin stddev_samp (different merge order)
+    would not.  One aggregate shuffle + one unbounded window over the
+    same event_type partitioning; AQE plans them back-to-back."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("n_events").over(w).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n_days")
+    var = (F.col("s2") - mean * F.col("s1")) / (F.col("n_days") - 1)
+    return (
+        stats.filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            ((F.col("n_events") - mean) / F.sqrt(var)).alias("z_score"),
+        )
+        .orderBy("event_type", "day")
+    )
