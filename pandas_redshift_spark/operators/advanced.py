@@ -373,3 +373,36 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month
         """
     )
+
+
+@query(
+    "lateral_view_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, len(toks))) AS pos,
+           unnest(toks) AS token
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id % 97 = 0
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def lateral_view_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode (HiveQL-inherited table-generating
+    syntax): positional tokenization — every token with its 0-based
+    offset, the input shape for positional n-gram/PMI work.  The
+    Generate operator fans out in the same task as the scan (no
+    shuffle but the output sort); the oracle zips DuckDB's parallel
+    unnest with a range() since it lacks WITH ORDINALITY."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+        FROM documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, token
+        WHERE doc_id % 97 = 0
+        ORDER BY doc_id, pos
+        """
+    )
