@@ -8,7 +8,8 @@ keys) — the property that makes group-by linear-ish at 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
@@ -244,3 +245,89 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return typed.unionByName(overall).orderBy("event_type")
+
+
+@query(
+    "agg_grouping_id_rollup",
+    oracle="""
+    SELECT
+        coalesce(o_orderstatus, '<all>') AS status,
+        coalesce(o_orderpriority, '<all>') AS priority,
+        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+            AS gid,
+        CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-id over a ROLLUP: distinguishes a real NULL
+    group key from a rollup subtotal row — the function that makes
+    grouping-set output machine-consumable (the gid column is how a
+    reporting layer routes detail vs subtotal vs grand-total rows).
+    Same single-shuffle expand plan as plain rollup."""
+    o = Tables(spark, sf_dir).orders
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("bigint")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(gid.alias("gid"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@query(
+    "window_revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               sum(CAST(round(l.l_extendedprice * 10000) AS BIGINT)) AS rev_e4
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation,
+           round(rev_e4 / 10000.0, 2) AS revenue,
+           rev_e4 * 1.0 / sum(rev_e4) OVER () AS share
+    FROM rev
+    ORDER BY nation
+    """,
+)
+def window_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (Redshift RATIO_TO_REPORT analogue): each
+    nation's share of global supplier revenue via an unpartitioned
+    window sum.  Revenue is summed as exact 1e-4-scaled BIGINTs — a
+    double sum's value depends on accumulation order across engines/
+    partitionings, an integer sum's never does — so the share quotient
+    is bit-identical and needs no rounding.  The scaled-integer-sum
+    trick is the general recipe for order-independent money
+    aggregation at any scale."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 10000).cast("bigint")).alias(
+                "rev_e4"
+            )
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        rev.select(
+            "nation",
+            F.round(F.col("rev_e4") / 10000.0, 2).alias("revenue"),
+            (F.col("rev_e4") * 1.0 / F.sum("rev_e4").over(w_all)).alias("share"),
+        )
+        .orderBy("nation")
+    )

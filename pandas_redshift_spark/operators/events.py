@@ -276,3 +276,51 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_ordered_funnel",
+    oracle="""
+    WITH stage_ts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_viewed,
+        CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_then_clicked,
+        CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_then_purchased
+    FROM stage_ts
+    """,
+)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel: a user converts only if their first
+    click follows their first view and their first purchase follows
+    that click (events_funnel counts stage reach regardless of order).
+    One conditional-min aggregate per user — no window, no self-join,
+    and the strict inequalities make each stage a subset of the
+    previous, so the output is a true funnel at any scale."""
+    e = Tables(spark, sf_dir).events
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    t_click = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    t_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        t_view.alias("t_view"),
+        t_click.alias("t_click"),
+        t_purchase.alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("n_then_clicked"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("n_then_purchased"),
+    )
