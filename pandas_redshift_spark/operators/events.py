@@ -324,3 +324,64 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clicked, 1).otherwise(0)).alias("n_then_clicked"),
         F.sum(F.when(purchased, 1).otherwise(0)).alias("n_then_purchased"),
     )
+
+
+@query(
+    "events_multi_grain_rollup",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_b,
+               strftime(date_trunc('day', ts),  '%Y-%m-%d') AS day_b,
+               value
+        FROM events
+    )
+    SELECT coalesce(day_b, '<all>') AS day_b,
+           coalesce(hour_b, '<all>') AS hour_b,
+           coalesce(event_type, '<all>') AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM bucketed
+    GROUP BY GROUPING SETS (
+        (day_b, hour_b, event_type),
+        (day_b, event_type),
+        (day_b),
+        ()
+    )
+    ORDER BY day_b, hour_b, event_type
+    """,
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly, daily,
+    daily-per-type and grand totals in ONE pass via grouping sets over
+    pre-truncated time buckets — the batch shape of a timeseries
+    engine's multi-granularity materialized rollup.  Spark expands the
+    4 sets map-side before the partial aggregate, so the corpus is
+    scanned once and only (bucket, type) group rows shuffle."""
+    e = Tables(spark, sf_dir).events
+    bucketed = e.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), _FMT).alias("hour_b"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_b"),
+        "value",
+    )
+    return (
+        bucketed.groupingSets(
+            [["day_b", "hour_b", "event_type"], ["day_b", "event_type"], ["day_b"], []],
+            "day_b",
+            "hour_b",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day_b", F.lit("<all>")).alias("day_b"),
+            F.coalesce("hour_b", F.lit("<all>")).alias("hour_b"),
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("day_b", "hour_b", "event_type")
+    )
