@@ -304,3 +304,74 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+@query(
+    "dedup_ngram_jaccard_dfcut",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    hot AS (SELECT s FROM tok GROUP BY s HAVING count(*) > 5),
+    kept AS (
+        SELECT doc_id, s FROM tok WHERE s NOT IN (SELECT s FROM hot)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT
+        i.doc_a, i.doc_b,
+        round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard with the DOCUMENT-FREQUENCY CUT applied —
+    the mitigation PLANS.md prescribes for 100 TB: shingles appearing
+    in more than K documents are dropped before the self-join, because
+    a shingle in d documents contributes d^2 candidate pairs (the
+    quadratic head is entirely hot shingles) while contributing almost
+    no Jaccard evidence for near-dup pairs.  The hot set is tiny by
+    Zipf's law, so it broadcasts as an anti join on the postings;
+    Jaccard is then computed consistently over the cut shingle space
+    (sizes recomputed per doc after the cut, riding a window over the
+    same doc_id partitioning)."""
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    sh = d.select("doc_id", shingles().alias("shingle_set")).persist()
+    tok = sh.select("doc_id", F.explode("shingle_set").alias("s"))
+    hot = (
+        tok.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 5)
+        .select("s")
+    )
+    kept = tok.join(F.broadcast(hot), "s", "left_anti")
+    sized = kept.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
+    ).persist()
+    a = sized.alias("a")
+    b = sized.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return inter.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
