@@ -361,3 +361,38 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10 == 0).alias("k_mod10"),
         m.getItem("missing").isNotNull().alias("has_missing"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(xor(o_orderkey, 12345) AS BIGINT) AS xored,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+           CAST(~o_orderkey AS BIGINT) AS inverted
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator sampler (AND/OR-free PG-8 dialect subset that
+    Redshift executes: &, #(xor), <<, >>, ~) plus bit_count — the
+    primitives under hash bucketing, bloom probes and bitmask flag
+    columns.  Pure codegen projection, no shuffle but the output
+    sort.  Spark's bitwiseAND/XOR Column methods and shiftleft/
+    shiftright/bit_count functions map 1:1."""
+    o = Tables(spark, sf_dir).orders.filter(F.col("o_orderkey") % 11 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseXOR(F.lit(12345)).cast("bigint").alias("xored"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl2"),
+        F.shiftright(k, 3).cast("bigint").alias("shr3"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+        F.bitwise_not(k).cast("bigint").alias("inverted"),
+    ).orderBy("o_orderkey")
