@@ -60,3 +60,17 @@ def test_relational_queries_stay_jvm_side(spark, sf_dir):
         "text_bpe_token_estimate",
     ):
         assert not py_nodes.search(_plan(spark, name, sf_dir)), name
+
+
+def test_shingle_transform_never_reaches_a_scan(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate trap
+    (PLANS.md): the shingle-building expression must not be dragged
+    into any FileScan's data filters — that would run the whole
+    transform (twice) in the single-task pre-shuffle scan stage.  The
+    persisted shingle sets keep the scan stages expression-free."""
+    for name in ("pipe_decontaminate", "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut"):
+        plan = _plan(spark, name, sf_dir)
+        for line in plan.splitlines():
+            if "FileScan" in line:
+                assert "array_distinct" not in line, (name, line[:300])
+                assert "transform(" not in line, (name, line[:300])
