@@ -108,7 +108,7 @@ def shingles(text_col: str = "text", n: int = 3):
     )
     SELECT
         i.doc_a, i.doc_b,
-        round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+        i.n_common * 1.0 / (sa.n + sb.n - i.n_common) AS jaccard
     FROM inter i
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
@@ -123,14 +123,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list length (drop ultra-common shingles) — the standard
     "document frequency cut" — before the self-join."""
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
-    sh = d.select("doc_id", shingles().alias("shingle_set"))
+    # persist the shingle ARRAYS, before exploding: the cache boundary
+    # stops InferFiltersFromGenerate from dragging the shingle-building
+    # expression below the repartition into the scan stage (PLANS.md
+    # "Optimizer trap") — persisting the post-explode postings instead
+    # leaves the trap alive INSIDE the cached plan's build
+    sh = d.select("doc_id", shingles().alias("shingle_set")).persist()
     # carry the set size onto every posting row: |A| and |B| then ride
     # through the self-join for free (grouping keys), so no separate
-    # sizes aggregate + two re-joins — postings are built once,
-    # persisted for the two self-join sides
+    # sizes aggregate + two re-joins
     tok = sh.select(
         "doc_id", F.size("shingle_set").alias("n"), F.explode("shingle_set").alias("s")
-    ).persist()
+    )
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (
@@ -144,9 +148,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return inter.filter(jac >= 0.2).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    # raw double, no round(): quotients have no exact decimal width, so
+    # fixed-dp rounding is never engine-safe; identical IEEE divisions
+    # agree bit-for-bit and the driver's %.6f canonicalization matches
+    return inter.filter(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 @query("dedup_minhash_lsh")
@@ -330,7 +335,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
         i.doc_a, i.doc_b,
-        round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+        i.n_common * 1.0 / (sa.n + sb.n - i.n_common) AS jaccard
     FROM inter i
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
@@ -372,6 +377,7 @@ def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return inter.filter(jac >= 0.2).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    # raw double, no round(): quotients have no exact decimal width, so
+    # fixed-dp rounding is never engine-safe; identical IEEE divisions
+    # agree bit-for-bit and the driver's %.6f canonicalization matches
+    return inter.filter(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))

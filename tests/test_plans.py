@@ -67,10 +67,26 @@ def test_shingle_transform_never_reaches_a_scan(spark, sf_dir):
     (PLANS.md): the shingle-building expression must not be dragged
     into any FileScan's data filters — that would run the whole
     transform (twice) in the single-task pre-shuffle scan stage.  The
-    persisted shingle sets keep the scan stages expression-free."""
-    for name in ("pipe_decontaminate", "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut"):
-        plan = _plan(spark, name, sf_dir)
+    persisted shingle ARRAYS (pre-explode — a post-explode persist
+    leaves the trap alive inside the cached plan's own build) keep the
+    scan stages expression-free.
+
+    Checked twice: on a cold cache AND after materialization, because
+    the explain of a materialized InMemoryRelation renders the
+    cache-BUILD plan — which is the plan production sessions actually
+    executed (the round-1 order-dependent failure was exactly this:
+    clean cold plan, trap visible warm)."""
+
+    def assert_clean(name, plan):
         for line in plan.splitlines():
             if "FileScan" in line:
                 assert "array_distinct" not in line, (name, line[:300])
                 assert "transform(" not in line, (name, line[:300])
+
+    for name in ("pipe_decontaminate", "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut"):
+        df = all_queries()[name].fn(spark, sf_dir)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        assert_clean(name, df._jdf.queryExecution().explainString(mode))
+        df.count()  # materialize the persisted shingle cache
+        assert_clean(name, _plan(spark, name, sf_dir))
