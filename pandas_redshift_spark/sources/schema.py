@@ -10,9 +10,9 @@ Deliberate deviations from the reference (SURVEY.md §7 "hard parts"):
 - float64 maps to DOUBLE PRECISION, not REAL — the reference silently
   narrows 8-byte floats to 4 bytes (core.py:152-153); we preserve
   precision and document it.
-- strings map to VARCHAR(MAX)-less text by default rather than a
-  silent VARCHAR(256) truncation risk (core.py:158-159) — callers can
-  still override per-column types.
+- strings map to VARCHAR(256), string-for-string with the reference
+  (core.py:158-159) — callers can override per-column types (e.g.
+  VARCHAR(MAX)) via ``column_data_types``.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 REDSHIFT_RESERVED_WORDS = frozenset(
     """
     aes128 aes256 all allowoverwrite analyse analyze and any array as asc
-    authorization backup between binary blanksasnull both bytedict case cast
+    authorization backup between binary blanksasnull both bytedict bzip2 case cast
     check collate column constraint create credentials cross current_date
     current_time current_timestamp current_user current_user_id default
     deferrable deflate defrag delta delta32k desc disable distinct do else
@@ -39,7 +39,7 @@ REDSHIFT_RESERVED_WORDS = frozenset(
     having identity ignore ilike in initially inner intersect into is isnull
     join leading left like limit localtime localtimestamp lun luns lzo lzop
     minus mostly13 mostly32 mostly8 natural new not notnull null nulls off
-    offline offset old on only open or order outer overlaps parallel
+    offline offset oid old on only open or order outer overlaps parallel
     partition percent permissions placing primary raw readratio recover
     references rejectlog resort respect restore right select session_user
     similar snapshot some sysdate system table tag tdes text255 text32k then
@@ -163,11 +163,16 @@ def build_create_table_ddl(
     """CREATE TABLE DDL with Redshift physical-layout clauses —
     string-for-string what the reference builds (core.py:194-211),
     exposed for the JDBC `createTableOptions` path and unit-tested
-    against the reference's documented output shape."""
+    against the reference's documented output shape.
+
+    The reference's create_redshift_table executes ``drop table if
+    exists`` immediately before this statement (core.py:215-216) —
+    pair with :func:`build_drop_table_ddl` for the same
+    overwrite-replaces-schema semantics."""
     if len(columns) != len(column_data_types):
         raise ValueError("columns and column_data_types must align")
     cols = ", ".join(f"{c} {t}" for c, t in zip(columns, column_data_types))
-    ddl = f"create table if not exists {table_name} ({cols})"
+    ddl = f"create table {table_name} ({cols})"
     if distkey:
         # distkey overrides diststyle (reference core.py:205-207)
         ddl += f" distkey({distkey})"
@@ -180,3 +185,10 @@ def build_create_table_ddl(
             ddl += " interleaved"
         ddl += f" sortkey({sortkey})"
     return ddl
+
+
+def build_drop_table_ddl(table_name: str) -> str:
+    """``drop table if exists`` statement the reference executes before
+    every CREATE (core.py:215-216) — overwrite replaces the schema
+    instead of silently keeping a stale one."""
+    return f"drop table if exists {table_name}"

@@ -5,6 +5,8 @@ generation (core.py:171-217), secret masking (core.py:43-48)."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -39,6 +41,22 @@ class TestValidateColumnNames:
         cols = ["A", "B"]
         validate_column_names(cols)
         assert cols == ["A", "B"]
+
+    def test_reserved_set_matches_reference_word_list(self):
+        # exact parity with the reference's shipped data file
+        # (pandas_redshift/redshift_reserve_words.txt, 151 words —
+        # the public AWS reserved-word list); includes bzip2 and oid,
+        # which were missing in round 1
+        from pandas_redshift_spark.sources.schema import REDSHIFT_RESERVED_WORDS
+
+        path = "/root/reference/pandas_redshift/redshift_reserve_words.txt"
+        if not os.path.exists(path):
+            pytest.skip("reference word list not available")
+        with open(path) as f:
+            ref = {w.strip().lower() for w in f if w.strip()}
+        assert REDSHIFT_RESERVED_WORDS == ref
+        assert len(REDSHIFT_RESERVED_WORDS) == 151
+        assert {"bzip2", "oid"} <= REDSHIFT_RESERVED_WORDS
 
 
 class TestDtypeMapping:
@@ -77,10 +95,15 @@ class TestDtypeMapping:
 
 class TestCreateTableDdl:
     def test_even_default(self):
+        # exact reference shape (core.py:197-204): bare "create table",
+        # the caller pairs it with drop table if exists (core.py:215)
         ddl = build_create_table_ddl("s.t", ["a", "b"], ["BIGINT", "VARCHAR(256)"])
-        assert ddl == (
-            "create table if not exists s.t (a BIGINT, b VARCHAR(256)) diststyle even"
-        )
+        assert ddl == "create table s.t (a BIGINT, b VARCHAR(256)) diststyle even"
+
+    def test_drop_companion(self):
+        from pandas_redshift_spark.sources.schema import build_drop_table_ddl
+
+        assert build_drop_table_ddl("s.t") == "drop table if exists s.t"
 
     def test_diststyle_all(self):
         ddl = build_create_table_ddl("t", ["a"], ["BIGINT"], diststyle="all")
