@@ -27,6 +27,7 @@ SURVEY.md §2.A):
 
 from pandas_redshift_spark.session import configure_session, Tables, TABLE_NAMES
 from pandas_redshift_spark.sources.bridge import (
+    S3_ACCEPTED_KWARGS,
     SparkRedshiftBridge,
     connect,
     set_log_level,
@@ -38,6 +39,7 @@ from pandas_redshift_spark.sources.schema import (
     spark_dtype_to_redshift_dtype,
     get_column_data_types,
     build_create_table_ddl,
+    build_drop_table_ddl,
 )
 
 __version__ = "0.1.0"
@@ -46,6 +48,7 @@ __all__ = [
     "configure_session",
     "Tables",
     "TABLE_NAMES",
+    "S3_ACCEPTED_KWARGS",
     "SparkRedshiftBridge",
     "connect",
     "set_log_level",
@@ -55,4 +58,5 @@ __all__ = [
     "spark_dtype_to_redshift_dtype",
     "get_column_data_types",
     "build_create_table_ddl",
+    "build_drop_table_ddl",
 ]

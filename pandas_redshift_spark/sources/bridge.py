@@ -40,6 +40,29 @@ logger.addHandler(logging.NullHandler())
 #: (core.py:23-28)
 logging_config = {"logging_level": logging.INFO, "mask_secrets": True}
 
+#: put_object kwargs the reference forwards to boto3 (core.py:13-19,
+#: applied core.py:129-130) — same 24 names.  (The reference's list
+#: contains 'CacheControl ' with a trailing space, a bug that makes
+#: that kwarg silently unforwardable; we keep the intended name.)
+S3_ACCEPTED_KWARGS = [
+    "ACL", "Body", "CacheControl", "ContentDisposition", "ContentEncoding",
+    "ContentLanguage", "ContentLength", "ContentMD5", "ContentType", "Expires",
+    "GrantFullControl", "GrantRead", "GrantReadACP", "GrantWriteACP", "Metadata",
+    "ServerSideEncryption", "StorageClass", "WebsiteRedirectLocation",
+    "SSECustomerAlgorithm", "SSECustomerKey", "SSECustomerKeyMD5", "SSEKMSKeyId",
+    "RequestPayer", "Tagging",
+]
+
+#: accepted kwargs that have a distributed-write (Hadoop S3A) analogue;
+#: the rest are single-object put_object concepts with no multi-file
+#: equivalent and are logged as skipped instead of silently dropped
+_S3_KWARG_TO_HADOOP_CONF = {
+    "ServerSideEncryption": "fs.s3a.server-side-encryption-algorithm",
+    "SSEKMSKeyId": "fs.s3a.server-side-encryption.key",
+    "StorageClass": "fs.s3a.create.storage.class",
+    "ACL": "fs.s3a.acl.default",
+}
+
 _LEVELS = {
     "debug": logging.DEBUG,
     "info": logging.INFO,
@@ -134,10 +157,22 @@ class SparkRedshiftBridge:
     def sql(self, sql_query: str, query_params: list | None = None) -> DataFrame:
         """Distributed extract: Spark executes the SQL (local mode) or
         pushes the whole query down to the warehouse as a JDBC subquery
-        (remote mode) — either way no single-socket fetchall."""
+        (remote mode) — either way no single-socket fetchall.
+
+        ``query_params`` are psycopg2-style positional ``%s`` params
+        (reference core.py:82-87 passes them to cursor.execute).  Local
+        mode rewrites ``%s`` -> ``?`` and binds server-side via
+        ``spark.sql(q, args=...)`` (parameterized SQL, Spark 3.4+) — no
+        string interpolation, so quoting/injection is the engine's
+        problem, same as psycopg2.  JDBC mode must push query TEXT down
+        to the warehouse, so params are spliced as escaped SQL literals
+        in a single pass (a previously-inserted value containing
+        ``%s`` is never re-substituted)."""
         self._check_open()
         logger.info("executing query: %s", mask_aws_credentials(sql_query))
         if self.jdbc_options:
+            if query_params:
+                sql_query = _bind_literals(sql_query, query_params)
             reader = (
                 self.spark.read.format("jdbc")
                 .options(**self.jdbc_options)
@@ -145,10 +180,13 @@ class SparkRedshiftBridge:
             )
             return reader.load()
         if query_params:
-            # positional %s params (psycopg2 style, core.py:84) ->
-            # Spark named-parameter SQL
-            for p in query_params:
-                sql_query = sql_query.replace("%s", _sql_literal(p), 1)
+            parts = sql_query.split("%s")
+            if len(parts) - 1 != len(query_params):
+                raise ValueError(
+                    f"query has {len(parts) - 1} %s placeholders but "
+                    f"{len(query_params)} params were given"
+                )
+            return self.spark.sql("?".join(parts), args=list(query_params))
         return self.spark.sql(sql_query)
 
     # -- pandas_to_redshift (core.py:269-304) --------------------------
@@ -218,13 +256,36 @@ class SparkRedshiftBridge:
         data_frame: "pd.DataFrame | DataFrame",
         csv_name: str | None = None,
         index: bool = False,
+        save_local: bool = False,
         delimiter: str = ",",
         path_prefix: str | None = None,
+        verbose: bool = True,
+        **kwargs: Any,
     ) -> str:
         """Stage a DataFrame as CSV files — the distributed analogue of
         df_to_s3's single put_object (one file per task instead of one
-        object total).  Returns the staged directory path."""
+        object total).  Returns the staged directory path.
+
+        Reference parity (core.py:120-144): ``save_local`` writes a
+        local CSV copy named ``csv_name`` first; extra ``kwargs`` are
+        filtered against :data:`S3_ACCEPTED_KWARGS` — the ones with a
+        distributed-write analogue become S3A confs, the rest are
+        logged as skipped (a single put_object concept has no
+        per-task-file equivalent)."""
         self._check_open()
+        accepted = {
+            k: v for k, v in kwargs.items() if k in S3_ACCEPTED_KWARGS and v is not None
+        }
+        dropped = sorted(set(kwargs) - set(accepted))
+        if dropped:
+            logger.warning("ignoring non-S3 kwargs (not in S3_ACCEPTED_KWARGS): %s", dropped)
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in accepted.items():
+            conf = _S3_KWARG_TO_HADOOP_CONF.get(k)
+            if conf:
+                hconf.set(conf, str(v))
+            else:
+                logger.info("accepted S3 kwarg %s has no distributed-write analogue; skipped", k)
         if isinstance(data_frame, pd.DataFrame):
             if index:
                 data_frame = data_frame.reset_index()
@@ -232,6 +293,19 @@ class SparkRedshiftBridge:
         else:
             sdf = data_frame
         csv_name = csv_name or f"staged-{uuid.uuid4()}"
+        if save_local:
+            # reference core.py:132-135: one local CSV named csv_name.
+            # pandas input round-trips directly; a Spark frame writes a
+            # local csv DIRECTORY (never toPandas — the frame may not
+            # fit one machine)
+            if isinstance(data_frame, pd.DataFrame):
+                data_frame.to_csv(csv_name, index=False, sep=delimiter)
+            else:
+                sdf.write.option("header", True).option("sep", delimiter).mode(
+                    "overwrite"
+                ).csv(csv_name)
+            if verbose:
+                logger.info("saved local copy at %s", csv_name)
         base = path_prefix or (
             f"s3a://{self.s3_options['bucket']}/{self.s3_options.get('subdirectory','')}"
             if self.s3_options.get("bucket")
@@ -320,10 +394,30 @@ def connect(
 def _sql_literal(p: Any) -> str:
     if p is None:
         return "NULL"
+    if isinstance(p, bool):
+        return "TRUE" if p else "FALSE"
     if isinstance(p, (int, float)):
         return str(p)
     escaped = str(p).replace("'", "''")
     return f"'{escaped}'"
+
+
+def _bind_literals(sql_query: str, params: list) -> str:
+    """Single-pass ``%s`` -> escaped-literal substitution for the JDBC
+    text-pushdown path (local mode uses real server-side binding
+    instead).  Splitting first means a param VALUE containing ``%s``
+    can never be re-substituted."""
+    parts = sql_query.split("%s")
+    if len(parts) - 1 != len(params):
+        raise ValueError(
+            f"query has {len(parts) - 1} %s placeholders but "
+            f"{len(params)} params were given"
+        )
+    out = [parts[0]]
+    for p, tail in zip(params, parts[1:]):
+        out.append(_sql_literal(p))
+        out.append(tail)
+    return "".join(out)
 
 
 def _catalog_name(table_name: str) -> str:

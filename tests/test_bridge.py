@@ -64,6 +64,74 @@ def test_query_params(bridge):
     assert len(out) == 2
 
 
+def test_query_params_adversarial_strings(bridge):
+    """Server-side binding (spark.sql args), not interpolation: quotes,
+    semicolons and %s inside a VALUE must stay data (the reference gets
+    this via psycopg2 binding, core.py:84)."""
+    pdf = pd.DataFrame({"name": ["O'Brien; DROP TABLE t_roundtrip", "plain", "%s"]})
+    bridge.write_table(pdf, "t_roundtrip")
+    out = bridge.read_sql(
+        "SELECT name FROM t_roundtrip WHERE name = %s",
+        ["O'Brien; DROP TABLE t_roundtrip"],
+    )
+    assert len(out) == 1
+    # a param whose VALUE is literally %s must not be re-substituted
+    out2 = bridge.read_sql("SELECT name FROM t_roundtrip WHERE name = %s", ["%s"])
+    assert len(out2) == 1
+    # table survived
+    assert bridge.sql("SELECT count(*) AS n FROM t_roundtrip").first()["n"] == 3
+
+
+def test_query_params_count_mismatch(bridge):
+    with pytest.raises(ValueError):
+        bridge.sql("SELECT %s, %s", [1])
+
+
+def test_bind_literals_single_pass():
+    """JDBC text-pushdown substitution: escaped literals, one pass."""
+    from pandas_redshift_spark.sources.bridge import _bind_literals
+
+    assert (
+        _bind_literals("SELECT * FROM t WHERE a = %s AND b = %s", ["x'; --", 3])
+        == "SELECT * FROM t WHERE a = 'x''; --' AND b = 3"
+    )
+    # value containing %s is not re-substituted
+    assert _bind_literals("a=%s b=%s", ["%s", 1]) == "a='%s' b=1"
+    assert _bind_literals("x=%s", [None]) == "x=NULL"
+    assert _bind_literals("x=%s", [True]) == "x=TRUE"
+    with pytest.raises(ValueError):
+        _bind_literals("x=%s", [1, 2])
+
+
+def test_stage_csv_kwarg_allowlist(bridge, tmp_path, caplog):
+    """Reference core.py:129-130: only S3_ACCEPTED_KWARGS survive."""
+    import logging
+
+    pdf = pd.DataFrame({"k": [1]})
+    with caplog.at_level(logging.WARNING, logger="pandas_redshift_spark"):
+        bridge.stage_csv(
+            pdf,
+            "stage_kw",
+            path_prefix=str(tmp_path),
+            Metadata={"owner": "me"},
+            NotARealKwarg=1,
+        )
+    assert any("NotARealKwarg" in r.message for r in caplog.records)
+    assert not any("Metadata" in r.message for r in caplog.records if r.levelno >= 30)
+
+
+def test_stage_csv_save_local(bridge, tmp_path, monkeypatch):
+    """Reference core.py:132-135: save_local writes a local copy named
+    csv_name before staging."""
+    monkeypatch.chdir(tmp_path)
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["x", "y"]})
+    bridge.stage_csv(
+        pdf, "local_copy.csv", save_local=True, path_prefix=str(tmp_path / "staged")
+    )
+    back = pd.read_csv(tmp_path / "local_copy.csv")
+    assert len(back) == 2 and set(back.columns) == {"k", "v"}
+
+
 def test_stage_csv_roundtrip(bridge, tmp_path):
     pdf = pd.DataFrame({"k": [1, 2], "v": ["x", "y"]})
     path = bridge.stage_csv(pdf, "stage1", path_prefix=str(tmp_path))
