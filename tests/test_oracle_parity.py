@@ -49,3 +49,40 @@ def test_contract_shapes():
     assert set(o) <= set(q)
     for name, fn in q.items():
         assert callable(fn), name
+
+
+def test_doc_counts_match_registry():
+    """README/COVERAGE query counts are registry-derived, not
+    hand-written (round-1 verdict: the docs had drifted)."""
+    import os
+
+    from pandas_redshift_spark.operators import all_queries
+
+    specs = all_queries()
+    nq, no = len(specs), sum(1 for s in specs.values() if s.oracle is not None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    coverage = open(os.path.join(root, "COVERAGE.md")).read()
+    assert f"{nq}\nregistered queries, {no} oracle-checked" in readme
+    assert f"{nq} registered queries" in readme
+    assert f"{nq} registered queries, {no} with DuckDB oracle twins" in coverage
+
+
+def test_pending_queries_ordered_first():
+    """The driver checks a bounded prefix of queries(): every name
+    WITHOUT a passing CORRECTNESS_r*.json row must sort before every
+    name with one."""
+    import __spark_entry__ as e
+
+    done = e._driver_verified()
+    if not done:
+        import pytest
+
+        pytest.skip("no CORRECTNESS artifacts on disk")
+    names = list(e.queries())
+    seen_done = False
+    for n in names:
+        if n in done:
+            seen_done = True
+        else:
+            assert not seen_done, f"pending query {n} ordered after verified ones"
