@@ -189,6 +189,49 @@ class SparkRedshiftBridge:
             return self.spark.sql("?".join(parts), args=list(query_params))
         return self.spark.sql(sql_query)
 
+    def read_table(
+        self,
+        table_name: str,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+    ) -> DataFrame:
+        """Whole-table extract.  In JDBC mode with ``partition_column``
+        set, Spark opens ``num_partitions`` parallel range-partitioned
+        connections — the distributed fix for the reference's
+        single-socket ``fetchall`` (core.py:86).  Bounds default to the
+        column's MIN/MAX probed with one tiny bounds query."""
+        self._check_open()
+        if not self.jdbc_options:
+            return self.spark.table(_catalog_name(table_name))
+        reader = self.spark.read.format("jdbc").options(**self.jdbc_options)
+        if partition_column:
+            if lower_bound is None or upper_bound is None:
+                bounds = (
+                    self.spark.read.format("jdbc")
+                    .options(**self.jdbc_options)
+                    .option(
+                        "query",
+                        # ANSI-quoted: unquoted identifiers case-fold in
+                        # engine-specific direction (Derby upper,
+                        # Redshift lower)
+                        f'SELECT MIN("{partition_column}") AS "lo", '
+                        f'MAX("{partition_column}") AS "hi" FROM {table_name}',
+                    )
+                    .load()
+                    .first()
+                )
+                lower_bound = bounds["lo"] if lower_bound is None else lower_bound
+                upper_bound = bounds["hi"] if upper_bound is None else upper_bound
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("numPartitions", str(num_partitions))
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+            )
+        return reader.option("dbtable", table_name).load()
+
     # -- pandas_to_redshift (core.py:269-304) --------------------------
     def write_table(
         self,
@@ -234,9 +277,16 @@ class SparkRedshiftBridge:
                 .option("dbtable", table_name)
                 .option("createTableColumnTypes", ddl_types)
             )
-            layout = _layout_create_options(diststyle, distkey, sort_interleaved, sortkey)
-            if layout:
-                writer = writer.option("createTableOptions", layout)
+            # layout clauses are Redshift DDL syntax — attach them only
+            # for a Redshift endpoint or when explicitly requested, so
+            # generic JDBC targets (tested live against Derby) work
+            is_redshift = "redshift" in self.jdbc_options.get("url", "")
+            if is_redshift or distkey or sortkey or diststyle != "even":
+                layout = _layout_create_options(
+                    diststyle, distkey, sort_interleaved, sortkey
+                )
+                if layout:
+                    writer = writer.option("createTableOptions", layout)
             writer.mode(mode).save()
         else:
             out = apply_layout(

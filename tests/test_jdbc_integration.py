@@ -1,0 +1,78 @@
+"""Opt-in JDBC integration tests (round-1 verdict #7): exercise the
+bridge's REAL JDBC codepath — partitioned read, createTableColumnTypes
+write, text-pushdown param splicing — against Apache Derby, the
+embedded JDBC database Spark ships in its own classpath (no server or
+extra jar needed).  Derby speaks generic JDBC, not Redshift layout
+DDL, so the `createTableOptions` layout clause (Redshift-only syntax)
+stays covered by its unit test in test_schema/test_bridge.
+
+Identifiers in pushdown SQL are double-quoted: Spark's JDBC writer
+quotes column names on CREATE, and unquoted identifiers fold in
+engine-specific direction (Derby upper, Redshift lower) — quoting is
+the portable spelling.
+
+Skipped automatically when the Derby driver isn't loadable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pandas_redshift_spark.sources.bridge import SparkRedshiftBridge
+
+
+@pytest.fixture(scope="module")
+def jdbc_bridge(spark, tmp_path_factory):
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    except Exception:
+        pytest.skip("Derby JDBC driver not on the Spark classpath")
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return SparkRedshiftBridge(
+        spark=spark,
+        jdbc_options={
+            "url": f"jdbc:derby:{db};create=true",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    )
+
+
+def test_jdbc_write_then_query(jdbc_bridge):
+    """write_table drives the jdbc writer with createTableColumnTypes;
+    sql() pushes the query text down through the `query` option."""
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    jdbc_bridge.write_table(pdf, "t_jdbc")
+    out = jdbc_bridge.read_sql('SELECT "k", "v" FROM t_jdbc WHERE "k" >= 3')
+    assert len(out) == 2 and set(out["v"]) == {"c", "d"}
+
+
+def test_jdbc_query_params_spliced(jdbc_bridge):
+    """JDBC mode has no server-side binding (text pushdown), so %s
+    params are spliced as escaped literals — including quotes."""
+    pdf = pd.DataFrame({"k": [1, 2], "name": ["O'Brien", "plain"]})
+    jdbc_bridge.write_table(pdf, "t_jdbc_params")
+    out = jdbc_bridge.read_sql(
+        'SELECT "k" FROM t_jdbc_params WHERE "name" = %s', ["O'Brien"]
+    )
+    assert len(out) == 1 and out["k"].iloc[0] == 1
+
+
+def test_jdbc_partitioned_read(jdbc_bridge):
+    """read_table with partition_column opens parallel range-partitioned
+    connections (the fix for the reference's one-socket fetchall) and
+    still returns every row exactly once."""
+    pdf = pd.DataFrame({"k": list(range(100)), "v": [str(i) for i in range(100)]})
+    jdbc_bridge.write_table(pdf, "t_jdbc_part")
+    df = jdbc_bridge.read_table("t_jdbc_part", partition_column="k", num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(100))
+
+
+def test_jdbc_append_mode(jdbc_bridge):
+    pdf = pd.DataFrame({"x": [1, 2]})
+    jdbc_bridge.write_table(pdf, "t_jdbc_append")
+    jdbc_bridge.write_table(pdf, "t_jdbc_append", append=True)
+    out = jdbc_bridge.read_sql('SELECT COUNT(*) AS "n" FROM t_jdbc_append')
+    assert int(out["n"].iloc[0]) == 4
