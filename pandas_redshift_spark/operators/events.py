@@ -385,3 +385,45 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_b", "hour_b", "event_type")
     )
+
+
+@query(
+    "events_dedup_exact",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type,
+                                date_trunc('minute', ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT
+        event_type,
+        CAST(count(*) FILTER (rn = 1) AS BIGINT) AS kept,
+        CAST(count(*) FILTER (rn > 1) AS BIGINT) AS dropped
+    FROM keyed
+    GROUP BY event_type
+    """,
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming dropDuplicates-within-watermark: an
+    event is a duplicate if an earlier event shares (user_id,
+    event_type, minute bucket).  Emits kept/dropped counts per type —
+    counts, not survivor ids, because within-minute ORDER BY ts ties
+    break at nanosecond precision in DuckDB but microsecond in Spark
+    (bucket counts are identical either way).  One window shuffle on
+    the dedup key, then a partial-aggregated rollup."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("kept"),
+            F.count(F.when(F.col("rn") > 1, 1)).cast("bigint").alias("dropped"),
+        )
+    )

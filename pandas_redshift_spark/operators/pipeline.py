@@ -285,3 +285,47 @@ def pipe_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "stage")
     )
+
+
+@query(
+    "pipe_domain_reweight",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cells
+    )
+    SELECT
+        c.lang, c.source, c.n_docs,
+        c.n_docs * 1.0 / t.total AS share,
+        t.total * 1.0 / (t.n_cells * c.n_docs) AS weight
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def pipe_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting — the sampling-weight table a
+    training pipeline derives before drawing a balanced mix: per
+    (lang, source) cell, its corpus share and the resampling weight
+    that equalizes the mixture (weight = uniform_target / share).
+    One group-by; the totals ride a broadcast cross join of a 1-row
+    aggregate (no second corpus pass).  Fractions are raw
+    integer-quotient doubles (identical IEEE division both engines)."""
+    d = Tables(spark, sf_dir).documents
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("n_docs").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+    return cells.crossJoin(tot).select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("share"),
+        (F.col("total") / (F.col("n_cells") * F.col("n_docs"))).alias("weight"),
+    )

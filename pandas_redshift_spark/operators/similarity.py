@@ -480,3 +480,85 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
     )
+
+
+@query(
+    "sim_knn_classify",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.vec_id AS neighbor_id, c.label AS n_label,
+               round(list_cosine_similarity(q.emb, c.emb), 4) AS score
+        FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS rn FROM scored
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM topk GROUP BY query_id, true_label, n_label
+    )
+    SELECT query_id, true_label,
+           CAST(n_label AS INT) AS predicted_label, votes,
+           (n_label = true_label) AS correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, n_label
+        ) AS vr FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification (k=5, cosine): the similarity-search
+    consumer a training pipeline actually runs — label propagation /
+    quality transfer from a labeled seed set.  Composition of the
+    exact top-k (broadcast queries, one corpus pass) + a majority vote
+    (two tiny per-query windows); ties break to the smallest label."""
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t)
+    q = broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = emb.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.round(
+            cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
+        ).alias("score"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= 5)
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").cast("int").alias("predicted_label"),
+            "votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -397,3 +397,127 @@ def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(tokens) AS t,
+               generate_subscripts(tokens, 1) AS pos
+        FROM tok
+    ),
+    marked AS (
+        SELECT doc_id, pos, t,
+               CASE WHEN t = lag(t) OVER (PARTITION BY doc_id ORDER BY pos)
+                    THEN 0 ELSE 1 END AS is_new
+        FROM pos
+    ),
+    runs AS (
+        SELECT doc_id,
+               sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run_id
+        FROM marked
+    ),
+    run_len AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS rl
+        FROM runs GROUP BY doc_id, run_id
+    ),
+    top_tok AS (
+        SELECT doc_id, max(c) AS top_c FROM (
+            SELECT doc_id, count(*) AS c FROM pos GROUP BY doc_id, t
+        ) GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               [tokens[i] || ' ' || tokens[i+1]
+                for i in range(1, greatest(len(tokens), 1))] AS bigrams
+        FROM tok
+    )
+    SELECT
+        tok.doc_id,
+        CAST(len(tok.tokens) AS BIGINT) AS n_tokens,
+        top_tok.top_c * 1.0 / len(tok.tokens) AS top_token_frac,
+        (len(bg.bigrams) - len(list_distinct(bg.bigrams))) * 1.0
+            / greatest(len(bg.bigrams), 1) AS dup_bigram_frac,
+        (SELECT max(rl) FROM run_len r WHERE r.doc_id = tok.doc_id) AS max_token_run
+    FROM tok
+    JOIN top_tok ON tok.doc_id = top_tok.doc_id
+    JOIN bg ON tok.doc_id = bg.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the filters a
+    training-data pipeline uses to drop boilerplate/spam: fraction of
+    mass in the single most-frequent token, duplicated-bigram fraction,
+    and the longest consecutive-equal-token run (window over
+    posexplode; the run detector is the classic gaps-and-islands
+    lag/cumsum, one shuffle keyed by doc).
+
+    Fractions are RAW integer-quotient doubles (identical IEEE
+    division in both engines — same rule as jaccard)."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("tokens"))
+
+    tok = base.select("doc_id", F.posexplode("tokens").alias("pos", "t"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        tok.withColumn(
+            "is_new",
+            F.when(F.col("t") == F.lag("t").over(w_doc), F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("is_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy("doc_id")
+        .agg(F.max("rl").cast("bigint").alias("max_token_run"))
+    )
+    top_tok = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    # bigrams WITH multiplicity (shingles() would distinct them away)
+    n = F.size("tokens")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("tokens", (i + 1).cast("int")),
+                F.element_at("tokens", (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        bigrams.alias("bigrams"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.size("bigrams") - F.size(F.array_distinct("bigrams")))
+            / F.greatest(F.size("bigrams"), F.lit(1))
+        ).alias("dup_bigram_frac"),
+    )
+    return (
+        stats.join(top_tok, "doc_id")
+        .join(runs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+            "dup_bigram_frac",
+            "max_token_run",
+        )
+    )
