@@ -331,3 +331,53 @@ def window_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    modal AS (
+        SELECT l_returnflag, l_quantity AS mode_qty FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_returnflag ORDER BY c DESC, l_quantity
+            ) AS rn FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT
+        m.l_returnflag,
+        median(l.l_quantity) AS median_qty,
+        CAST(any_value(m.mode_qty) AS BIGINT) AS mode_qty,
+        CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN modal m ON l.l_returnflag = m.l_returnflag
+    GROUP BY m.l_returnflag
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + deterministic mode per group (SURVEY §2.B statistical
+    aggregates): median via the built-in exact MEDIAN (interpolating,
+    double — safe here: integer inputs interpolate to .0/.5 exactly),
+    mode computed EXPLICITLY as count-then-rank with a (count DESC,
+    value ASC) tie-break — engines disagree on native MODE()'s tie
+    winner, a deterministic window does not."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("c").desc(), F.col("l_quantity"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return (
+        li.join(F.broadcast(modal), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("median_qty"),
+            F.any_value("mode_qty").cast("bigint").alias("mode_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -329,3 +329,53 @@ def pipe_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") / F.col("total")).alias("share"),
         (F.col("total") / (F.col("n_cells") * F.col("n_docs"))).alias("weight"),
     )
+
+
+@query(
+    "pipe_mix_sample",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source
+    ),
+    target AS (SELECT min(n_docs) AS tgt FROM cells),
+    hashed AS (
+        SELECT d.lang, d.source, c.n_docs, t.tgt,
+               (d.doc_id * 2654435761) % 4294967296 AS u
+        FROM documents d
+        JOIN cells c ON d.lang = c.lang AND d.source = c.source
+        CROSS JOIN target t
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(any_value(tgt) AS BIGINT) AS target_per_cell
+    FROM hashed
+    WHERE u * n_docs < tgt * 4294967296
+    GROUP BY lang, source
+    """,
+)
+def pipe_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-mixture downsampling — the consumer of
+    pipe_domain_reweight's weights: every (lang, source) cell is
+    down-sampled to ~the smallest cell's size by a DETERMINISTIC
+    arithmetic hash (Knuth multiplicative, exact BIGINT arithmetic in
+    both engines — no floats, no RNG, so reruns and engines agree
+    row-for-row).  Keep rule: u * n_cell < target * 2^32, i.e.
+    P(keep) = target/n_cell without a division.  One group-by for
+    cell sizes (broadcast back), one scan to sample — no shuffle of
+    the corpus itself."""
+    d = Tables(spark, sf_dir).documents
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    target = F.broadcast(cells.agg(F.min("n_docs").alias("tgt")))
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        d.join(F.broadcast(cells), ["lang", "source"])
+        .crossJoin(target)
+        .withColumn("u", u)
+        .filter(F.col("u") * F.col("n_docs") < F.col("tgt") * F.lit(4294967296))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.any_value("tgt").cast("bigint").alias("target_per_cell"),
+        )
+    )
