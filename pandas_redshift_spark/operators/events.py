@@ -427,3 +427,33 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("rn") > 1, 1)).cast("bigint").alias("dropped"),
         )
     )
+
+
+@query(
+    "events_attribution_join",
+    oracle="""
+    SELECT
+        c.user_id,
+        c.event_id AS click_id,
+        p.event_id AS purchase_id,
+        p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming click->purchase interval join
+    (streaming/windows.click_purchase_interval_join, batch-differential
+    tested): purchases attributed to a same-user click within the
+    preceding 30 minutes.  The event-time bounds are exactly the ones
+    Structured Streaming requires to expire join state — same
+    expression both modes.  Self-join shuffles once on user_id."""
+    ev = Tables(spark, sf_dir).events
+    from pandas_redshift_spark.streaming.windows import click_purchase_interval_join
+
+    return click_purchase_interval_join(ev).select(
+        "user_id", "click_id", "purchase_id", "purchase_value"
+    )

@@ -158,3 +158,70 @@ def enrich_stream_with_profile(events: DataFrame, profile: DataFrame) -> DataFra
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+def click_purchase_interval_join(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """STREAM-STREAM event-time interval join: purchases attributed to
+    the same user's click within the preceding ``horizon``.  Both
+    sides carry watermarks and the join condition bounds event time in
+    ONE direction per side, so the state store can expire rows — the
+    canonical attribution-join shape (Structured Streaming requires
+    exactly these bounds to avoid unbounded state; an unbounded
+    condition is rejected at analysis time).
+
+    Emits one row per (click, purchase) pair inside the horizon; the
+    batch twin is the identical expression over the static frame
+    (batch-differential tested)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+def write_foreach_batch_idempotent(stream_df: DataFrame, out_dir: str):
+    """writeStream.foreachBatch with EPOCH-KEYED idempotent output:
+    each micro-batch lands in ``{out_dir}/epoch={batch_id}`` via
+    mode("overwrite"), so a replayed batch (restart after a sink
+    failure, before the commit log advanced) overwrites its own
+    directory instead of appending duplicates — the standard
+    exactly-once recipe for sinks without transactional commit.
+    Blocks until all available input is consumed; read the result with
+    spark.read.parquet(out_dir)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -126,3 +126,44 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_stream):
     }
     assert got == expected
     assert sum(v[0] for v in got.values()) == batch.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
+    """The watermarked stream-stream interval join, fully drained, must
+    produce exactly the batch join's pairs."""
+    from pandas_redshift_spark.session import Tables, configure_session
+    from pandas_redshift_spark.streaming.windows import (
+        click_purchase_interval_join,
+        run_to_memory,
+    )
+
+    configure_session(spark)
+    batch = Tables(spark, sf_dir).events
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in click_purchase_interval_join(batch).collect()
+    }
+    assert want, "batch twin produced no attribution pairs"
+    run_to_memory(click_purchase_interval_join(events_stream), "t_ssjoin")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, events_stream, tmp_path):
+    """foreachBatch epoch-keyed sink: after draining, the parquet
+    output holds every input row exactly once."""
+    from pandas_redshift_spark.streaming.windows import (
+        write_foreach_batch_idempotent,
+    )
+
+    out = str(tmp_path / "fb_sink")
+    write_foreach_batch_idempotent(
+        events_stream.select("event_id", "user_id", "event_type", "value"), out
+    )
+    written = spark.read.parquet(out)
+    n_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert written.count() == n_in
+    assert written.select("event_id").distinct().count() == n_in
