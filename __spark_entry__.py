@@ -60,16 +60,20 @@ def _ordered_specs():
     checked = [s for n, s in specs.items() if n in done]
 
     # Within pending, surface the highest-grading families first (the
-    # driver's per-round budget may not reach all pending entries).
+    # driver's per-round budget may not reach all pending entries), and
+    # within a family put oracle-backed queries before rows-only ones —
+    # a hash-matched row is the hard signal, a rows-only check is weak.
     prio = ("dedup_", "sim_", "text_", "pipe_", "events_", "tpch_", "subquery_")
 
-    def rank(spec) -> int:
+    def rank(spec) -> tuple[int, int]:
+        fam = len(prio)
         for i, p in enumerate(prio):
             if spec.name.startswith(p):
-                return i
-        return len(prio)
+                fam = i
+                break
+        return (fam, 0 if spec.oracle is not None else 1)
 
-    pending.sort(key=rank)  # stable: registration order within a family
+    pending.sort(key=rank)  # stable: registration order within a tier
     return pending + checked
 
 
