@@ -62,6 +62,20 @@ def test_relational_queries_stay_jvm_side(spark, sf_dir):
         assert not py_nodes.search(_plan(spark, name, sf_dir)), name
 
 
+def test_bucketed_similarity_defaults_have_no_all_pairs_join(spark, sf_dir):
+    """Round-2 guard: the registered sim_pairs_threshold and
+    dedup_embedding_cosine defaults are LSH-bucketed — their plans must
+    contain no nested-loop (all-pairs) join.  The *_exact twins keep
+    that shape on purpose; they are baselines, not defaults."""
+    for name in ("sim_pairs_threshold", "dedup_embedding_cosine"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # and the exact twin IS the all-pairs baseline (sanity: the guard
+    # above would be vacuous if nothing produced a nested-loop join)
+    assert "BroadcastNestedLoopJoin" in _plan(spark, "sim_pairs_threshold_exact", sf_dir)
+
+
 def test_shingle_transform_never_reaches_a_scan(spark, sf_dir):
     """Regression guard for the InferFiltersFromGenerate trap
     (PLANS.md): the shingle-building expression must not be dragged
