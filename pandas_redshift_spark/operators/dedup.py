@@ -381,3 +381,80 @@ def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-dp rounding is never engine-safe; identical IEEE divisions
     # agree bit-for-bit and the driver's %.6f canonicalization matches
     return inter.filter(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+@query("dedup_cluster_components_lsstar")
+def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the provably O(log n)-round formulation that replaces
+    min-label propagation's O(diameter) at 100 TB, where a single
+    chain-shaped near-dup cluster would otherwise serialize the loop.
+
+    large-star: every node connects its LARGER neighbors to the min of
+    its neighborhood (incl. itself); small-star: every node connects
+    its smaller-or-equal neighbors (and itself) to that min.  Both are
+    one groupBy + one join re-emission — the same shuffle shape as one
+    propagation round — but the composition provably halves component
+    height per double-round.  Convergence = edge multiset fixpoint,
+    detected by a 1-row (count, sum) aggregate; localCheckpoint
+    truncates lineage per round as in dedup_cluster_components.
+
+    Same output contract as dedup_cluster_components (the
+    union-find-verified baseline); tests assert they agree
+    component-for-component.  Iterative => rows-only driver check."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # canonical hi -> lo direction
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def edge_sig(df: DataFrame):
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            ).collect()[0]
+        )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        return (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # edges already hi -> lo; min of smaller neighborhood
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        relink = edges.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        selfe = mins.select("u", F.col("m").alias("v"))
+        return relink.union(selfe).filter(F.col("u") != F.col("v")).distinct()
+
+    sig = edge_sig(e)
+    for _ in range(15):  # O(log n) bound; near-dup graphs close in 2-3
+        e = small_star(large_star(e)).localCheckpoint()
+        new_sig = edge_sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint edges form stars: u -> component root (the min).  Roots
+    # label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("label")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("label"))
+    ).groupBy("node").agg(F.min("label").alias("label"))
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("component_id")
+    )

@@ -228,3 +228,22 @@ def test_hll_sketch_union_tracks_exact_counts(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_lsstar_components_match_propagation(spark, sf_dir):
+    """The large-star/small-star formulation must produce exactly the
+    same components as the union-find-verified min-label baseline."""
+    from pandas_redshift_spark.operators.dedup import (
+        dedup_cluster_components,
+        dedup_cluster_components_lsstar,
+    )
+
+    base = {
+        (r.component_id, tuple(r.members))
+        for r in dedup_cluster_components(spark, sf_dir).collect()
+    }
+    star = {
+        (r.component_id, tuple(r.members))
+        for r in dedup_cluster_components_lsstar(spark, sf_dir).collect()
+    }
+    assert base and star == base
