@@ -178,3 +178,30 @@ def subquery_in_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AND o_totalprice < 20000
         """,
     )
+
+
+_NOT_IN_NULLS_SQL = """
+    SELECT
+        CAST((SELECT count(*) FROM customer
+              WHERE c_nationkey NOT IN
+                    (SELECT nullif(n_nationkey, 13) FROM nation)) AS BIGINT)
+            AS n_with_null_list,
+        CAST((SELECT count(*) FROM customer
+              WHERE c_nationkey NOT IN
+                    (SELECT nullif(n_nationkey, 13) FROM nation
+                     WHERE nullif(n_nationkey, 13) IS NOT NULL)) AS BIGINT)
+            AS n_null_filtered
+    """
+
+
+@query("subquery_not_in_nulls", oracle=_NOT_IN_NULLS_SQL)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic NOT IN + NULL trap, pinned as ANSI behavior in both
+    engines: a NULL in the IN-list makes every NOT IN predicate
+    UNKNOWN, so the first count is 0 — silently — while the
+    IS-NOT-NULL-filtered twin returns the rows the user almost
+    certainly wanted.  Redshift (PG-8 semantics) behaves identically,
+    so the reference's pass-through users hit exactly this; an engine
+    that 'fixed' it would silently diverge.  Planned as null-aware
+    anti joins (the reason Spark needs NAAJ at all)."""
+    return _sql(spark, sf_dir, _NOT_IN_NULLS_SQL)
