@@ -457,3 +457,52 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_interval_join(ev).select(
         "user_id", "click_id", "purchase_id", "purchase_value"
     )
+
+
+@query(
+    "events_quantile_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT
+            strftime(date_trunc('day', ts), '{_DUCK_FMT}') AS day,
+            event_type,
+            round(quantile_cont(value, 0.5), 4) AS p50,
+            round(quantile_cont(value, 0.95), 4) AS p95,
+            CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, event_type, p50, p95, n,
+           round(p50 - lag(p50) OVER (PARTITION BY event_type ORDER BY day), 4)
+               AS p50_delta,
+           round(p95 - lag(p95) OVER (PARTITION BY event_type ORDER BY day), 4)
+               AS p95_delta
+    FROM daily
+    """,
+)
+def events_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value-distribution drift monitor — the data-quality check
+    a training pipeline runs on incoming event/metric streams: exact
+    per-day p50/p95 (PERCENTILE_CONT semantics; day x type groups are
+    bounded, so exact is fine — swap percentile_approx at 100 TB) and
+    the day-over-day delta via lag.  The quantile agg and the lag
+    window share the event_type partitioning, so the drift pass adds
+    no extra corpus shuffle."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), _FMT).alias("day"), "event_type"
+    ).agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "day",
+        "event_type",
+        "p50",
+        "p95",
+        "n",
+        F.round(F.col("p50") - F.lag("p50").over(w), 4).alias("p50_delta"),
+        F.round(F.col("p95") - F.lag("p95").over(w), 4).alias("p95_delta"),
+    )

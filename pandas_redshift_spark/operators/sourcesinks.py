@@ -400,3 +400,46 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.round("l_extendedprice", 2).alias("price"),
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        FROM orders WHERE o_orderkey < 1000
+        UNION ALL
+        SELECT o_orderkey, NULL AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    )
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+        CAST(count(o_orderstatus) AS BIGINT) AS n_with_status,
+        round(sum(o_totalprice), 2) AS price_sum
+    FROM unioned
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (lake reality: batches written months
+    apart carry different column sets): two parquet batches with
+    divergent schemas land in one dataset dir; ``mergeSchema`` read
+    reconciles them to the union schema with NULLs for absent columns.
+    The merge costs one footer pass over file METADATA, not data —
+    at 100 TB you'd pin the merged schema in a metastore instead, but
+    the read semantics are identical."""
+    o = Tables(spark, sf_dir).orders
+    path = _stage_dir("schema_evolution")
+    o.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch=1")
+    o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{path}/batch=1", f"{path}/batch=2")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
