@@ -458,3 +458,63 @@ def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("component_id")
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(sa.n AS BIGINT) AS n_grams_a,
+           i.n_common * 1.0 / sa.n AS containment
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+    WHERE i.n_common * 1.0 / sa.n >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |A∩B| / |A| >= 0.8 —
+    the semantic that catches a short document wholly quoted inside a
+    longer one, which symmetric Jaccard dilutes below threshold (the
+    union in the denominator grows with |B|).  Training pipelines run
+    BOTH: jaccard for same-size near-dups, containment for subset
+    spam/quotes.  Same inverted-index join as dedup_ngram_jaccard —
+    only |A| rides the posting rows (|B| never needed), pairs are
+    DIRECTED (a != b, both orders scored).  Containment is a raw
+    integer-quotient double (identical IEEE division both engines)."""
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    sh = d.select("doc_id", shingles().alias("shingle_set")).persist()
+    tok = sh.select(
+        "doc_id", F.size("shingle_set").alias("n"), F.explode("shingle_set").alias("s")
+    )
+    a = tok.alias("a")
+    b = tok.select("doc_id", "s").alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.col("na")
+    return inter.filter(cont >= 0.8).select(
+        "doc_a",
+        "doc_b",
+        F.col("na").cast("bigint").alias("n_grams_a"),
+        cont.alias("containment"),
+    )
