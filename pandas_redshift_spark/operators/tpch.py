@@ -833,37 +833,44 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
     lateness is shipping >90 days after the order date (no
-    commit/receipt dates).  Keeps the canonical EXISTS + NOT EXISTS
-    double correlation on the same fact table; run through spark.sql
-    so Catalyst plans them as a semi join and an anti join sharing the
-    orderkey partitioning.  Reference delegates this via
-    pandas_redshift/core.py:84."""
+    commit/receipt dates).  The ORACLE keeps the canonical EXISTS +
+    NOT EXISTS double correlation; this implementation is the manual
+    DECORRELATION into one order-level aggregate — the round-2 perf
+    rewrite that removes the fact-fact anti join entirely:
+
+      EXISTS other-supplier lineitem      <=> n_supp_distinct >= 2
+      NOT EXISTS other-supplier LATE item <=> n_late_supp_distinct = 1
+                                              (l1 is late, so its own
+                                              supplier IS the one)
+
+    One lineitem-orders join (orderkey), one groupBy on the SAME
+    orderkey (no second exchange — partitioning reused), re-join of
+    the late rows against the per-order counts (co-partitioned), then
+    supplier broadcast + final name agg: 3 fact scans and a
+    SortMergeJoin anti become 1 joined scan reused twice.  Reference
+    delegates this via pandas_redshift/core.py:84."""
     t = Tables(spark, sf_dir)
-    t.register_views()
-    return spark.sql(
-        """
-        SELECT s.s_name, count(*) AS numwait
-        FROM supplier s
-        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
-        WHERE o.o_orderstatus = 'F'
-          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-          AND EXISTS (
-              SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-              SELECT 1 FROM lineitem l3 JOIN orders o3
-                ON o3.o_orderkey = l3.l_orderkey
-              WHERE l3.l_orderkey = l1.l_orderkey
-                AND l3.l_suppkey <> l1.l_suppkey
-                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
-          )
-        GROUP BY s.s_name
-        ORDER BY numwait DESC, s.s_name
-        LIMIT 100
-        """
+    o = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    enr = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    )
+    per_order = enr.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        enr.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )
 
 
