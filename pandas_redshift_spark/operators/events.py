@@ -506,3 +506,30 @@ def events_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p50") - F.lag("p50").over(w), 4).alias("p50_delta"),
         F.round(F.col("p95") - F.lag("p95").over(w), 4).alias("p95_delta"),
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(CAST(floor(value / 50) AS BIGINT), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (50-unit buckets,
+    top-coded at bucket 9) — the profiling pass a pipeline runs before
+    choosing quantile cut-points.  Pure map-side bucket assignment +
+    one partial/final aggregate; integer floor-division arithmetic is
+    identical in both engines (DuckDB ``//`` vs Spark floor-cast)."""
+    ev = Tables(spark, sf_dir).events
+    bucket = F.least(F.floor(F.col("value") / 50).cast("bigint"), F.lit(9))
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
