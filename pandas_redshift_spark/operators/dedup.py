@@ -154,6 +154,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
+def minhash_signatures(d: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) MinHash signature frame.  The expensive
+    variable-length hash (xxhash64 over each shingle STRING) runs
+    ONCE; each signature re-mixes only the fixed-width base long with
+    xxhash64(i, h) — constant-cost, overflow-safe under ANSI mode
+    (an affine a*h+b permutation would throw on long overflow).
+
+    P(mh_i(A) == mh_i(B)) = jaccard(A, B), so signature agreement is
+    an unbiased jaccard estimator — calibration is unit-tested against
+    the exact operator."""
+    sh = d.select(
+        "doc_id", F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+    def _remix_min(i: int):
+        def fn(h):
+            return F.xxhash64(F.lit(i), h)
+
+        return F.array_min(F.transform(F.col("hs"), fn))
+
+    return sh.select(
+        "doc_id", *[_remix_min(i).alias(f"mh{i}") for i in range(n_hashes)]
+    )
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates — the 100 TB-scale path
@@ -172,19 +197,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
     n_hashes, band_size = 32, 4
-    # base hash once per shingle; signatures re-mix the long only
-    sh = d.select(
-        "doc_id", F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hs")
-    )
-
-    def _remix_min(i: int):
-        def fn(h):
-            return F.xxhash64(F.lit(i), h)
-
-        return F.array_min(F.transform(F.col("hs"), fn))
-
-    sig_cols = [_remix_min(i).alias(f"mh{i}") for i in range(n_hashes)]
-    sigs = sh.select("doc_id", *sig_cols)
+    sigs = minhash_signatures(d, n_hashes)
     bands = [
         F.hash(*[F.col(f"mh{b * band_size + r}") for r in range(band_size)]).alias(
             f"band{b}"

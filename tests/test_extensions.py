@@ -247,3 +247,38 @@ def test_lsstar_components_match_propagation(spark, sf_dir):
         for r in dedup_cluster_components_lsstar(spark, sf_dir).collect()
     }
     assert base and star == base
+
+
+def test_minhash_estimates_calibrated(spark, sf_dir):
+    """MinHash signature agreement is an unbiased jaccard estimator
+    (P[component match] = J): over the true near-dup pairs, the
+    32-component estimate must track exact jaccard within the
+    binomial noise band (se = sqrt(J(1-J)/32) ~ 0.09)."""
+    from pandas_redshift_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        minhash_signatures,
+    )
+    from pandas_redshift_spark.session import Tables
+
+    n_hashes = 32
+    sigs = minhash_signatures(Tables(spark, sf_dir).documents, n_hashes)
+    exact = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.2)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n_hashes)
+    )
+    est = (
+        exact.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "jaccard", (agree / n_hashes).alias("est"))
+        .collect()
+    )
+    assert est, "no pairs to calibrate on"
+    errs = [abs(r.est - r.jaccard) for r in est]
+    mean_err = sum(errs) / len(errs)
+    assert mean_err < 0.12, f"minhash mean abs error {mean_err} over {len(errs)} pairs"
