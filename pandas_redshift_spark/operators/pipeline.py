@@ -379,3 +379,65 @@ def pipe_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("tgt").cast("bigint").alias("target_per_cell"),
         )
     )
+
+
+@query(
+    "pipe_dedup_keepfirst",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT i.doc_b AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (dr.doc_id IS NULL) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (dr.doc_id IS NOT NULL) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.lang
+    """,
+)
+def pipe_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup PASS with keep-first survivor policy — the
+    composition a training pipeline actually ships: a document is
+    dropped iff some LOWER-id document is jaccard >= 0.5 to it (no
+    transitive closure — each doc checks only its own partners, which
+    keeps the pass one inverted-index join + one anti-join-shaped mark,
+    fully SQL-expressible; the clustering ops cover the transitive
+    variant).  Emits per-language kept/dropped counts — the corpus
+    report that gates the pass in production."""
+    from pandas_redshift_spark.operators.dedup import dedup_ngram_jaccard
+
+    d = Tables(spark, sf_dir).documents
+    dropped = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(dropped.withColumn("is_dropped", F.lit(1))), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_dropped").isNull(), 1)).alias("n_kept"),
+            F.count("is_dropped").alias("n_dropped"),
+        )
+    )
