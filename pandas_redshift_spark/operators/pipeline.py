@@ -21,9 +21,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pandas_redshift_spark.operators.dedup import shingles
+from pandas_redshift_spark.operators.dedup import shingle_frame
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables, ensure_parallelism
+from pandas_redshift_spark.session import Tables
 
 
 @query(
@@ -166,13 +166,9 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership probe is a BROADCAST join against the exploded training
     shingles — the corpus-side data never shuffles, which is what
     makes contamination checks affordable at 100 TB."""
-    d = ensure_parallelism(Tables(spark, sf_dir).documents)
-    # persist the shingle sets BEFORE exploding: the cache boundary
-    # stops InferFiltersFromGenerate's size()>0 filter from dragging
-    # the whole shingle transform below the repartition exchange into
-    # the single-task scan stage, and stops the per-exploded-row
-    # recomputation of the transform (both measured 10-25x slower)
-    sh = d.select("doc_id", shingles().alias("shingle_set")).persist()
+    # shared persisted shingle frame — pre-explode cache boundary stops
+    # the InferFiltersFromGenerate pushdown trap (see dedup.shingle_frame)
+    sh = shingle_frame(spark, sf_dir)
     bench = (
         sh.filter(F.col("doc_id") % 53 == 0)
         .select(F.explode("shingle_set").alias("s"))
