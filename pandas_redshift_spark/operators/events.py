@@ -533,3 +533,52 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS prob
+    FROM pairs
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() pairs each event with its predecessor, the bigram
+    counts aggregate globally, and the row-normalized probability is
+    an exact integer-count quotient (raw double — identical IEEE
+    division both engines).
+
+    Shape: ONE shuffle on user_id serves the lag window (user
+    sequences are independent, so the window parallelizes across the
+    full cluster); the bigram count is a 5x5-cardinality partial agg
+    that collapses map-side; the normalizing window runs over ~25
+    rows.  No part of the plan grows super-linearly at 100 TB."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n") / F.sum("n").over(total)).alias("prob"),
+    )

@@ -562,3 +562,54 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@query(
+    "sim_centroid_drift",
+    oracle="""
+    WITH e AS (
+        SELECT label, vec_id % 2 AS split, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, 65)) AS dim),
+    cent AS (
+        SELECT e.label, d.dim,
+               round(avg(CASE WHEN e.split = 0 THEN e.emb[d.dim] END), 6) AS c0,
+               round(avg(CASE WHEN e.split = 1 THEN e.emb[d.dim] END), 6) AS c1
+        FROM e CROSS JOIN dims d
+        GROUP BY e.label, d.dim
+    )
+    SELECT label,
+           round(sqrt(sum((c0 - c1) * (c0 - c1))), 6) AS drift_l2,
+           CAST(count(*) AS BIGINT) AS n_dims
+    FROM cent
+    GROUP BY label
+    """,
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-label centroid of two
+    deterministic corpus splits (vec_id parity stands in for
+    yesterday's batch vs today's), then the L2 distance between the
+    two centroids — the cheapest "did my embedding space move?" check
+    a training pipeline runs per ingest.
+
+    Shape: posexplode -> one (label, dim) shuffle with map-side
+    partial avg -> one tiny (label) re-agg; both aggregates are
+    mergeable, so the pass is a single linear scan at 100 TB.
+    Centroids are rounded at 6dp BEFORE differencing so both engines
+    difference identical doubles (avg accumulation order differs
+    across engines; sqrt itself is IEEE-correctly-rounded and safe)."""
+    t = Tables(spark, sf_dir)
+    e = _emb_double(t).withColumn("split", F.col("vec_id") % 2)
+    flat = e.select(
+        "label", "split", F.posexplode("emb").alias("dim0", "val")
+    ).select("label", "split", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = flat.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(F.col("split") == 0, F.col("val"))), 6).alias("c0"),
+        F.round(F.avg(F.when(F.col("split") == 1, F.col("val"))), 6).alias("c1"),
+    )
+    diff = F.col("c0") - F.col("c1")
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(diff * diff)), 6).alias("drift_l2"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )

@@ -521,3 +521,51 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_token_run",
         )
     )
+
+
+@query(
+    "text_vocab_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT lang, tok, count(*) AS cnt
+        FROM tok GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST(count(*) FILTER (cnt = 1) AS BIGINT) AS hapax_tokens,
+           count(*) * 1.0 / sum(cnt) AS type_token_ratio,
+           count(*) FILTER (cnt = 1) * 1.0 / count(*) AS hapax_ratio
+    FROM freq
+    GROUP BY lang
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary profile per language: total token mass,
+    vocabulary size, hapax legomena (tokens seen exactly once) and the
+    derived type-token / hapax ratios — the Heaps/Zipf health numbers
+    a corpus report tracks as ingest grows (a collapsing hapax ratio
+    flags boilerplate or dedup failure; TTR drift flags a source mix
+    change).
+
+    Shape: explode -> one (lang, token) partial-agg shuffle (map-side
+    combine absorbs the Zipf head) -> one tiny per-lang re-agg.  Both
+    ratios are exact integer-count quotients emitted as raw doubles
+    (identical IEEE division both engines)."""
+    d = Tables(spark, sf_dir).documents
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return freq.groupBy("lang").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.count(F.when(F.col("cnt") == 1, 1)).alias("hapax_tokens"),
+        (F.count(F.lit(1)) / F.sum("cnt")).alias("type_token_ratio"),
+        (F.count(F.when(F.col("cnt") == 1, 1)) / F.count(F.lit(1))).alias("hapax_ratio"),
+    )
