@@ -582,3 +582,83 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(total)).alias("prob"),
     )
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, max(ts) AS umax,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(value), 4) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    g AS (SELECT max(umax) AS gmax FROM p),
+    r AS (
+        SELECT p.user_id, p.n_purchases, p.monetary,
+               CAST(date_diff('day', CAST(p.umax AS DATE), CAST(g.gmax AS DATE)) AS BIGINT)
+                   AS recency_days
+        FROM p CROSS JOIN g
+    ),
+    q AS (
+        SELECT user_id, recency_days, n_purchases, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_quartile,
+               CAST(ntile(4) OVER (ORDER BY n_purchases DESC, user_id) AS BIGINT) AS f_quartile,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quartile
+        FROM r
+    )
+    SELECT user_id, recency_days, n_purchases, monetary,
+           r_quartile, f_quartile, m_quartile,
+           'R' || r_quartile || 'F' || f_quartile || 'M' || m_quartile AS segment
+    FROM q
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    purchase vs the corpus max), frequency (purchase count) and
+    monetary (value sum), each cut into quartiles; quartile 1 is best
+    (most recent / most frequent / highest spend).
+
+    Determinism: every ntile ORDER BY carries user_id as a tie-break
+    (engines otherwise break ties arbitrarily); monetary is rounded
+    BEFORE ranking so both engines rank identical doubles.
+
+    Scale note: exact global ntile is a single-partition window —
+    fine for the per-user aggregate (rows = |users|, tiny next to raw
+    events), but at billions of users the quartile CUTS should come
+    from approx_percentile (mergeable sketch) and join back
+    broadcast; the per-user aggregate underneath is one mergeable
+    shuffle either way."""
+    ev = Tables(spark, sf_dir).events
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("umax"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    gmax = p.agg(F.max("umax").alias("gmax"))
+    r = p.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        "n_purchases",
+        "monetary",
+        F.datediff(F.to_date("gmax"), F.to_date("umax")).cast("bigint").alias("recency_days"),
+    )
+    q = r.select(
+        "*",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).cast("bigint").alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("n_purchases").desc(), "user_id")).cast("bigint").alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id")).cast("bigint").alias("m_quartile"),
+    )
+    return q.select(
+        "user_id", "recency_days", "n_purchases", "monetary",
+        "r_quartile", "f_quartile", "m_quartile",
+        F.concat(
+            F.lit("R"), F.col("r_quartile"),
+            F.lit("F"), F.col("f_quartile"),
+            F.lit("M"), F.col("m_quartile"),
+        ).alias("segment"),
+    )

@@ -569,3 +569,44 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / F.sum("cnt")).alias("type_token_ratio"),
         (F.count(F.when(F.col("cnt") == 1, 1)) / F.count(F.lit(1))).alias("hapax_ratio"),
     )
+
+
+@query(
+    "text_normalize_dedupe_ready",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens_raw,
+               array_to_string(
+                   list_filter(string_split(text, ' '),
+                               t -> t <> 'a' AND t <> 'the'),
+                   ' ') AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens_raw AS BIGINT) AS n_tokens_raw,
+           CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens_norm,
+           sha256(norm_text) AS norm_hash
+    FROM norm
+    """,
+)
+def text_normalize_dedupe_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass that precedes exact dedup: strip stopwords
+    ('a', 'the' in this corpus), re-join, fingerprint the normalized
+    text — so trivially-padded copies collapse to one content hash.
+    Emits before/after token counts plus the dedup-ready digest.
+
+    Shape: pure per-row narrow transforms (split -> filter ->
+    concat -> sha2), zero shuffles — embarrassingly parallel at any
+    scale, and the digest (not the text) is what a downstream exact
+    dedup shuffles."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    kept = F.filter(toks, lambda t: (t != "a") & (t != "the"))
+    norm = F.array_join(kept, " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens_raw"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens_norm"),
+        F.sha2(norm, 256).alias("norm_hash"),
+    )

@@ -104,3 +104,48 @@ def test_shingle_transform_never_reaches_a_scan(spark, sf_dir):
         assert_clean(name, df._jdf.queryExecution().explainString(mode))
         df.count()  # materialize the persisted shingle cache
         assert_clean(name, _plan(spark, name, sf_dir))
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """The 100 TB semi-join-reduction lever: when a shuffle join's
+    build side is selective, Spark's InjectRuntimeFilter rewrites the
+    probe side with might_contain(bloom_filter_agg(...)) so the fact
+    scan discards non-joining rows BEFORE the shuffle.  Local testdata
+    sits under the default 10 GB application-side threshold, so the
+    test scopes the thresholds down (and disables broadcast to force
+    the shuffle-join shape the rule targets), then restores every
+    conf."""
+    import pyspark.sql.functions as F
+
+    from pandas_redshift_spark.session import Tables
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        t = Tables(spark, sf_dir)
+        sel = t.part.filter(F.col("p_size") == 1).select("p_partkey")
+        j = (
+            t.lineitem.join(sel, t.lineitem.l_partkey == sel.p_partkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
