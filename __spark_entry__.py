@@ -63,7 +63,11 @@ def _ordered_specs():
     # driver's per-round budget may not reach all pending entries), and
     # within a family put oracle-backed queries before rows-only ones —
     # a hash-matched row is the hard signal, a rows-only check is weak.
-    prio = ("dedup_", "sim_", "text_", "pipe_", "events_", "tpch_", "subquery_")
+    # TPC-H leads: it's the flagship relational suite and the round-1
+    # verdict's first-named verification gap; subqueries next (same
+    # callout), then the extension families (which also carry repo-side
+    # parity + semantic-test evidence the relational suite lacks).
+    prio = ("tpch_", "subquery_", "dedup_", "sim_", "text_", "pipe_", "events_")
 
     def rank(spec) -> tuple[int, int]:
         fam = len(prio)
