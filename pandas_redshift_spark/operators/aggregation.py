@@ -381,3 +381,63 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(sum(o_totalprice), 2) / count(*) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the aggregate state
+    over the historical partition (orders before 1997) is kept as
+    MERGEABLE partials (count, sum, min, max — never avg), the new
+    batch computes the same partials, and refresh is a union + re-agg
+    of two tiny state frames instead of a full recompute.  The oracle
+    IS the full recompute — proving partial-merge equals recompute,
+    which is the whole correctness claim of incremental refresh.
+
+    Scale: this is why the state holds sum+count instead of avg —
+    avg doesn't merge.  At 100 TB the historical partials are a few
+    rows per group read from the MV store; only the delta partition is
+    scanned per refresh.  Final avg divides the ROUNDED sum so both
+    engines divide identical doubles."""
+    o = Tables(spark, sf_dir).orders
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partials(o.filter(F.col("o_orderdate") < cut))
+    delta = partials(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("s"), 2).alias("total_price"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        (F.col("total_price") / F.col("n_orders")).alias("avg_price"),
+        "min_price",
+        "max_price",
+    )

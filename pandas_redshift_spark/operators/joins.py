@@ -264,3 +264,83 @@ def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l1.l_orderkey").alias("l_orderkey"), F.col("l1.l_linenumber").alias("l_linenumber"))
         .agg(F.count(F.lit(1)).alias("n_same_part_suppliers"))
     )
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    WITH w AS (
+        SELECT i AS window_id,
+               DATE '1995-01-01' + CAST(i * 30 AS INTEGER) AS w_start,
+               DATE '1995-01-01' + CAST(i * 30 + 44 AS INTEGER) AS w_end
+        FROM (SELECT unnest(range(36)) AS i)
+    )
+    SELECT CAST(w.window_id AS BIGINT) AS window_id,
+           strftime(w.w_start, '%Y-%m-%d') AS w_start,
+           strftime(w.w_end, '%Y-%m-%d') AS w_end,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM w
+    JOIN lineitem l
+      ON CAST(l.l_shipdate AS DATE) BETWEEN w.w_start AND w.w_end
+    GROUP BY w.window_id, w.w_start, w.w_end
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key: overlapping 45-day promo windows
+    vs. ship dates) executed as a BANDED EQUI join — the standard
+    rewrite that keeps interval joins off the nested-loop path at
+    scale.  Both sides map rows to 30-day band buckets (a window
+    spanning two bands explodes into both); the join is then a plain
+    hash equi-join on the bucket with the BETWEEN as a residual
+    filter.  The oracle states the naive BETWEEN join; the Spark plan
+    contains no BroadcastNestedLoopJoin/CartesianProduct
+    (plan-asserted) — at 100 TB with BOTH sides large this is the
+    difference between |fact|x|windows| comparisons and
+    |fact| + |windows| bucket lookups.  Bucket arithmetic is internal
+    to the Spark plan (the oracle never bands), so it needs no
+    cross-engine parity — only exact integer day math."""
+    li = Tables(spark, sf_dir).lineitem
+    epoch = F.lit("1995-01-01").cast("date")
+    w = (
+        spark.range(36)
+        .select(
+            F.col("id").alias("window_id"),
+            F.date_add(epoch, (F.col("id") * 30).cast("int")).alias("w_start"),
+            F.date_add(epoch, (F.col("id") * 30 + 44).cast("int")).alias("w_end"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.datediff("w_start", epoch) / 30),
+                    F.floor(F.datediff("w_end", epoch) / 30),
+                )
+            ),
+        )
+    )
+    banded = li.select(
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+        "l_extendedprice",
+        "l_discount",
+    ).withColumn("bucket", F.floor(F.datediff("ship_d", epoch) / 30))
+    joined = banded.join(
+        F.broadcast(w),
+        (banded.bucket == w.bucket)
+        & (F.col("ship_d") >= F.col("w_start"))
+        & (F.col("ship_d") <= F.col("w_end")),
+    )
+    return (
+        joined.groupBy("window_id", "w_start", "w_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+        .select(
+            "window_id",
+            F.date_format("w_start", "yyyy-MM-dd").alias("w_start"),
+            F.date_format("w_end", "yyyy-MM-dd").alias("w_end"),
+            "n_items",
+            "revenue",
+        )
+    )

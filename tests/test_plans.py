@@ -149,3 +149,13 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_banded_range_join_avoids_nested_loop(spark, sf_dir):
+    """join_range_banded states a pure BETWEEN range join but must
+    execute as a hash equi-join on the band bucket — no nested-loop /
+    cartesian node anywhere in the plan."""
+    plan = _plan(spark, "join_range_banded", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
