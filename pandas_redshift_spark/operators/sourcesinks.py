@@ -443,3 +443,46 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderstatus").alias("n_with_status"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+@query(
+    "sink_zorder_layout",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300
+      AND l_suppkey BETWEEN 10 AND 40
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered (interleaved sortkey) write + read-back: lineitem is
+    laid out on the Morton interleave of (l_partkey, l_suppkey) via
+    ``apply_layout(sort_interleaved=True)`` — the Spark translation of
+    the reference's ``interleaved sortkey`` clause (core.py:209-210) —
+    then a TWO-dimensional predicate aggregates over the read-back.
+
+    Why it matters at 100 TB: a lexicographic sortkey gives the
+    leading column narrow parquet min/max stats and leaves every other
+    column full-range per file; the Z-curve bounds EVERY sortkey
+    column's span per file/row-group, so scans filtering on the
+    second (or third) dimension still skip most of the table
+    (measured in tests/test_plans.py: second-column span per file
+    drops 4x while the leading column stays bounded)."""
+    from pandas_redshift_spark.plans.layout import apply_layout
+
+    li = Tables(spark, sf_dir).lineitem
+    path = _stage_dir("zorder_lineitem")
+    apply_layout(
+        li,
+        distkey="l_orderkey",
+        sortkey="l_partkey,l_suppkey",
+        sort_interleaved=True,
+    ).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 40)
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )

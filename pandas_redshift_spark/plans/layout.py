@@ -9,14 +9,61 @@ Redshift CREATE TABLE clauses (diststyle/distkey/sortkey, reference
 | distkey(col)           | hash `repartition(col)` (co-located joins) |
 | sortkey(a,b,...)       | `sortWithinPartitions` (parquet min/max    |
 |                        | stats give zone-map skipping for free)     |
-| interleaved sortkey    | unsupported (no Spark analogue; nearest is |
-|                        | Z-ordering) — raises                       |
+| interleaved sortkey    | Z-order: sort on an interleaved-bit        |
+|                        | (Morton) key so EVERY sortkey column gets  |
+|                        | narrow per-file min/max stats, not just    |
+|                        | the leading one (``zorder_key`` below)     |
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import broadcast
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Morton (Z-curve) key over numeric columns: each column is
+    min-max normalized into ``bits`` bits, then the bits are
+    interleaved so locality in the key implies locality in EVERY
+    column — the multi-column zone-map property Redshift's interleaved
+    sortkey provides (reference core.py:209-210) and Delta's OPTIMIZE
+    ZORDER re-implements.
+
+    The per-column min/max comes from one 1-row mergeable aggregate
+    (same driver-side cost class as a global count — at 100 TB you'd
+    read it from table stats instead).  The interleave itself is pure
+    JVM bit arithmetic (shiftright/shiftleft/bitwise OR built-ins),
+    whole-stage-codegen friendly, and ``bits*len(cols)`` must fit the
+    63 usable bits of a long."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols exceeds a long")
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    norms = []
+    for c in cols:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            norms.append(F.lit(0).cast("long"))
+        else:
+            scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(top / (mx - mn))
+            norms.append(
+                F.least(F.lit(top), F.greatest(F.lit(0), F.floor(scaled))).cast("long")
+            )
+    ncols = len(cols)
+    parts = [
+        F.shiftleft(F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * ncols + i)
+        for i, norm in enumerate(norms)
+        for b in range(bits)
+    ]
+    return reduce(lambda a, x: a.bitwiseOR(x), parts)
 
 
 def apply_layout(
@@ -29,11 +76,6 @@ def apply_layout(
 ) -> DataFrame:
     """Translate Redshift physical hints into a repartitioned/sorted
     DataFrame prior to write (or join)."""
-    if sort_interleaved:
-        raise NotImplementedError(
-            "interleaved sortkey has no Spark analogue (nearest is "
-            "Z-ordering); declared unsupported — see SURVEY.md §1.5"
-        )
     out = df
     if distkey:
         # distkey overrides diststyle, as in the reference (core.py:205-207)
@@ -47,7 +89,17 @@ def apply_layout(
         raise ValueError("diststyle must be either 'even' or 'all'")
     if sortkey:
         keys = [k.strip() for k in sortkey.split(",") if k.strip()]
-        out = out.sortWithinPartitions(*keys)
+        if sort_interleaved and len(keys) > 1:
+            # interleaved sortkey -> Z-order: sort on the Morton key so
+            # parquet min/max stats stay narrow for ALL keys, matching
+            # Redshift's interleaved zone-map semantics
+            out = (
+                out.withColumn("__zorder__", zorder_key(df, keys))
+                .sortWithinPartitions("__zorder__")
+                .drop("__zorder__")
+            )
+        else:
+            out = out.sortWithinPartitions(*keys)
     return out
 
 

@@ -16,7 +16,7 @@ from pandas_redshift_spark.sources.schema import ReservedWordError
 def bridge(spark):
     b = connect(spark)
     yield b
-    for t in ("nba_shots", "t_ctas", "t_roundtrip", "t_layout"):
+    for t in ("nba_shots", "t_ctas", "t_roundtrip", "t_layout", "t_zorder"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -146,11 +146,13 @@ def test_layout_hints_accepted(bridge):
     assert bridge.sql("SELECT count(*) AS n FROM t_layout").first()["n"] == 10
 
 
-def test_interleaved_sortkey_unsupported(bridge):
-    with pytest.raises(NotImplementedError):
-        bridge.write_table(
-            pd.DataFrame({"k": [1]}), "t_layout", sortkey="k", sort_interleaved=True
-        )
+def test_interleaved_sortkey_zorders(bridge):
+    """interleaved sortkey maps to a Z-order (Morton) layout — the
+    write succeeds and the data round-trips (layout quality itself is
+    asserted in test_plans.py)."""
+    pdf = pd.DataFrame({"a": list(range(20)), "b": list(range(19, -1, -1))})
+    bridge.write_table(pdf, "t_zorder", sortkey="a,b", sort_interleaved=True)
+    assert bridge.sql("SELECT count(*) AS n FROM t_zorder").first()["n"] == 20
 
 
 def test_close_blocks_use(spark):

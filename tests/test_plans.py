@@ -159,3 +159,56 @@ def test_banded_range_join_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_zorder_layout_bounds_every_sortkey_column(spark, sf_dir, tmp_path):
+    """Interleaved-sortkey (Z-order) layout evidence: under a
+    lexicographic sort the second sortkey column spans its FULL range
+    in every file; under the Morton interleave both columns' per-file
+    min/max spans are bounded — the multi-column zone-map property the
+    reference's `interleaved sortkey` promises."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import pyspark.sql.functions as F
+
+    from pandas_redshift_spark.plans.layout import zorder_key
+    from pandas_redshift_spark.session import Tables
+
+    li = Tables(spark, sf_dir).lineitem.select("l_partkey", "l_suppkey")
+
+    def avg_span(path, col):
+        spans = []
+        for f in _glob.glob(str(path) + "/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    lex, zed = str(tmp_path / "lex"), str(tmp_path / "zed")
+    li.repartitionByRange(16, "l_partkey", "l_suppkey").sortWithinPartitions(
+        "l_partkey", "l_suppkey"
+    ).write.mode("overwrite").parquet(lex)
+    z = zorder_key(li, ["l_partkey", "l_suppkey"])
+    li.withColumn("__z", z).repartitionByRange(16, "__z").sortWithinPartitions(
+        "__z"
+    ).drop("__z").write.mode("overwrite").parquet(zed)
+
+    full_supp = li.agg(
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("r")
+    ).first()["r"]
+    full_part = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("r")
+    ).first()["r"]
+    # second column: z-order must beat lexicographic (which is ~full range)
+    assert avg_span(zed, "l_suppkey") < avg_span(lex, "l_suppkey")
+    assert avg_span(zed, "l_suppkey") < 0.5 * full_supp
+    # leading column: z-order stays bounded well under the full range
+    assert avg_span(zed, "l_partkey") < 0.75 * full_part
