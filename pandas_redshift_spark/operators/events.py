@@ -662,3 +662,41 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), F.col("m_quartile"),
         ).alias("segment"),
     )
+
+
+@query(
+    "events_user_path",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    heads AS (SELECT user_id, event_type, rn FROM seq WHERE rn <= 8)
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           CAST(count(*) AS BIGINT) AS path_len
+    FROM heads
+    GROUP BY user_id
+    """,
+)
+def events_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: each user's first 8 events concatenated in
+    time order ('view>click>purchase>...') — the sequence feature
+    behind funnel clustering and next-action models.
+
+    Shape: ONE user_id shuffle serves both the ordering window and
+    the path aggregation (Catalyst reuses the partitioning); the head
+    cap (rn <= 8) bounds the aggregated string so a hot user can't
+    blow up a group.  Tie-break on event_id keeps the order — and so
+    the concatenated string — identical across engines."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 8)
+    )
+    return seq.groupBy("user_id").agg(
+        F.concat_ws(">", F.array_sort(F.collect_list(F.struct("rn", "event_type"))).getField("event_type")).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )

@@ -437,3 +437,45 @@ def pipe_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_dropped").alias("n_dropped"),
         )
     )
+
+
+@query(
+    "pipe_shard_write",
+    oracle="""
+    WITH split AS (
+        SELECT lang, count(*) AS n_docs
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(CAST(ceil(n_docs / 2000.0) AS BIGINT) AS BIGINT) AS n_shards_min
+    FROM split
+    """,
+)
+def pipe_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer: emit the corpus as fixed-size parquet
+    shards (maxRecordsPerFile caps rows per file; partitionBy(lang)
+    groups shards per language — the layout a dataloader streams).
+    Returns the shard inventory read back FROM THE FILES: docs per
+    lang plus the minimum shard count the cap implies; the written
+    shard count is asserted >= that floor in tests (a task may emit
+    more, smaller files — never an oversize one).
+
+    Scale: maxRecordsPerFile bounds shard size with zero extra
+    shuffles (files roll over during the write); the optional
+    repartition before it controls parallelism, not correctness."""
+    from pandas_redshift_spark.operators.sourcesinks import _stage_dir
+
+    d = Tables(spark, sf_dir).documents
+    path = _stage_dir("train_shards")
+    (
+        d.repartition(8)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.ceil(F.count(F.lit(1)) / 2000.0).cast("bigint").alias("n_shards_min"),
+    )
