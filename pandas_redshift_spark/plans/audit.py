@@ -1,0 +1,61 @@
+"""Executable plan audit: walk a query's physical plan string and flag
+the anti-patterns that kill 100 TB runs.  PLANS.md documents WHY each
+rule matters; this module makes the rules enforceable — every
+registered query is audited in tests/test_plans.py, and any finding
+must either be fixed or explicitly waived with a reason.
+
+Rules:
+
+- ``cartesian``      CartesianProduct — all-pairs row explosion.
+- ``bnlj``           BroadcastNestedLoopJoin — quadratic compare; only
+                     acceptable when the broadcast side is a handful
+                     of rows (totals, query sets, quantified-ALL
+                     bounds), which a waiver must state.
+- ``python_eval``    BatchEvalPython / ArrowEvalPython / MapInPandas /
+                     FlatMapGroupsInPandas — rows leave the JVM; only
+                     the multimodal/stateful extension surface may.
+- ``single_part``    ``Exchange SinglePartition`` — a global
+                     serialization point; legitimate for global
+                     sorts/limits/windows over ALREADY-AGGREGATED
+                     tiny frames, fatal on raw data.  Waivers name
+                     the tiny-frame justification.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+_RULES: dict[str, re.Pattern[str]] = {
+    "cartesian": re.compile(r"CartesianProduct"),
+    "bnlj": re.compile(r"BroadcastNestedLoopJoin"),
+    "python_eval": re.compile(
+        r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+    ),
+    "single_part": re.compile(r"Exchange SinglePartition"),
+}
+
+
+@dataclass(frozen=True)
+class Finding:
+    rule: str
+    detail: str
+
+
+def audit_plan(df: DataFrame) -> list[Finding]:
+    """Findings for one DataFrame's physical plan (no execution —
+    ``explain``-level only, so auditing is as cheap as planning)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(mode)
+    out = []
+    for rule, pat in _RULES.items():
+        m = pat.search(plan)
+        if m:
+            line = next(
+                (ln.strip() for ln in plan.splitlines() if pat.search(ln)), m.group(0)
+            )
+            out.append(Finding(rule, line[:160]))
+    return out

@@ -212,3 +212,66 @@ def test_zorder_layout_bounds_every_sortkey_column(spark, sf_dir, tmp_path):
     assert avg_span(zed, "l_suppkey") < 0.5 * full_supp
     # leading column: z-order stays bounded well under the full range
     assert avg_span(zed, "l_partkey") < 0.75 * full_part
+
+
+# Every registered query is plan-audited (plans/audit.py).  A finding
+# must be fixed or waived HERE with the scale justification; a waiver
+# that stops firing fails the test too (no stale waivers).
+_AUDIT_WAIVERS = {
+    # -- single-partition exchanges on tiny, already-reduced frames --
+    "agg_global": {"single_part": "global scalar agg: final 1-row exchange after distributed partials"},
+    "agg_hll_sketch_union": {"single_part": "union of per-group sketches into one row — sketch bytes, not data"},
+    "events_funnel": {"single_part": "step counts: 3-row frame ordered globally"},
+    "events_ordered_funnel": {"single_part": "step counts: 3-row frame ordered globally"},
+    "events_rfm_segmentation": {
+        "single_part": "exact ntile over the per-user aggregate (|users| rows); approx_percentile cuts at 1e9 users (docstring)",
+        "bnlj": "1-row corpus-max-date broadcast cross join",
+    },
+    "join_cross": {"bnlj": "the operator IS a cross join (5-row dim side, broadcast)"},
+    "pipe_domain_reweight": {"single_part": "corpus totals: 1-row frame", "bnlj": "1-row totals broadcast cross join"},
+    "pipe_mix_sample": {"single_part": "per-cell targets: |lang x source| rows", "bnlj": "tiny target frame broadcast"},
+    "sink_zorder_layout": {"single_part": "final global 1-row aggregate over the filtered read-back"},
+    "source_schema_evolution": {"single_part": "final global 1-row aggregate"},
+    "subquery_not_in_nulls": {"single_part": "NOT IN null-probe: 1-row existence aggregate"},
+    "subquery_scalar": {"single_part": "uncorrelated scalar subquery: 1-row aggregate broadcast"},
+    "text_bigram_collocations": {"single_part": "corpus bigram total: 1-row frame", "bnlj": "1-row total broadcast cross join"},
+    "text_tfidf_top_terms": {"single_part": "corpus doc count: 1-row frame", "bnlj": "1-row count broadcast cross join"},
+    "tpch_q11_important_stock": {"single_part": "global threshold: 1-row agg", "bnlj": "1-row threshold broadcast theta join"},
+    "tpch_q14_promo_effect": {"single_part": "global scalar agg final step"},
+    "tpch_q15_top_supplier": {"single_part": "max-over-revenue: 1-row agg broadcast"},
+    "tpch_q17_small_quantity_revenue": {"single_part": "global scalar agg final step"},
+    "tpch_q19_discounted_revenue": {"single_part": "global scalar agg final step"},
+    "tpch_q22_global_sales_opportunity": {"single_part": "global avg balance: 1-row agg", "bnlj": "1-row avg broadcast theta join"},
+    "tpch_q6_revenue_forecast": {"single_part": "global scalar agg final step"},
+    "window_percent_rank_global": {"single_part": "PERCENT_RANK() OVER () parity op — documented global window"},
+    "window_revenue_share": {"single_part": "percent-of-total: share of a 1-row exact total"},
+    # -- BNLJ with a broadcast side of <= 10 rows (query/total sets) --
+    "sim_bruteforce_topk": {"bnlj": "10 broadcast query vectors; corpus streams one pass (exact baseline by design)"},
+    "sim_knn_classify": {"bnlj": "10 broadcast query vectors"},
+    "sim_ivf_topk": {"bnlj": "10 broadcast query vectors vs centroid table"},
+    # -- deliberately-quadratic oracle baselines (LSH twins are the defaults) --
+    "dedup_embedding_cosine_exact": {"bnlj": "O(n^2) ORACLE BASELINE; registered default is the LSH-bucketed twin"},
+    "sim_pairs_threshold_exact": {"bnlj": "O(n^2) ORACLE BASELINE; registered default is the LSH-bucketed twin"},
+    # -- Python-eval surface: the documented multimodal/stateful seam --
+    "multimodal_features": {"python_eval": "mapInPandas decode seam — Arrow-batched, documented stub"},
+    "multimodal_frame_sample": {"python_eval": "mapInPandas frame fan-out — Arrow-batched"},
+}
+
+
+def test_every_registered_plan_passes_audit(spark, sf_dir):
+    from pandas_redshift_spark.operators import all_queries
+    from pandas_redshift_spark.plans.audit import audit_plan
+
+    unwaived, fired = [], set()
+    for name, spec in sorted(all_queries().items()):
+        waivers = _AUDIT_WAIVERS.get(name, {})
+        for f in audit_plan(spec.fn(spark, sf_dir)):
+            if f.rule in waivers:
+                fired.add((name, f.rule))
+            else:
+                unwaived.append(f"{name}: {f.rule}: {f.detail}")
+    assert not unwaived, "\n".join(unwaived)
+    stale = {
+        (n, r) for n, ws in _AUDIT_WAIVERS.items() for r in ws
+    } - fired
+    assert not stale, f"stale waivers (finding no longer fires): {sorted(stale)}"
