@@ -700,3 +700,52 @@ def events_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", F.array_sort(F.collect_list(F.struct("rn", "event_type"))).getField("event_type")).alias("path"),
         F.count(F.lit(1)).alias("path_len"),
     )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ses AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ses
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` (dynamic
+    gap windows merged by the engine) — the twin of the
+    gaps-and-islands formulation in ``events_sessionization``, here
+    letting the SessionWindow operator own the merge instead of two
+    chained window functions.  Same 30-minute gap; emits per-session
+    event counts keyed by user.
+
+    Why both exist: session_window is the operator a STREAMING
+    pipeline uses (state-store backed, watermark-evictable), so the
+    batch plan proving identical semantics is what makes the
+    batch/stream twin claim testable.  One user_id shuffle either
+    way.  The oracle keeps the gaps-and-islands form — DuckDB has no
+    session_window, which is exactly the cross-engine point.  Session
+    identity (start time) is intentionally NOT emitted: Spark merges
+    at microsecond, DuckDB at nanosecond precision; counts are
+    tie-stable, boundary timestamps are not."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )

@@ -396,3 +396,34 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).cast("bigint").alias("popcount"),
         F.bitwise_not(k).cast("bigint").alias("inverted"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(CAST(o_orderkey % 7 AS DOUBLE), 0) AS safe_div,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_roundtrip,
+           CAST(o_orderkey % 7 = 0 AS BOOLEAN) AS div_was_null
+    FROM orders
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` scalar family: Spark 4 runs under ANSI mode
+    where division by zero and bad casts THROW; ``try_divide`` /
+    ``try_cast`` give the NULL-on-error semantics Redshift users
+    expect from expressions like NULLIF guards (reference delegates
+    these to the warehouse).  Pure per-row narrow ops, codegen'd.
+
+    Oracle note: DuckDB division by zero already yields NULL-ish via
+    nullif; TRY_CAST exists in both dialects."""
+    o = Tables(spark, sf_dir).orders
+    divisor = (F.col("o_orderkey") % 7).cast("double")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.nullif(divisor, F.lit(0.0))).alias("safe_div"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.col("o_totalprice").cast("string").try_cast("double").alias("price_roundtrip"),
+        (F.col("o_orderkey") % 7 == 0).alias("div_was_null"),
+    )
