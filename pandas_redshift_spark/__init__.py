@@ -15,6 +15,10 @@ SURVEY.md §2.A):
 - :mod:`pandas_redshift_spark.session`   — SparkSession + table registry
 - :mod:`pandas_redshift_spark.sources.bridge` — connect/read_sql/
   write_table/exec_sql/close (reference core.py:51-324)
+- :mod:`pandas_redshift_spark.compat`     — DROP-IN module-level API:
+  the reference's exact 14 function names/signatures
+  (``import pandas_redshift_spark.compat as pr``), signature-pinned
+  by tests/test_compat.py
 - :mod:`pandas_redshift_spark.sources.schema` — dtype mapping, identifier
   validation, DDL generation (reference core.py:90-217)
 - :mod:`pandas_redshift_spark.operators` — the relational operator

@@ -479,3 +479,57 @@ def pipe_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.ceil(F.count(F.lit(1)) / 2000.0).cast("bigint").alias("n_shards_min"),
     )
+
+
+@query(
+    "pipe_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM freq ORDER BY cnt DESC, tok LIMIT 10
+    ),
+    marked AS (
+        SELECT t.lang, t.tok, v.tok IS NOT NULL AS in_vocab
+        FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (NOT in_vocab) AS BIGINT) AS oov_tokens,
+           count(*) FILTER (NOT in_vocab) * 1.0 / count(*) AS oov_rate
+    FROM marked
+    GROUP BY lang
+    """,
+)
+def pipe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build + coverage report: the top-K tokens
+    by corpus frequency become the vocab (deterministic (count, token)
+    tie-break), and each language's out-of-vocabulary token rate is
+    the shipped metric — the number that decides whether a tokenizer
+    needs retraining when a new source lands.  K=10 against this
+    corpus's 31-token vocabulary so the rate is non-degenerate; the
+    plan is identical at K=64k.
+
+    Shape: one (token) partial-agg shuffle builds frequencies; the
+    top-K is a tiny sorted limit that BROADCASTS back onto the
+    per-language token stream (corpus-side rows never shuffle for the
+    membership probe — same broadcast-probe pattern as
+    pipe_decontaminate).  OOV rate is an exact integer-count quotient
+    (raw double)."""
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), "tok")
+        .limit(10)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    marked = tok.join(F.broadcast(vocab), "tok", "left")
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        oov.alias("oov_tokens"),
+        (oov / F.count(F.lit(1))).alias("oov_rate"),
+    )

@@ -1,0 +1,160 @@
+"""The drop-in compat surface: the reference README's documented
+workflow (pandas_redshift README.md:9-60 — connect, pandas_to_redshift,
+redshift_to_pandas, exec_commit, close_up_shop) must run unchanged
+after swapping the import, with Spark doing the execution."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pandas_redshift_spark.compat as pr
+
+
+@pytest.fixture()
+def compat(spark):
+    pr.use_spark(spark)
+    pr.connect_to_redshift()  # no host/dbname -> Spark IS the warehouse
+    yield pr
+    for t in ("compat_shots", "compat_copy", "compat_ctas"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    pr.close_up_shop()
+
+
+def _frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"Player": ["a", "b", "c"], "pts": [10, 20, 30], "ok": [True, False, True]}
+    )
+
+
+def test_reference_readme_roundtrip(compat):
+    compat.pandas_to_redshift(_frame(), "compat_shots")
+    out = compat.redshift_to_pandas("SELECT * FROM compat_shots")
+    assert len(out) == 3
+    assert set(out.columns) == {"player", "pts", "ok"}  # lowercased names
+
+
+def test_append_mode(compat):
+    compat.pandas_to_redshift(_frame(), "compat_shots")
+    compat.pandas_to_redshift(_frame(), "compat_shots", append=True)
+    n = compat.redshift_to_pandas("SELECT count(*) AS n FROM compat_shots")["n"][0]
+    assert n == 6
+
+
+def test_staged_csv_copy_path(compat, tmp_path):
+    """df_to_s3 -> create_redshift_table -> s3_to_redshift — the
+    reference's three-step staged load, distributed."""
+    pdf = _frame()
+    compat.df_to_s3(pdf, "stage1", index=False, save_local=False, delimiter=",")
+    compat.create_redshift_table(pdf, "compat_copy")
+    compat.s3_to_redshift("compat_copy", "stage1")
+    out = compat.redshift_to_pandas("SELECT count(*) AS n FROM compat_copy")
+    assert out["n"][0] == 3
+
+
+def test_exec_commit_ctas(compat):
+    compat.pandas_to_redshift(_frame(), "compat_shots")
+    compat.exec_commit(
+        "CREATE TABLE compat_ctas AS SELECT player FROM compat_shots WHERE pts > 10"
+    )
+    assert compat.redshift_to_pandas("SELECT * FROM compat_ctas").shape[0] == 2
+
+
+def test_query_params(compat):
+    compat.pandas_to_redshift(_frame(), "compat_shots")
+    out = compat.redshift_to_pandas(
+        "SELECT * FROM compat_shots WHERE player = %s", ["O'Brien"]
+    )
+    assert len(out) == 0  # binding, not interpolation — no syntax error
+
+
+def test_closed_raises(compat):
+    compat.close_up_shop()
+    with pytest.raises(RuntimeError):
+        compat.redshift_to_pandas("SELECT 1")
+    # reconnect for fixture teardown
+    compat.connect_to_redshift()
+
+
+def test_space_columns_quoted_like_reference():
+    """Reference behavior (core.py:110-117): whitespace names are
+    lowercased and QUOTED, not rewritten."""
+    out = pr.validate_column_names(pd.DataFrame({"Player Name": [1]}))
+    assert list(out.columns) == ['"player name"']
+
+
+def test_signature_parity_with_reference():
+    """Every reference public name exists with the same required
+    parameter names in the same order."""
+    import inspect
+
+    expected = {
+        "connect_to_redshift": ["dbname", "host", "user", "port"],
+        "connect_to_s3": [
+            "aws_access_key_id",
+            "aws_secret_access_key",
+            "bucket",
+            "subdirectory",
+            "aws_iam_role",
+        ],
+        "redshift_to_pandas": ["sql_query", "query_params"],
+        "validate_column_names": ["data_frame"],
+        "df_to_s3": ["data_frame", "csv_name", "index", "save_local", "delimiter", "verbose"],
+        "pd_dtype_to_redshift_dtype": ["dtype"],
+        "get_column_data_types": ["frame", "index"],
+        "create_redshift_table": [
+            "data_frame",
+            "redshift_table_name",
+            "column_data_types",
+            "index",
+            "append",
+            "diststyle",
+            "distkey",
+            "sort_interleaved",
+            "sortkey",
+            "verbose",
+        ],
+        "s3_to_redshift": [
+            "redshift_table_name",
+            "csv_name",
+            "delimiter",
+            "quotechar",
+            "dateformat",
+            "timeformat",
+            "region",
+            "parameters",
+            "verbose",
+        ],
+        "pandas_to_redshift": [
+            "data_frame",
+            "redshift_table_name",
+            "column_data_types",
+            "index",
+            "save_local",
+            "delimiter",
+            "quotechar",
+            "dateformat",
+            "timeformat",
+            "region",
+            "append",
+            "diststyle",
+            "distkey",
+            "sort_interleaved",
+            "sortkey",
+            "parameters",
+            "verbose",
+        ],
+        "exec_commit": ["sql_query"],
+        "close_up_shop": [],
+        "set_log_level": ["level", "mask_secrets"],
+        "mask_aws_credentials": ["s"],
+    }
+    for name, params in expected.items():
+        fn = getattr(pr, name)
+        got = [
+            p
+            for p in inspect.signature(fn).parameters
+            if p not in ("kwargs", "args")
+        ]
+        assert got == params, f"{name}: {got} != {params}"
+    assert len(pr.S3_ACCEPTED_KWARGS) == 24
