@@ -749,3 +749,43 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", "n_events")
     )
+
+
+@query(
+    "events_locf_gapfill",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw_value,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           event_type = 'error' AS was_filled
+    FROM events
+    """,
+)
+def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last observation carried forward) gap-fill: 'error' rows
+    stand in for missing sensor readings; each gets the user's most
+    recent good value.  The canonical time-series repair — one
+    ``last(..., ignorenulls=True)`` running window, no self-join, no
+    as-of lookup table.
+
+    Shape: ONE user_id shuffle; the running frame carries a single
+    value per partition scan, so memory is O(1) per task regardless
+    of series length.  Values pass through un-arithmetic'd (exact
+    double equality across engines); a user whose series starts with
+    errors keeps NULL — LOCF does not invent data."""
+    ev = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    raw = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+        (F.col("event_type") == "error").alias("was_filled"),
+    )
