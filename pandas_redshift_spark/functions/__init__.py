@@ -11,10 +11,13 @@ this module stays inside whole-stage codegen.
 - text:    :func:`shingles` — word n-gram sets (operators/dedup.py)
 - skew:    :func:`salt_col` — deterministic salt for hot keys
   (operators/skew.py)
+- layout:  :func:`zorder_key` — Morton interleave for multi-column
+  zone-map locality (plans/layout.py)
 """
 
 from pandas_redshift_spark.operators.dedup import shingles
 from pandas_redshift_spark.operators.similarity import cosine, cosine_pre, dot
 from pandas_redshift_spark.operators.skew import salt_col
+from pandas_redshift_spark.plans.layout import zorder_key
 
-__all__ = ["dot", "cosine", "cosine_pre", "shingles", "salt_col"]
+__all__ = ["dot", "cosine", "cosine_pre", "shingles", "salt_col", "zorder_key"]

@@ -282,3 +282,49 @@ def test_minhash_estimates_calibrated(spark, sf_dir):
     errs = [abs(r.est - r.jaccard) for r in est]
     mean_err = sum(errs) / len(errs)
     assert mean_err < 0.12, f"minhash mean abs error {mean_err} over {len(errs)} pairs"
+
+
+def test_banded_range_join_equals_naive_between(spark, sf_dir):
+    """The banding rewrite must be EXACTLY the naive BETWEEN join for
+    any window geometry — checked over several window widths/strides,
+    including windows spanning 1, 2 and 3 band buckets and windows
+    shorter than the band."""
+    import pyspark.sql.functions as F
+
+    from pandas_redshift_spark.session import Tables
+
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(F.col("l_shipdate").cast("date").alias("d"))
+    )
+    epoch = F.lit("1995-01-01").cast("date")
+    for n_win, stride, width, band in [(12, 30, 44, 30), (8, 45, 10, 30), (6, 20, 75, 30)]:
+        w = spark.range(n_win).select(
+            F.col("id").alias("wid"),
+            F.date_add(epoch, (F.col("id") * stride).cast("int")).alias("ws"),
+            F.date_add(epoch, (F.col("id") * stride + width).cast("int")).alias("we"),
+        )
+        naive = (
+            li.join(w, (F.col("d") >= F.col("ws")) & (F.col("d") <= F.col("we")))
+            .groupBy("wid")
+            .count()
+        )
+        wb = w.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.datediff("ws", epoch) / band),
+                    F.floor(F.datediff("we", epoch) / band),
+                )
+            ),
+        )
+        banded = (
+            li.withColumn("bucket", F.floor(F.datediff("d", epoch) / band))
+            .join(wb, ["bucket"])
+            .filter((F.col("d") >= F.col("ws")) & (F.col("d") <= F.col("we")))
+            .groupBy("wid")
+            .count()
+        )
+        a = {r["wid"]: r["count"] for r in naive.collect()}
+        b = {r["wid"]: r["count"] for r in banded.collect()}
+        assert a == b, f"geometry {(n_win, stride, width, band)}: {a} != {b}"
