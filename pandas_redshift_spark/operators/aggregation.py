@@ -441,3 +441,30 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable roaring-style bitmaps
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count): each
+    32k-id bucket aggregates into a fixed-size bitmap map-side, bucket
+    bitmaps merge associatively, and the final count is a popcount —
+    the exact-COUNT(DISTINCT) shape that scales like a sketch (no
+    per-row shuffle of distinct values, no expand-and-dedup pass) while
+    giving the precise answer HLL can't.  The oracle is the plain
+    COUNT(DISTINCT) it must equal."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+    )

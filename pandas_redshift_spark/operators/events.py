@@ -789,3 +789,65 @@ def events_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
         (F.col("event_type") == "error").alias("was_filled"),
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(n, 0.5) AS med
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev
+        FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT v.event_type, strftime(v.day, '%Y-%m-%d') AS day, v.n, v.med, a.mad,
+           v.adev > 3 * a.mad AS is_anomaly
+    FROM dev v JOIN mad a ON v.event_type = a.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection via median absolute deviation:
+    flag days whose event count deviates from the per-type median by
+    more than 3 MAD.  Unlike the stddev z-score (events_daily_anomaly)
+    the breakdown point is 50% — a burst day can't drag the baseline
+    after it.
+
+    Shape: daily counts (one shuffle) -> per-type exact median (5-row
+    agg) BROADCAST back -> per-type MAD (5-row agg) broadcast back.
+    Exact percentile is fine here because the grouped domain is
+    |types| x |days| — tiny regardless of corpus size; the raw-event
+    scan never sees the quantile.  No division anywhere, so the only
+    floats are interpolated medians computed identically by both
+    engines."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "med",
+        "mad",
+        (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
