@@ -228,3 +228,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(make_frame_sampler(), schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("resized_len", LongType()),
+        StructField("resized_sum", LongType()),
+    ]
+)
+
+
+def make_resizer(target: int = 32):
+    """Arrow-batched nearest-neighbor resize over the binary payload
+    (the 1-D stand-in for image resize: sample index i of the output
+    maps to floor(i * n / target) of the input — exactly what a
+    nearest-neighbor image downsample does per axis).  Closure for
+    by-value pickling (see make_feature_extractor)."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = {"doc_id": [], "n_bytes": [], "resized_len": [], "resized_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n = len(buf)
+                idx = (np.arange(target) * n) // target
+                resized = buf[idx] if n else np.zeros(0, dtype=np.uint8)
+                out_rows["doc_id"].append(int(doc_id))
+                out_rows["n_bytes"].append(n)
+                out_rows["resized_len"].append(int(len(resized)))
+                out_rows["resized_sum"].append(int(resized.sum()))
+            yield pd.DataFrame(out_rows)
+
+    return resize_batch
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(32 AS BIGINT) AS resized_len,
+           CAST(list_sum([
+               ascii(substr(text, CAST(i * strlen(text) // 32 AS INTEGER) + 1, 1))
+               for i in range(32)
+           ]) AS BIGINT) AS resized_sum
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for binary media columns: mapInPandas
+    nearest-neighbor downsample of every payload to 32 samples, with
+    the resampled-byte checksum recomputed independently by the SQL
+    oracle — so the batch shape, Arrow transfer, and the exact
+    sampling arithmetic (floor(i*n/target)) are all end-to-end
+    verified, not just "a UDF ran".  In production the same seam holds
+    a real PIL/opencv resize (decode_stub note applies); the Spark
+    side — schema, fan-in batching, integer index math — is what this
+    op pins down.
+
+    Scale: pure narrow mapInPandas, no shuffle; Arrow batches amortize
+    the Python boundary, and payload bytes never leave the executor."""
+    d = Tables(spark, sf_dir).documents
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(make_resizer(), schema=RESIZE_SCHEMA)

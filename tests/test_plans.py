@@ -255,6 +255,7 @@ _AUDIT_WAIVERS = {
     # -- Python-eval surface: the documented multimodal/stateful seam --
     "multimodal_features": {"python_eval": "mapInPandas decode seam — Arrow-batched, documented stub"},
     "multimodal_frame_sample": {"python_eval": "mapInPandas frame fan-out — Arrow-batched"},
+    "multimodal_resize": {"python_eval": "mapInPandas nearest-neighbor resize seam — Arrow-batched, oracle-checked"},
 }
 
 
