@@ -427,3 +427,29 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("string").try_cast("double").alias("price_roundtrip"),
         (F.col("o_orderkey") % 7 == 0).alias("div_was_null"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.missing') AS BIGINT) IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: parse_json
+    once into the binary-encoded variant, then typed try_variant_get
+    path extraction — the scale path for JSON columns (one parse, many
+    typed reads; string re-parsing per get_json_object call is the
+    slow legacy route the reference's Redshift SUPER/json_extract
+    users would expect).  Missing paths yield NULL (try_ semantics),
+    matching warehouse behavior."""
+    ev = Tables(spark, sf_dir).events
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.try_variant_get("v", "$.missing", "bigint").isNull().alias("missing_is_null"),
+    )
