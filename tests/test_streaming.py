@@ -167,3 +167,44 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir, events_stream, tmp_path):
     n_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert written.count() == n_in
     assert written.select("event_id").distinct().count() == n_in
+
+
+def _tws_available() -> bool:
+    # transformWithStateInPandas talks to a driver-side state server
+    # over protobuf; this container ships a broken google.protobuf
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _tws_available(), reason="google.protobuf unavailable: transformWithState state server cannot start in this container")
+def test_transform_with_state_matches_batch(spark, sf_dir, events_stream):
+    """transformWithStateInPandas (Spark 4 stateful API) must produce
+    the same final per-user totals as applyInPandasWithState and the
+    batch aggregate.  Requires the RocksDB state store provider."""
+    from pandas_redshift_spark.streaming.stateful import (
+        batch_user_totals,
+        user_running_totals_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    run_to_memory(user_running_totals_tws(events_stream), "t_tws", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.last_seen)
+        for r in spark.sql("SELECT * FROM t_tws").collect()
+    }
+    events_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_batch = events_batch.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.last_seen)
+        for r in batch_user_totals(events_batch).collect()
+    }
+    assert got == want
