@@ -468,3 +468,32 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
     )
+
+
+@query(
+    "agg_regression_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(corr(l_extendedprice, l_quantity), 4) AS r
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in least-squares aggregates (REGR_SLOPE / REGR_INTERCEPT /
+    CORR — the same family Redshift exposes): price-vs-quantity fit per
+    return flag.  All three are single-pass mergeable moment
+    aggregates (sums of x, y, xy, x², y²), so they scale exactly like
+    SUM — no per-group materialization.  4dp rounding is the
+    cross-engine tolerance for the moment-quotient floats (same
+    rationale as cosine scores, registry.py)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("r"),
+    )

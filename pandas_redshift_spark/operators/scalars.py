@@ -453,3 +453,31 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.k", "bigint").alias("k_val"),
         F.try_variant_get("v", "$.missing", "bigint").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "scalar_fuzzy_funcs",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS dist_to_first,
+           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+           CAST(levenshtein(c_name, c_name) AS INTEGER) AS self_dist
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def scalar_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching scalars: Levenshtein edit distance — the
+    building block of name/address entity resolution (typo-tolerant
+    joins threshold this the way jaccard thresholds shingles).
+    Per-row narrow op; at scale, fuzzy JOINS must band candidates
+    first (length buckets, first-letter blocks, or the inverted-index
+    pattern of dedup_ngram_jaccard) — edit distance only ever runs on
+    the candidate pairs, never all pairs."""
+    c = Tables(spark, sf_dir).customer
+    return c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("dist_to_first"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.levenshtein("c_name", "c_name").cast("int").alias("self_dist"),
+    )
