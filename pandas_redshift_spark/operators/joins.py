@@ -344,3 +344,50 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_mktsegment AS segment,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey <= 200 AND b.c_custkey <= 200
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (entity-resolution) join: candidate pairs come
+    from an EQUI join on the blocking key (market segment here; in
+    production: phonetic code, sorted-neighborhood key, or n-gram
+    block), and the edit-distance threshold only ever runs on
+    candidates — never on the full cross product.  This is the scale
+    contract for typo-tolerant matching: cost is sum of block sizes
+    squared, tunable by block granularity, instead of |table|².
+
+    The plan is a plain hash equi-join (no BNLJ — audited); the
+    levenshtein filter is a post-join narrow op.  Both engines state
+    the same blocking, so the oracle also certifies that blocking
+    keeps every <=2-distance pair within this corpus's key design."""
+    c = (
+        Tables(spark, sf_dir)
+        .customer.filter(F.col("c_custkey") <= 200)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return pairs.filter(dist <= 2).select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        F.col("a.c_mktsegment").alias("segment"),
+        dist.cast("int").alias("dist"),
+    )
