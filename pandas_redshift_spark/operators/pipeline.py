@@ -533,3 +533,93 @@ def pipe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("oov_tokens"),
         (oov / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+@query(
+    "pipe_corpus_report",
+    oracle="""
+    WITH base AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    ),
+    quality AS (
+        SELECT lang,
+               CAST(count(*) FILTER (
+                   len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                   AND len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) > 0.05
+               ) AS BIGINT) AS n_pass_quality
+        FROM documents GROUP BY lang
+    ),
+    dups AS (
+        SELECT lang, CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+        FROM documents GROUP BY lang
+    ),
+    vocab AS (
+        SELECT lang,
+               count(DISTINCT tok) * 1.0 / count(*) AS type_token_ratio
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY lang
+    )
+    SELECT b.lang, b.n_docs, b.total_chars,
+           q.n_pass_quality,
+           q.n_pass_quality * 1.0 / b.n_docs AS quality_pass_rate,
+           d.n_exact_dups,
+           d.n_exact_dups * 1.0 / b.n_docs AS exact_dup_rate,
+           v.type_token_ratio
+    FROM base b
+    JOIN quality q ON b.lang = q.lang
+    JOIN dups d ON b.lang = d.lang
+    JOIN vocab v ON b.lang = v.lang
+    """,
+)
+def pipe_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health dashboard in ONE call: per-language document
+    and character mass, quality-filter pass rate (same predicate as
+    text_quality_score), exact-duplicate rate, and type-token ratio —
+    the four numbers a data curator checks after every ingest batch.
+
+    Composition shape: four independent per-lang aggregates (each one
+    shuffle, two of them sharing the documents scan via Spark's scan
+    reuse) joined on the tiny lang key — aggregates-then-join, never
+    join-then-aggregate, so the join inputs are |langs| rows each
+    regardless of corpus size.  All rates are exact integer-count
+    quotients (raw doubles)."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    quality = d.groupBy("lang").agg(
+        F.count(
+            F.when(n.between(20, 1000) & (uniq / n > 0.05), 1)
+        ).alias("n_pass_quality")
+    )
+    dups = d.groupBy("lang").agg(
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups")
+    )
+    vocab = (
+        d.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang")
+        .agg((F.countDistinct("tok") / F.count(F.lit(1))).alias("type_token_ratio"))
+    )
+    return (
+        base.join(quality, "lang")
+        .join(dups, "lang")
+        .join(vocab, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "n_pass_quality",
+            (F.col("n_pass_quality") / F.col("n_docs")).alias("quality_pass_rate"),
+            "n_exact_dups",
+            (F.col("n_exact_dups") / F.col("n_docs")).alias("exact_dup_rate"),
+            "type_token_ratio",
+        )
+    )
