@@ -162,18 +162,22 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-stage funnel reach via conditional COUNT DISTINCT."""
+    """Multi-stage funnel reach (distinct users per stage).  NOT
+    written as three conditional COUNT DISTINCTs in one aggregate:
+    multiple distinct aggs make Spark EXPAND every input row once per
+    distinct column (3x the shuffle volume of the raw fact scan).
+    Instead: per-user 0/1 stage flags (one user_id shuffle with
+    map-side partial max), then a global sum of flags — identical
+    numbers, expand-free, and the heavy aggregate is mergeable."""
     ev = Tables(spark, sf_dir).events
-    return ev.agg(
-        F.countDistinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias(
-            "n_viewed"
-        ),
-        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias(
-            "n_clicked"
-        ),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("n_purchased"),
+    flag = lambda t: F.max((F.col("event_type") == t).cast("int"))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        flag("view").alias("v"), flag("click").alias("c"), flag("purchase").alias("p")
+    )
+    return per_user.agg(
+        F.sum("v").cast("bigint").alias("n_viewed"),
+        F.sum("c").cast("bigint").alias("n_clicked"),
+        F.sum("p").cast("bigint").alias("n_purchased"),
     )
 
 

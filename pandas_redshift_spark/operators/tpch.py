@@ -856,9 +856,18 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
     )
-    per_order = enr.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # two chained aggs instead of two countDistinct in one agg: the
+    # distinct pair forces an EXPAND (rows duplicated once per distinct
+    # agg) before the shuffle; per-(order,supplier) max(is_late) then a
+    # plain per-order count computes the same numbers expand-free, and
+    # both aggs reuse the join's orderkey partitioning (subset rule) —
+    # zero additional exchanges
+    per_supp = enr.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("supp_late"), 1)).alias("n_late_supp"),
     )
     waiting = (
         enr.filter(F.col("is_late"))
