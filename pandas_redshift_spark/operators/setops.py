@@ -147,3 +147,36 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey"))
         .limit(50)
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: each key kept min(countL, countR)
+    times) — the multiset twin the distinct form silently collapses.
+    Spark plans it as a count-matching aggregate join, one shuffle per
+    side on the compared columns."""
+    t = Tables(spark, sf_dir)
+    return _buyers_f(t).intersectAll(_buyers_o(t))
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: each key kept max(countL - countR, 0)
+    times) — required for workloads where multiplicity is data (e.g.
+    reconciling duplicate-bearing ledgers)."""
+    t = Tables(spark, sf_dir)
+    return _buyers_f(t).exceptAll(_buyers_o(t))

@@ -289,3 +289,34 @@ def window_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (RANK, not ROW_NUMBER): every order tied at the
+    k-th price survives — `FETCH FIRST k ROWS WITH TIES` semantics.
+    The row_number twin (window_topk_per_group) silently drops tied
+    rows, which is wrong whenever price is the business key.  Same
+    single window shuffle; output size is k + ties."""
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

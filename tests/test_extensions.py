@@ -328,3 +328,31 @@ def test_banded_range_join_equals_naive_between(spark, sf_dir):
         a = {r["wid"]: r["count"] for r in naive.collect()}
         b = {r["wid"]: r["count"] for r in banded.collect()}
         assert a == b, f"geometry {(n_win, stride, width, band)}: {a} != {b}"
+
+
+def test_zorder_key_matches_pure_python_interleave(spark):
+    """The JVM Morton-key expression must equal a reference Python
+    implementation bit-for-bit on a controlled frame (normalization +
+    interleave arithmetic, including clamp edges)."""
+    from pandas_redshift_spark.plans.layout import zorder_key
+
+    rows = [(0, 0), (15, 15), (7, 3), (1, 14), (15, 0), (0, 15), (8, 8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(df, ["x", "y"], bits=4)).collect()
+    }
+
+    def py_z(x, y, lo=0, hi=15, bits=4):
+        top = (1 << bits) - 1
+        def norm(v):
+            return min(top, max(0, int((v - lo) * (top / (hi - lo)))))
+        nx, ny = norm(x), norm(y)
+        z = 0
+        for b in range(bits):
+            z |= ((nx >> b) & 1) << (2 * b)
+            z |= ((ny >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == py_z(x, y), f"({x},{y}): {z} != {py_z(x, y)}"
