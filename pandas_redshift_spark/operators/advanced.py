@@ -406,3 +406,59 @@ def lateral_view_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT
+        p.event_id,
+        p.user_id,
+        strftime(date_trunc('second', (
+            SELECT max(v.ts) FROM events v
+            WHERE v.user_id = p.user_id AND v.event_type = 'view'
+              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        )), '%Y-%m-%d %H:%M:%S') AS last_view_at,
+        (
+            SELECT max(v.ts) FROM events v
+            WHERE v.user_id = p.user_id AND v.event_type = 'view'
+              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        ) IS NOT NULL AS matched
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance=``): a purchase only matches its most recent prior
+    view if that view is at most 30 minutes old — the sensor-fusion /
+    attribution contract where an arbitrarily old match is worse than
+    none.  Same linear union-window plan as asof_join_last_view; the
+    tolerance is a post-window null-out, NOT a join predicate, so the
+    plan stays a single user_id window scan with no inequality join."""
+    ev = Tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        views.withColumn("view_ts", F.col("ts")),
+        partition_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="view_ts",
+    )
+    secs = F.col("ts").cast("timestamp").cast("double")
+    asof_secs = F.col("_asof").cast("timestamp").cast("double")
+    fresh = F.when(
+        F.col("_asof").isNotNull() & (secs - asof_secs <= 1800), F.col("_asof")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.date_trunc("second", fresh), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_view_at"
+        ),
+        fresh.isNotNull().alias("matched"),
+    )
