@@ -356,3 +356,40 @@ def test_zorder_key_matches_pure_python_interleave(spark):
 
     for (x, y), z in got.items():
         assert z == py_z(x, y), f"({x},{y}): {z} != {py_z(x, y)}"
+
+
+def test_results_invariant_under_partition_count(spark, sf_dir):
+    """Cluster-shape independence: the same query must return the same
+    rows under different shuffle.partitions settings (what changes
+    between local[32] and a 1000-executor cluster).  Catches any
+    accidental partition-dependent logic (per-partition ids, rand(),
+    mapPartitions state) in deterministic operators."""
+    import hashlib
+
+    from pandas_redshift_spark.operators import all_queries
+
+    names = [
+        "q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "pipe_split_deterministic",
+        "join_range_banded",
+        "events_sessionization",
+        "text_tfidf_top_terms",
+    ]
+    specs = all_queries()
+
+    def result_hash(name):
+        df = specs[name].fn(spark, sf_dir)
+        rows = sorted(repr(r) for r in df.collect())
+        return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        h32 = {n: result_hash(n) for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        h7 = {n: result_hash(n) for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    diff = [n for n in names if h32[n] != h7[n]]
+    assert not diff, f"partition-count-dependent results: {diff}"
