@@ -19,6 +19,12 @@ Rules:
                      sorts/limits/windows over ALREADY-AGGREGATED
                      tiny frames, fatal on raw data.  Waivers name
                      the tiny-frame justification.
+- ``expand``         ``Expand`` node — multiplies every input row.
+                     Legitimate for ROLLUP/CUBE/GROUPING SETS (that
+                     IS the operator); a silent 2-3x shuffle tax when
+                     it comes from multiple DISTINCT aggregates in
+                     one agg (rewrite as chained aggs — see
+                     tpch_q21 / events_funnel).
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ _RULES: dict[str, re.Pattern[str]] = {
         r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
     ),
     "single_part": re.compile(r"Exchange SinglePartition"),
+    "expand": re.compile(r"\bExpand\b"),
 }
 
 

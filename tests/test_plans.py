@@ -245,6 +245,13 @@ _AUDIT_WAIVERS = {
     "tpch_q6_revenue_forecast": {"single_part": "global scalar agg final step"},
     "window_percent_rank_global": {"single_part": "PERCENT_RANK() OVER () parity op — documented global window"},
     "window_revenue_share": {"single_part": "percent-of-total: share of a 1-row exact total"},
+    # -- Expand nodes that ARE the operator's semantics --
+    "agg_cube": {"expand": "CUBE = expand over grouping-set combinations (2^k groups)"},
+    "agg_rollup": {"expand": "ROLLUP = expand over the grouping hierarchy"},
+    "agg_grouping_sets": {"expand": "GROUPING SETS = expand per requested set"},
+    "agg_grouping_id_rollup": {"expand": "ROLLUP + GROUPING() id — same expand"},
+    "events_multi_grain_rollup": {"expand": "multi-grain rollup = grouping sets over time buckets (one scan instead of per-grain scans)"},
+    "events_sliding_window": {"expand": "slide semantics: every event belongs to width/slide overlapping windows — inherent fan-out of 2"},
     # -- BNLJ with a broadcast side of <= 10 rows (query/total sets) --
     "sim_bruteforce_topk": {"bnlj": "10 broadcast query vectors; corpus streams one pass (exact baseline by design)"},
     "sim_knn_classify": {"bnlj": "10 broadcast query vectors"},
