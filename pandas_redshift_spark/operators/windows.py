@@ -320,3 +320,45 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "window_trailing_30d",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS day_rev
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, day_rev,
+           round(sum(day_rev) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_30d_rev
+    FROM daily
+    """,
+)
+def window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: trailing 30-day revenue per day — the
+    frame is bounded by a TIME interval, not a row count, so gaps in
+    the calendar change which rows join the frame (ROWS 30 PRECEDING
+    would be wrong on sparse days).  Spark expresses the interval
+    bound as a rangeBetween over epoch-day integers — numerically
+    identical to DuckDB's RANGE BETWEEN INTERVAL 30 DAY.
+
+    Scale note: the window is global-ordered over the DAILY aggregate
+    (|days| rows — tiny), not raw orders; the raw scan only feeds the
+    per-day partial agg.  Inner sums rounded before the outer sum so
+    both engines accumulate identical 2dp values; the outer sum of
+    ~31 such terms re-rounds safely."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_rev")
+    )
+    epoch_day = F.datediff("day", F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(epoch_day.cast("long")).rangeBetween(-30, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("trailing_30d_rev"),
+    )
