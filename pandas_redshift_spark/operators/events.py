@@ -855,3 +855,56 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+    ),
+    contrib AS (
+        SELECT user_id, day + CAST(i.n AS INTEGER) AS wday
+        FROM pairs, range(7) i(n)
+    ),
+    wau AS (
+        SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY wday
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           d.dau * 1.0 / w.wau AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.wday
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    engagement rollup every product dashboard ships.  The WAU is NOT a
+    sliding distinct over raw events (distinct can't slide cheaply):
+    each distinct (user, day) pair is exploded into the 7 trailing
+    windows it contributes to, and WAU is one distinct count per
+    window day — turning an O(days × events) window into one explode
+    (×7) plus one aggregate.  At 100 TB the same shape swaps the
+    exact distinct for an HLL sketch union per window
+    (agg_hll_sketch_union shows the sketch path); stickiness is an
+    exact integer-count quotient."""
+    ev = Tables(spark, sf_dir).events
+    pairs = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.withColumn(
+        "wday", F.explode(F.sequence("day", F.date_add("day", 6)))
+    )
+    wau = contrib.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+    )
