@@ -908,3 +908,92 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ses AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id,
+               ts, event_id
+        FROM (SELECT f.*, e.event_id FROM flagged f
+              JOIN events e USING (user_id, ts))
+    ),
+    intervals AS (
+        SELECT user_id, session_id, min(ts) AS s_ts, max(ts) AS e_ts
+        FROM ses GROUP BY user_id, session_id
+    ),
+    bounds AS (
+        SELECT user_id, session_id, s_ts AS ts, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT user_id, session_id, e_ts AS ts, -1 AS delta FROM intervals
+    ),
+    swept AS (
+        SELECT ts,
+               sum(delta) OVER (ORDER BY ts, delta, user_id, session_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS concurrency
+        FROM bounds
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(max(concurrency) AS BIGINT) AS peak_concurrent_sessions
+    FROM swept
+    GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the boundary SWEEP: each
+    session interval contributes (+1 at start, -1 at end), the globally
+    ordered running sum of deltas IS the live-session count, and the
+    per-day max is the capacity-planning number.  The sweep is the
+    O(n log n) interval-overlap algorithm — no interval self-join, no
+    per-minute densification.
+
+    Scale: the global window runs over session BOUNDARIES (2 rows per
+    session — thousands, not the raw event stream), so the single
+    ordered pass is an aggregate-domain operation; raw events only
+    feed the per-user sessionization shuffle.  Tie order (-1 before
+    +1, then user/session ids) makes touching intervals
+    non-overlapping and the sweep deterministic; corpus timestamps
+    are microsecond-aligned so both engines sort identically."""
+    ev = Tables(spark, sf_dir).events
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    secs = F.col("ts").cast("timestamp").cast("double")
+    prev = F.lag("ts").over(w_ord)
+    prev_secs = prev.cast("timestamp").cast("double")
+    ses = ev.withColumn(
+        "new_s", F.when(prev.isNull() | (secs - prev_secs > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_s").over(w_run))
+    intervals = ses.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    bounds = intervals.select(
+        "user_id", "session_id", F.col("s_ts").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select(
+            "user_id", "session_id", F.col("e_ts").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    sweep = Window.orderBy("ts", "delta", "user_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = bounds.withColumn("concurrency", F.sum("delta").over(sweep))
+    return swept.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.max("concurrency").cast("bigint").alias("peak_concurrent_sessions"))
