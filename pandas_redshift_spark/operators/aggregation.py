@@ -497,3 +497,69 @@ def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("r"),
     )
+
+
+@query(
+    "agg_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    marg AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           (p.n_ab * 1.0 * t.n_orders) / (ma.n * mb.n) AS lift
+    FROM pairs p
+    JOIN marg ma ON p.part_a = ma.l_partkey
+    JOIN marg mb ON p.part_b = mb.l_partkey
+    CROSS JOIN tot t
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: support (orders containing both
+    parts) and lift (observed co-occurrence vs independence) for part
+    pairs bought together.  The pair join is keyed on l_orderkey, so
+    the pair space is Σ k_i² over per-order item counts (k is small
+    and bounded by basket size) — linear-ish in orders, never
+    |parts|².  Marginals and the order total are tiny aggregates
+    joined back; lift is one exact-integer product divided once
+    (identical IEEE division both engines)."""
+    li = Tables(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            ((F.col("n_ab") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )

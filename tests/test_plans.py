@@ -228,6 +228,10 @@ _AUDIT_WAIVERS = {
         "bnlj": "1-row corpus-max-date broadcast cross join",
     },
     "join_cross": {"bnlj": "the operator IS a cross join (5-row dim side, broadcast)"},
+    "agg_market_basket": {
+        "single_part": "global order count: 1-row aggregate",
+        "bnlj": "1-row order-total broadcast cross join",
+    },
     "pipe_domain_reweight": {"single_part": "corpus totals: 1-row frame", "bnlj": "1-row totals broadcast cross join"},
     "pipe_mix_sample": {"single_part": "per-cell targets: |lang x source| rows", "bnlj": "tiny target frame broadcast"},
     "sink_zorder_layout": {"single_part": "final global 1-row aggregate over the filtered read-back"},
