@@ -35,6 +35,8 @@ from pandas_redshift_spark.sources.bridge import (
     S3_ACCEPTED_KWARGS,
     SparkRedshiftBridge,
     connect,
+    logger,
+    logging_config,
     mask_aws_credentials,
     set_log_level,
 )
@@ -49,6 +51,8 @@ from pandas_redshift_spark.sources.schema import (
 
 __all__ = [
     "S3_ACCEPTED_KWARGS",
+    "logger",
+    "logging_config",
     "connect_to_redshift",
     "connect_to_s3",
     "redshift_to_pandas",

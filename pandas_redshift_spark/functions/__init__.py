@@ -13,11 +13,22 @@ this module stays inside whole-stage codegen.
   (operators/skew.py)
 - layout:  :func:`zorder_key` — Morton interleave for multi-column
   zone-map locality (plans/layout.py)
+- joins:   :func:`asof_join` — linear union-window as-of join
+  (operators/advanced.py); DataFrame-level, not a Column
 """
 
+from pandas_redshift_spark.operators.advanced import asof_join
 from pandas_redshift_spark.operators.dedup import shingles
 from pandas_redshift_spark.operators.similarity import cosine, cosine_pre, dot
 from pandas_redshift_spark.operators.skew import salt_col
 from pandas_redshift_spark.plans.layout import zorder_key
 
-__all__ = ["dot", "cosine", "cosine_pre", "shingles", "salt_col", "zorder_key"]
+__all__ = [
+    "dot",
+    "cosine",
+    "cosine_pre",
+    "shingles",
+    "salt_col",
+    "zorder_key",
+    "asof_join",
+]
