@@ -184,3 +184,44 @@ def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT (:42) — hash-aggregate dedup; partial aggregation keeps
     the shuffle tiny regardless of input size."""
     return Tables(spark, sf_dir).orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "sql_text_interface",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spend
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    HAVING count(o.o_orderkey) > 0
+    """,
+)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY interface is a raw SQL string
+    (redshift_to_pandas(sql), core.py:82-87): this operator runs the
+    same multi-join aggregate as literal SQL TEXT through
+    ``spark.sql`` over registered temp views — proving the SQL-string
+    path (parser -> Catalyst -> same physical plans as the DataFrame
+    API) end-to-end, not just the DataFrame surface.  The oracle is
+    the IDENTICAL statement, which is the whole point."""
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("v_nation")
+    t.customer.createOrReplaceTempView("v_customer")
+    t.orders.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               count(o.o_orderkey) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_spend
+        FROM v_nation n
+        JOIN v_customer c ON c.c_nationkey = n.n_nationkey
+        JOIN v_orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        HAVING count(o.o_orderkey) > 0
+        """
+    )
