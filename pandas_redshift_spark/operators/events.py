@@ -997,3 +997,41 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
     ).agg(F.max("concurrency").cast("bigint").alias("peak_concurrent_sessions"))
+
+
+@query(
+    "events_rate_limit_flags",
+    oracle="""
+    WITH per_min AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute,
+               CAST(count(*) AS BIGINT) AS epm
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(epm) AS BIGINT) AS peak_epm,
+           CAST(sum(epm) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_active_minutes,
+           max(epm) >= 5 AS flagged_bot
+    FROM per_min
+    GROUP BY user_id
+    """,
+)
+def events_rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot/abuse detection — the traffic-hygiene filter a
+    training pipeline runs before any content filter: per-user peak
+    events-per-minute and a threshold flag.  Two chained aggregates
+    ((user, minute) then user — the second reuses no extra exchange
+    beyond the user key); entirely mergeable, no windows, no state.
+    The 100 TB version is the same plan with the minute bucket as the
+    pre-aggregation that shrinks the stream ~|events|/|active
+    minutes| before the per-user rollup."""
+    ev = Tables(spark, sf_dir).events
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("epm"))
+    return per_min.groupBy("user_id").agg(
+        F.max("epm").alias("peak_epm"),
+        F.sum("epm").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+        (F.max("epm") >= 5).alias("flagged_bot"),
+    )

@@ -623,3 +623,54 @@ def pipe_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio",
         )
     )
+
+
+@query(
+    "pipe_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(count(hist.h) AS BIGINT) AS n_dup_vs_corpus,
+           CAST(count(*) - count(hist.h) AS BIGINT) AS n_kept
+    FROM batch b LEFT JOIN hist ON b.h = hist.h
+    GROUP BY b.lang
+    """,
+)
+def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-ingest shape: only the NEW batch
+    (doc_id % 10 == 0 stands in for today's crawl) is checked against
+    the existing corpus' content-hash set; history is never re-paired
+    against itself.  This asymmetry is what makes continuous dedup
+    affordable: per ingest you pay |batch| probes against a hash
+    index, not |corpus|² — and the digest set is exactly what a
+    production pipeline persists between runs (dedup_exact_hash
+    builds it).
+
+    Shape: history collapses to distinct 32-byte digests (shuffle
+    keyed on the digest, independent of document length); the batch
+    left-joins that set and aggregates per language."""
+    d = Tables(spark, sf_dir).documents
+    hist = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang", F.sha2("text", 256).alias("h")
+    )
+    return (
+        batch.join(hist, "h", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count("in_hist").alias("n_dup_vs_corpus"),
+            (F.count(F.lit(1)) - F.count("in_hist")).alias("n_kept"),
+        )
+    )
