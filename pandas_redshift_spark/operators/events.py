@@ -1035,3 +1035,80 @@ def events_rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_minutes"),
         (F.max("epm") >= 5).alias("flagged_bot"),
     )
+
+
+@query(
+    "events_sessionized_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ses AS (
+        SELECT user_id, event_type, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ),
+    stages AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM ses GROUP BY user_id, session_id
+    )
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(count(t_view) AS BIGINT) AS s_viewed,
+        CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS s_view_click,
+        CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS BIGINT) AS s_full_funnel
+    FROM stages
+    """,
+)
+def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion WITHIN a single session: view -> click -> purchase
+    must happen in order inside one visit (the per-user funnel
+    overstates conversion by crediting stages days apart).  Composes
+    the sessionization cumsum with the conditional-min ordered-funnel
+    pattern — all on ONE user_id shuffle: the session window, the
+    per-session stage mins, and the final count reuse the same
+    partitioning; no self-joins anywhere.  Strict inequalities keep
+    the order check identical in both engines (timestamps are
+    microsecond-aligned in this corpus)."""
+    ev = Tables(spark, sf_dir).events
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    secs = F.col("ts").cast("timestamp").cast("double")
+    prev = F.lag("ts").over(w_ord)
+    prev_secs = prev.cast("timestamp").cast("double")
+    ses = ev.withColumn(
+        "new_s", F.when(prev.isNull() | (secs - prev_secs > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_s").over(w_run))
+    smin = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ses.groupBy("user_id", "session_id").agg(
+        smin("view").alias("t_view"),
+        smin("click").alias("t_click"),
+        smin("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("s_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("s_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("s_full_funnel"),
+    )

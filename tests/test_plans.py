@@ -223,6 +223,7 @@ _AUDIT_WAIVERS = {
     "agg_hll_sketch_union": {"single_part": "union of per-group sketches into one row — sketch bytes, not data"},
     "events_funnel": {"single_part": "step counts: 3-row frame ordered globally"},
     "events_ordered_funnel": {"single_part": "step counts: 3-row frame ordered globally"},
+    "events_sessionized_funnel": {"single_part": "global 1-row final count over the per-session aggregate"},
     "events_rfm_segmentation": {
         "single_part": "exact ntile over the per-user aggregate (|users| rows); approx_percentile cuts at 1e9 users (docstring)",
         "bnlj": "1-row corpus-max-date broadcast cross join",
