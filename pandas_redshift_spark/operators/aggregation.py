@@ -563,3 +563,62 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_ab") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b"))).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_calendar_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+               max(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.n_orders, 0) AS n_orders,
+           coalesce(d.revenue, 0.0) AS revenue,
+           d.day IS NULL AS was_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def agg_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar completeness: a generated day spine (min..max order
+    date) LEFT-joined to the daily aggregate, zero-filling days with
+    no orders — the reporting contract that makes moving averages and
+    charts correct on sparse data (a missing day silently skews any
+    trailing window computed over existing rows only).
+
+    Shape: the spine is one sequence() explode off a 1-row bounds
+    aggregate — thousands of rows, broadcast to the daily aggregate
+    join; raw orders feed only the per-day partial agg."""
+    o = Tables(spark, sf_dir).orders
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily.withColumnRenamed("day", "dday"), spine.day == F.col("dday"), "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("dday").isNull().alias("was_gap"),
+        )
+    )

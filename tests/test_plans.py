@@ -229,6 +229,7 @@ _AUDIT_WAIVERS = {
         "bnlj": "1-row corpus-max-date broadcast cross join",
     },
     "join_cross": {"bnlj": "the operator IS a cross join (5-row dim side, broadcast)"},
+    "agg_calendar_gap_fill": {"single_part": "1-row min/max bounds aggregate that seeds the day spine"},
     "agg_market_basket": {
         "single_part": "global order count: 1-row aggregate",
         "bnlj": "1-row order-total broadcast cross join",
