@@ -205,3 +205,43 @@ def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     that 'fixed' it would silently diverge.  Planned as null-aware
     anti joins (the reason Spark needs NAAJ at all)."""
     return _sql(spark, sf_dir, _NOT_IN_NULLS_SQL)
+
+
+@query(
+    "subquery_lateral_topk",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_name
+        LIMIT 3
+    ) t
+    """,
+)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: per nation, the top-3
+    customers by balance — the SQL-standard form of per-row top-k
+    (each outer row parameterizes the inner query).  Catalyst
+    decorrelates the lateral into the same window/top-k plan the
+    DataFrame API produces (window_topk_per_group) — proving the
+    correlated SQL surface, not just the window idiom.  Deterministic
+    tie-break on name."""
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("v_sq_nation")
+    t.customer.createOrReplaceTempView("v_sq_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+        FROM v_sq_nation n,
+        LATERAL (
+            SELECT c.c_name, c.c_acctbal
+            FROM v_sq_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c.c_acctbal DESC, c.c_name
+            LIMIT 3
+        ) t
+        """
+    )

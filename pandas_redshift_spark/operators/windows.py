@@ -362,3 +362,38 @@ def window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_rev",
         F.round(F.sum("day_rev").over(w), 2).alias("trailing_30d_rev"),
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+           round(quantile_cont(revenue, 0.5) OVER (
+               ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ), 2) AS smoothed
+    FROM daily
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day MOVING MEDIAN of daily revenue — robust trend
+    smoothing (a single spike day drags a moving average but not the
+    median).  Exact percentile runs as a WINDOW aggregate over a
+    7-row frame: per-frame cost is constant, and the window input is
+    the daily aggregate (|days| rows), never raw orders.  Median of
+    2dp-exact values interpolates at most one midpoint — identical in
+    both engines, re-rounded at 2dp."""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.percentile("revenue", F.lit(0.5)).over(w), 2).alias("smoothed"),
+    )

@@ -251,6 +251,7 @@ _AUDIT_WAIVERS = {
     "tpch_q6_revenue_forecast": {"single_part": "global scalar agg final step"},
     "window_percent_rank_global": {"single_part": "PERCENT_RANK() OVER () parity op — documented global window"},
     "window_trailing_30d": {"single_part": "global time-range window over the DAILY aggregate (|days| rows), raw orders never enter the window"},
+    "window_moving_median": {"single_part": "global 7-row frame window over the DAILY aggregate (|days| rows)"},
     "events_peak_concurrency": {"single_part": "global sweep over session BOUNDARIES (2 rows/session), not raw events"},
     "window_revenue_share": {"single_part": "percent-of-total: share of a 1-row exact total"},
     # -- Expand nodes that ARE the operator's semantics --
