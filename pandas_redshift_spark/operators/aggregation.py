@@ -622,3 +622,45 @@ def agg_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dday").isNull().alias("was_gap"),
         )
     )
+
+
+@query(
+    "agg_log_histogram",
+    oracle="""
+    WITH bucketed AS (
+        SELECT lang, length(bin(n_chars)) - 1 AS log2_bucket, n_chars
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, CAST(log2_bucket AS BIGINT) AS log2_bucket,
+           CAST(pow(2, log2_bucket) AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM bucketed
+    GROUP BY lang, log2_bucket
+    """,
+)
+def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucket histogram of document length — the right histogram
+    for heavy-tailed size distributions (fixed-width buckets put 99%
+    of a power law in bucket 0; events_value_histogram shows the
+    linear twin).  The bucket index is EXACT integer math in both
+    engines: floor(log2(n)) computed as length(bin(n)) - 1, never a
+    float log that could straddle a boundary.  Map-side partial agg
+    collapses to |langs| x ~20 buckets."""
+    d = Tables(spark, sf_dir).documents
+    bucket = (F.length(F.expr("bin(n_chars)")) - 1).cast("bigint")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy("lang", bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "log2_bucket",
+            F.pow(F.lit(2), F.col("log2_bucket")).cast("bigint").alias("bucket_lo"),
+            "n_docs",
+            "total_chars",
+        )
+    )

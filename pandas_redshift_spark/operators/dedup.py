@@ -562,3 +562,49 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("bigint").alias("n_grams_a"),
         cont.alias("containment"),
     )
+
+
+@query(
+    "dedup_provenance_crossref",
+    oracle="""
+    WITH groups AS (
+        SELECT sha256(text) AS h,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               min(lang) AS lang
+        FROM documents
+        GROUP BY sha256(text)
+        HAVING count(*) > 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(count(*) FILTER (n_sources = 1) AS BIGINT) AS n_within_source,
+           CAST(count(*) FILTER (n_sources > 1) AS BIGINT) AS n_cross_source,
+           CAST(sum(n_copies) AS BIGINT) AS n_dup_docs
+    FROM groups
+    GROUP BY lang
+    """,
+)
+def dedup_provenance_crossref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PROVENANCE: exact-dup groups classified by whether
+    their copies live inside one source (re-crawl of the same site)
+    or span sources (mirrors/syndication) — the breakdown that decides
+    the fix (re-crawl dedup at ingest vs cross-source canonical
+    selection).  One digest-keyed shuffle builds the groups; the
+    per-lang report is a tiny re-agg."""
+    d = Tables(spark, sf_dir).documents
+    groups = (
+        d.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("lang").alias("lang"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    return groups.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.count(F.when(F.col("n_sources") == 1, 1)).alias("n_within_source"),
+        F.count(F.when(F.col("n_sources") > 1, 1)).alias("n_cross_source"),
+        F.sum("n_copies").alias("n_dup_docs"),
+    )
