@@ -674,3 +674,66 @@ def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("in_hist")).alias("n_kept"),
         )
     )
+
+
+@query(
+    "pipe_train_manifest",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, text, n_chars,
+               CASE
+                   WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                       THEN 'train'
+                   WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'f'
+                       THEN 'val'
+                   ELSE 'test'
+               END AS split,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                   AND len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) > 0.05 AS passes
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) FILTER (passes) AS BIGINT) AS n_pass_quality,
+           count(*) FILTER (passes) * 1.0 / count(*) AS quality_rate
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def pipe_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANIFEST — the artifact a training pipeline actually hands
+    to the trainer: per (language, split) document counts, token and
+    character mass, and quality pass-rates, with the SAME
+    deterministic split rule as pipe_split_deterministic and the SAME
+    quality predicate as text_quality_score (consistency across
+    registered operators is the contract — a manifest computed with
+    different rules than the shard writer is a silent training bug).
+
+    Shape: one scan, all per-row signals computed narrow, one
+    (lang, split) partial-agg shuffle.  Every rate is an exact
+    integer-count quotient."""
+    d = Tables(spark, sf_dir).documents
+    nib = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
+    split = F.when(nib < "d", "train").when(nib < "f", "val").otherwise("test")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    passes = n.between(20, 1000) & (uniq / n > 0.05)
+    assigned = d.select(
+        "lang",
+        "n_chars",
+        split.alias("split"),
+        n.alias("n_tokens"),
+        passes.alias("passes"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.when(F.col("passes"), 1)).alias("n_pass_quality"),
+        (F.count(F.when(F.col("passes"), 1)) / F.count(F.lit(1))).alias("quality_rate"),
+    )
