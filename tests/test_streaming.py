@@ -208,3 +208,76 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events_stream):
         for r in batch_user_totals(events_batch).collect()
     }
     assert got == want
+
+def test_watermark_evicts_state_and_drops_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end over 3 micro-batches: batch 1
+    advances the event-time high mark; batch 2's late rows still merge
+    (Spark applies a newly-advanced watermark with a one-batch
+    propagation lag — the documented global-watermark update rule);
+    by batch 3 the watermark is in force, so the old window has been
+    EMITTED AND EVICTED and batch 3's late rows are DROPPED.  This is
+    the property that bounds streaming state at scale: exactly one
+    final row per window, and stragglers past the lag never resurrect
+    evicted state."""
+    import datetime as dt
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from pandas_redshift_spark.streaming.windows import tumbling_counts
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = _glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        _shutil.copy(part, f"{src}/{name}.parquet")
+        _time.sleep(1.2)  # distinct mtimes -> deterministic batch order
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: 3 on-time events in the 08:00 window + the 11:00 event
+    # that pushes the watermark to 10:30 (30-minute delay)
+    write_batch(
+        "b1",
+        [(t(8, 5), "view", 1.0), (t(8, 10), "view", 1.0), (t(8, 20), "view", 1.0), (t(11, 0), "view", 1.0)],
+    )
+    # batch 2: late for 08:00, but inside the one-batch watermark lag
+    write_batch("b2", [(t(8, 30), "view", 1.0), (t(8, 45), "view", 1.0)])
+    # batch 3: late for 08:00 AFTER the watermark took effect -> dropped
+    write_batch("b3", [(t(8, 50), "view", 1.0), (t(8, 55), "view", 1.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        tumbling_counts(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = [
+        (r.window_start, r.n_events)
+        for r in spark.sql("SELECT * FROM t_late").collect()
+        if r.window_start == "2024-01-01 08:00:00"
+    ]
+    # exactly ONE emission of the 08:00 window: 3 on-time + the 2
+    # lag-window rows; batch 3's 2 stragglers were dropped, never
+    # resurrecting the evicted window as a duplicate result row
+    assert rows == [("2024-01-01 08:00:00", 5)], rows
+    # at least one batch-3 row is counted by the state store's
+    # late-row metric (the other may be cut by the upstream
+    # event-time filter, which doesn't increment this counter)
+    assert dropped >= 1, dropped
