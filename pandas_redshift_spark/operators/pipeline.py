@@ -737,3 +737,53 @@ def pipe_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("passes"), 1)).alias("n_pass_quality"),
         (F.count(F.when(F.col("passes"), 1)) / F.count(F.lit(1))).alias("quality_rate"),
     )
+
+
+@query(
+    "pipe_feature_binning",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+        FROM orders
+    )
+    SELECT 1 + len(list_filter(cuts.c, x -> o.o_totalprice > x)) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o.o_totalprice), 2) AS lo,
+           round(max(o.o_totalprice), 2) AS hi,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def pipe_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (decile binning) of a numeric feature —
+    done the SCALE way: the 9 decile cuts come from one mergeable
+    percentile aggregate, BROADCAST to every row, and the bin index is
+    counting cuts below the value (a 9-element array filter, pure
+    codegen).  The naive ntile(10) formulation drags the ENTIRE table
+    through one global sort partition; this plan touches raw rows only
+    with narrow ops.
+
+    Cross-engine note: interpolated cuts land strictly between
+    2dp-exact prices (or exactly on one when the quantile index is
+    integral), so last-ulp interpolation differences can never flip a
+    row across a cut."""
+    o = Tables(spark, sf_dir).orders
+    cuts = o.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+        ).alias("c")
+    )
+    binned = o.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (F.size(F.filter(F.col("c"), lambda x: F.col("o_totalprice") > x)) + 1)
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

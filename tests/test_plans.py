@@ -235,6 +235,7 @@ _AUDIT_WAIVERS = {
         "bnlj": "1-row order-total broadcast cross join",
     },
     "pipe_domain_reweight": {"single_part": "corpus totals: 1-row frame", "bnlj": "1-row totals broadcast cross join"},
+    "pipe_feature_binning": {"single_part": "1-row decile-cuts aggregate", "bnlj": "1-row cuts broadcast cross join"},
     "pipe_mix_sample": {"single_part": "per-cell targets: |lang x source| rows", "bnlj": "tiny target frame broadcast"},
     "sink_zorder_layout": {"single_part": "final global 1-row aggregate over the filtered read-back"},
     "source_schema_evolution": {"single_part": "final global 1-row aggregate"},
