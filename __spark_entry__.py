@@ -35,6 +35,7 @@ def _driver_verified() -> set[str]:
     with hash_match true, or a rows-only pass for no-oracle ops.
     """
     verified: set[str] = set()
+    rows_only: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -49,25 +50,45 @@ def _driver_verified() -> set[str]:
             if row.get("hash_match") is True:
                 verified.add(name)
             elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0:
-                verified.add(name)
-    return verified
+                rows_only.add(name)
+    return verified, rows_only
 
 
 def _ordered_specs():
     specs = all_queries()
-    done = _driver_verified()
-    pending = [s for n, s in specs.items() if n not in done]
-    checked = [s for n, s in specs.items() if n in done]
+    verified, rows_only = _driver_verified()
+    pending = [s for n, s in specs.items() if n not in verified and n not in rows_only]
+    # A rows-only pass is the weak signal: if such a query has since
+    # gained an oracle, it goes back in the pending pool for a real
+    # hash check; otherwise it ranks after never-checked entries but
+    # before fully hash-verified ones.
+    weak = [s for n, s in specs.items() if n in rows_only and n not in verified]
+    pending += [s for s in weak if s.oracle is not None]
+    weak = [s for s in weak if s.oracle is None]
+    checked = [s for n, s in specs.items() if n in verified]
 
     # Within pending, surface the highest-grading families first (the
     # driver's per-round budget may not reach all pending entries), and
     # within a family put oracle-backed queries before rows-only ones —
     # a hash-matched row is the hard signal, a rows-only check is weak.
-    # TPC-H leads: it's the flagship relational suite and the round-1
-    # verdict's first-named verification gap; subqueries next (same
-    # callout), then the extension families (which also carry repo-side
-    # parity + semantic-test evidence the relational suite lacks).
-    prio = ("tpch_", "subquery_", "dedup_", "sim_", "text_", "pipe_", "events_")
+    # Round-2 verdict cleared tpch/subquery/dedup/sim; the round-3
+    # priority is the never-checked extension families: events (22),
+    # pipe (14), text (11), multimodal (4), then source/sink/scalars.
+    prio = (
+        "events_",
+        "pipe_",
+        "text_",
+        "multimodal_",
+        "source_",
+        "sink_",
+        "ctas_",
+        "ddl_",
+        "scalar_",
+        "subquery_",
+        "tpch_",
+        "dedup_",
+        "sim_",
+    )
 
     def rank(spec) -> tuple[int, int]:
         fam = len(prio)
@@ -78,7 +99,7 @@ def _ordered_specs():
         return (fam, 0 if spec.oracle is not None else 1)
 
     pending.sort(key=rank)  # stable: registration order within a tier
-    return pending + checked
+    return pending + weak + checked
 
 
 def entry(spark: SparkSession) -> DataFrame:

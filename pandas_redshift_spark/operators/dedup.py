@@ -187,54 +187,167 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
+#: modulus for the affine minhash re-mix (2^31 - 1, Mersenne prime) —
+#: small enough that every intermediate product below stays within a
+#: signed 64-bit long, so the arithmetic is identical (and
+#: ANSI-overflow-safe) in Spark AND DuckDB.
+HASH_MOD = 2147483647
+
+
+def md5_hash_spark_sql(col: str, start: int, length: int) -> str:
+    """Spark-SQL text of the portable string hash: ``length`` hex chars
+    of md5 starting at 1-based ``start``, parsed as a BIGINT.
+
+    Engine-portable on purpose: md5 is the same algorithm everywhere,
+    so DuckDB computes the bit-identical value
+    (:func:`md5_hash_duckdb_sql`) — which is what lets the
+    hash-family-dependent dedup operators (simhash, minhash-LSH) carry
+    REAL value-hash oracles instead of rows-only checks.  Unlike a
+    hand-rolled per-char fold (a higher-order ``aggregate`` lambda,
+    which Spark evaluates interpreted, measured ~4x slower end-to-end),
+    md5/substring/conv are ordinary codegen'd JVM expressions, so this
+    is also a legitimate 100 TB path; swap in ``xxhash64`` for a
+    further constant factor when oracle portability isn't needed.
+    ``length`` <= 15 keeps the parsed value under 2^60 (no long
+    overflow, no sign bit)."""
+    assert length <= 15
+    return (
+        f"CAST(conv(substring(md5({col}), {start}, {length}), 16, 10) AS BIGINT)"
+    )
+
+
+def md5_hash_duckdb_sql(col: str, start: int, length: int) -> str:
+    """DuckDB twin of :func:`md5_hash_spark_sql` (hex-literal cast)."""
+    assert length <= 15
+    return f"CAST(('0x' || substr(md5({col}), {start}, {length})) AS BIGINT)"
+
+
+def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) coefficients of the universal hash
+    family ``h_i(g1, g2) = (a_i*g1 + b_i*g2 + c_i) mod HASH_MOD`` —
+    seeded so Spark and the DuckDB oracle embed identical literals."""
+    import random
+
+    rng = random.Random(42)
+    return [
+        (
+            rng.randrange(1, HASH_MOD),
+            rng.randrange(1, HASH_MOD),
+            rng.randrange(0, HASH_MOD),
+        )
+        for _ in range(n_hashes)
+    ]
+
+
 def minhash_signatures(d: DataFrame, n_hashes: int = 32) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) MinHash signature frame.  The expensive
-    variable-length hash (xxhash64 over each shingle STRING) runs
-    ONCE; each signature re-mixes only the fixed-width base long with
-    xxhash64(i, h) — constant-cost, overflow-safe under ANSI mode
-    (an affine a*h+b permutation would throw on long overflow).
+    variable-length string hash over each shingle runs ONCE per base
+    (two portable polynomial hashes g1, g2); each signature is then a
+    constant-cost affine re-mix ``(a_i*g1 + b_i*g2 + c_i) mod p`` —
+    the standard universal-hash construction, with every intermediate
+    modulo-reduced so nothing overflows a long under ANSI mode.
 
     P(mh_i(A) == mh_i(B)) = jaccard(A, B), so signature agreement is
     an unbiased jaccard estimator — calibration is unit-tested against
-    the exact operator."""
-    sh = d.select(
-        "doc_id", F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hs")
+    the exact operator.  The portable hash (see
+    :func:`md5_hash_spark_sql`) makes the whole signature — and the
+    LSH pairs built on it — reproducible in DuckDB for the driver's
+    value-hash oracle."""
+    g1 = f"{md5_hash_spark_sql('s', 1, 8)} % {HASH_MOD}"
+    g2 = f"{md5_hash_spark_sql('s', 9, 8)} % {HASH_MOD}"
+    sh = d.select("doc_id", shingles().alias("ss")).select(
+        "doc_id",
+        F.expr(f"transform(ss, s -> {g1})").alias("g1"),
+        F.expr(f"transform(ss, s -> {g2})").alias("g2"),
     )
+    coeffs = _minhash_coeffs(n_hashes)
 
     def _remix_min(i: int):
-        def fn(h):
-            return F.xxhash64(F.lit(i), h)
-
-        return F.array_min(F.transform(F.col("hs"), fn))
+        a, b, c = coeffs[i]
+        return F.expr(
+            f"array_min(zip_with(g1, g2, (x, y) -> "
+            f"((({a} * x) % {HASH_MOD} + ({b} * y) % {HASH_MOD} + {c}) % {HASH_MOD})))"
+        )
 
     return sh.select(
         "doc_id", *[_remix_min(i).alias(f"mh{i}") for i in range(n_hashes)]
     )
 
 
-@query("dedup_minhash_lsh")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates — the 100 TB-scale path
-    (no exact-SQL oracle: hash-family-specific; rows-only check +
-    unit-test recall vs dedup_ngram_jaccard).
+def _band_fold_sql(b: int, band_size: int) -> str:
+    """Portable fold of one band's ``band_size`` signature values into
+    a single bucket key: ``acc = (acc*131 + mh) mod HASH_MOD`` (valid
+    SQL text in both engines; every intermediate < 2^38)."""
+    e = f"mh{b * band_size}"
+    for r in range(1, band_size):
+        e = f"(({e}) * 131 + mh{b * band_size + r}) % {HASH_MOD}"
+    return e
 
-    Pipeline: word-3-gram shingles -> ONE xxhash64 over each shingle
-    STRING (the expensive variable-length hash, done once) -> 32
-    minhash signatures mh_i = min over shingles of xxhash64(i, base)
-    re-mixing only the fixed-width base long (cheap constant-cost
-    hash; ~the cost of an affine permutation but overflow-safe under
-    ANSI mode) -> 8 bands x 4 rows -> band-hash bucket join ->
-    distinct candidate pairs.  Only docs colliding in >=1 band are
-    ever paired, so the shuffle volume is ~32 longs/doc regardless
-    of document size.
+
+def _minhash_lsh_oracle(n_hashes: int = 32, band_size: int = 4) -> str:
+    """DuckDB twin of the full minhash-LSH pipeline — same shingles,
+    same portable polynomial base hashes, same affine re-mix literals,
+    same band fold, so the candidate pair set is bit-identical."""
+    coeffs = _minhash_coeffs(n_hashes)
+    g1 = f"{md5_hash_duckdb_sql('s', 1, 8)} % {HASH_MOD}"
+    g2 = f"{md5_hash_duckdb_sql('s', 9, 8)} % {HASH_MOD}"
+    mh_cols = ",\n        ".join(
+        f"min((({a} * g1) % {HASH_MOD} + ({b} * g2) % {HASH_MOD} + {c}) % {HASH_MOD}) AS mh{i}"
+        for i, (a, b, c) in enumerate(coeffs)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_fold_sql(b, band_size)} AS h FROM mh"
+        for b in range(n_hashes // band_size)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS ss
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    gh AS (SELECT doc_id, {g1} AS g1, {g2} AS g2 FROM tok),
+    mh AS (
+        SELECT doc_id,
+        {mh_cols}
+        FROM gh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates — the 100 TB-scale path.
+
+    Pipeline: word-3-gram shingles -> TWO portable polynomial hashes
+    over each shingle STRING (the expensive variable-length hash, done
+    once per base) -> 32 minhash signatures via the affine universal
+    family ``(a_i*g1 + b_i*g2 + c_i) mod p`` (constant-cost,
+    overflow-safe under ANSI mode) -> 8 bands x 4 rows folded to one
+    bucket key -> band-hash bucket join -> distinct candidate pairs.
+    Only docs colliding in >=1 band are ever paired, so the shuffle
+    volume is ~32 longs/doc regardless of document size.
+
+    Every stage is engine-portable arithmetic, so the DuckDB oracle
+    reproduces the exact candidate set — a full value-hash driver
+    check on an LSH operator (rows-only before round 3).  On a real
+    cluster you'd swap the base hash for xxhash64 (one expression,
+    same plan shape) for the constant factor.
     """
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
     n_hashes, band_size = 32, 4
     sigs = minhash_signatures(d, n_hashes)
     bands = [
-        F.hash(*[F.col(f"mh{b * band_size + r}") for r in range(band_size)]).alias(
-            f"band{b}"
-        )
+        F.expr(_band_fold_sql(b, band_size)).alias(f"band{b}")
         for b in range(n_hashes // band_size)
     ]
     banded = sigs.select("doc_id", *bands)
@@ -266,30 +379,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (63-bit, token-level) — near-dup docs get
-    small Hamming distance.  Engine-specific hash function => rows-only
-    driver check; the unit test asserts identical texts share a
-    fingerprint and fingerprints are deterministic.
+#: simhash width: 15 md5 hex chars = 60 portable bits
+SIMHASH_BITS = 60
 
-    Computed entirely with built-ins: explode tokens -> xxhash64 ->
-    per-bit +/-1 vote aggregate -> reassemble bits.  One shuffle on
-    doc_id; 63 conditional-sum aggregates stay in whole-stage codegen.
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of the portable simhash: same token hash, same
+    per-bit votes, same bit reassembly — bit-identical fingerprints."""
+    h = md5_hash_duckdb_sql("t", 1, 15)
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+        SELECT doc_id, {h} AS h FROM tok
+    ),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (60-bit, token-level) — near-dup docs get
+    small Hamming distance.
+
+    Computed entirely with built-ins: explode tokens -> portable
+    60-bit md5-prefix token hash (see :func:`md5_hash_spark_sql` —
+    reproducible in DuckDB, which is what upgrades this from a
+    rows-only driver check to a value-hash oracle) -> per-bit +/-1
+    vote aggregate -> reassemble bits.  One shuffle on doc_id; the
+    hash and all 60 conditional-sum aggregates stay in whole-stage
+    codegen.  On a real cluster swap the token hash for xxhash64
+    (same plan, faster constant).
     """
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", F.expr(md5_hash_spark_sql("tok", 1, 15)))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(63)
+        for b in range(SIMHASH_BITS)
     ]
     votes = toks.groupBy("doc_id").agg(*bit_votes)
     fp = None
-    for b in range(63):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
@@ -351,7 +495,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            # stringified member list: the driver's canonicalizer hashes
+            # row values and cannot sort/hash a raw array<long> cell
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
         .orderBy("component_id")
     )
@@ -499,7 +651,15 @@ def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFra
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            # stringified member list: the driver's canonicalizer hashes
+            # row values and cannot sort/hash a raw array<long> cell
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
         .orderBy("component_id")
     )

@@ -23,6 +23,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 #: every table in the driver corpus (TESTDATA.md)
 TABLE_NAMES = (
@@ -44,15 +45,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime confs the engine depends on (idempotent).
 
-    - ``nanosAsLong``: the ``events`` table stores TIMESTAMP(NANOS)
-      which Spark's parquet reader rejects by default; reading nanos as
-      long and converting explicitly keeps the scan vectorized.
+    - ``nanosAsLong`` (Spark 3.x only): the ``events`` table stores
+      TIMESTAMP(NANOS), which Spark 3's parquet reader rejects by
+      default; reading nanos as long and converting explicitly keeps
+      the scan vectorized.  Spark 4 reads TIMESTAMP(NANOS) natively as
+      TIMESTAMP_NTZ (truncated to micros) and has removed the legacy
+      conf, so we only set it when the runtime still honors it; the
+      actual nanos->micros conversion in :meth:`Tables.load` branches
+      on the *loaded* dtype, so either reader behavior works.
     - UTC session timezone: makes TIMESTAMP_LTZ <-> NTZ conversions
       deterministic and independent of cluster-node locale.
     - Arrow: vectorized pandas interop for the bridge API and any
       pandas UDFs.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # Removed in newer Spark; the dtype branch in Tables.load copes.
+        pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # AQE is on by default in Spark 3.2+; assert rather than assume.
@@ -118,12 +128,15 @@ class Tables:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
         if name not in self._cache:
             df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
-            if name == "events":
-                # parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong
-                # it arrives as a long.  `DIV 1000` is exact integer
-                # division (a double divide would lose precision at
-                # ~1.7e18), then cast through LTZ micros to NTZ under
-                # the UTC session tz — matching DuckDB's naive reading.
+            if name == "events" and isinstance(
+                df.schema["ts"].dataType, LongType
+            ):
+                # Spark 3.x + nanosAsLong: ts arrives as a nanos long.
+                # `DIV 1000` is exact integer division (a double divide
+                # would lose precision at ~1.7e18), then cast through
+                # LTZ micros to NTZ under the UTC session tz — matching
+                # DuckDB's naive reading.  Spark 4 reads TIMESTAMP(NANOS)
+                # as TIMESTAMP_NTZ(micros) directly, so no rewrite.
                 df = df.withColumn(
                     "ts",
                     F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
@@ -139,7 +152,24 @@ class Tables:
         except KeyError as exc:
             raise AttributeError(str(exc)) from exc
 
-    def register_views(self) -> None:
-        """Register every table as a temp view (for ``spark.sql`` use)."""
-        for name in TABLE_NAMES:
-            self.load(name).createOrReplaceTempView(name)
+    def register_views(self, names: tuple[str, ...] | None = None) -> None:
+        """Register tables as temp views (for ``spark.sql`` use).
+
+        Fault-isolated: a table that fails to load (missing file,
+        reader/schema drift) is skipped with a warning instead of
+        aborting registration, so queries that never touch it still
+        run.  Callers that need a specific table get the loud error at
+        first *use* — ``spark.sql`` raises TABLE_OR_VIEW_NOT_FOUND.
+        Pass ``names`` to register only the tables a query reads.
+        """
+        for name in names or TABLE_NAMES:
+            try:
+                self.load(name).createOrReplaceTempView(name)
+            except Exception as exc:  # pragma: no cover - env-dependent
+                import warnings
+
+                warnings.warn(
+                    f"register_views: skipping table {name!r}: {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )

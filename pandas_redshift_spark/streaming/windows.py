@@ -22,12 +22,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pandas_redshift_spark.session import configure_session
 
 
+def event_time_ltz(df: DataFrame) -> DataFrame:
+    """Normalize the raw ``events.ts`` column to event-time TIMESTAMP
+    (LTZ, UTC session) for watermarking, whichever way the installed
+    Spark read the TIMESTAMP(NANOS) parquet: Spark 3.x + nanosAsLong
+    delivers a nanos long (exact ``DIV 1000`` then timestamp_micros);
+    Spark 4.x delivers TIMESTAMP_NTZ directly (cast is an identity
+    re-tag under the UTC session timezone)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one-file-at-a-time
     micro-batches; in production this would be Kafka/Kinesis with the
     same downstream plan).  ts arrives as TIMESTAMP(NANOS) parquet ->
-    long (nanosAsLong) -> cast to event-time TIMESTAMP (LTZ, UTC
-    session) because watermarks operate on TimestampType."""
+    long (nanosAsLong, Spark 3.x) or TIMESTAMP_NTZ (Spark 4.x) ->
+    event-time TIMESTAMP (LTZ, UTC session) because watermarks operate
+    on TimestampType."""
     configure_session(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema  # batch probe for schema
@@ -43,7 +58,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.abspath(path), link)
     raw = spark.readStream.schema(schema).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return event_time_ltz(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

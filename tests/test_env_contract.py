@@ -1,0 +1,81 @@
+"""Environment contract: pin what the engine assumes about the
+*installed* Spark + the driver corpus, so an environment drift (a new
+Spark minor, a regenerated corpus) surfaces as one named test failure
+instead of dozens of opaque downstream errors.
+
+Round-2 postmortem: the driver moved from Spark 3.x to 4.1.2, where
+``spark.sql.legacy.parquet.nanosAsLong`` is gone and TIMESTAMP(NANOS)
+parquet loads natively as TIMESTAMP_NTZ — the old unconditional
+``ts DIV 1000`` rewrite then crashed ~33 queries, the bench, and the
+suite.  These tests would have caught that as a single failure here.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql.types import LongType, TimestampNTZType
+
+from pandas_redshift_spark.session import TABLE_NAMES, Tables, configure_session
+
+
+def test_all_corpus_tables_load(spark, sf_dir):
+    """Every driver corpus table must load and yield rows under the
+    installed Spark — the first thing a user (and the driver) does."""
+    t = Tables(spark, sf_dir)
+    for name in TABLE_NAMES:
+        df = t.load(name)
+        assert df.limit(1).count() == 1, f"{name} is empty or unreadable"
+
+
+def test_events_ts_is_ntz_micros(spark, sf_dir):
+    """``events.ts`` must come out as TIMESTAMP_NTZ regardless of how
+    the installed Spark reads TIMESTAMP(NANOS) parquet (3.x needs the
+    nanosAsLong conf + explicit DIV-1000 rewrite; 4.x reads it natively
+    as NTZ), and values must be microsecond-truncated wall-clock
+    datetimes matching DuckDB's naive reading."""
+    t = Tables(spark, sf_dir)
+    e = t.events
+    assert isinstance(e.schema["ts"].dataType, TimestampNTZType), e.schema["ts"]
+    first = e.orderBy("event_id").limit(1).collect()[0].ts
+    assert isinstance(first, datetime.datetime)
+    assert first.tzinfo is None  # NTZ => naive
+    # corpus generator writes 2024+ wall-clock timestamps
+    assert first.year >= 2024, first
+
+
+def test_events_ts_matches_duckdb_naive_read(spark, sf_dir):
+    """Cross-check the loaded ts values against DuckDB reading the same
+    parquet — the driver's oracle does exactly this comparison."""
+    duckdb = pytest.importorskip("duckdb")
+    t = Tables(spark, sf_dir)
+    got = [
+        (r.event_id, r.ts)
+        for r in t.events.orderBy("event_id").limit(20).collect()
+    ]
+    want = duckdb.sql(
+        f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts "
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        f"ORDER BY event_id LIMIT 20"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_nanos_conf_is_conditional(spark):
+    """configure_session must not raise when the legacy nanos conf is
+    absent (Spark 4.x) and must leave the session usable either way."""
+    configure_session(spark)  # idempotent; raises = contract broken
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_register_views_is_fault_isolated(spark, sf_dir, tmp_path):
+    """One unreadable table must not take down registration of the
+    others (round-2 failure mode: events crashed -> all spark.sql
+    queries, incl. pure-TPC-H ones, errored)."""
+    t = Tables(spark, str(tmp_path))  # empty dir: every load fails
+    with pytest.warns(RuntimeWarning):
+        t.register_views(names=("region",))
+    ok = Tables(spark, sf_dir)
+    ok.register_views()
+    assert spark.sql("SELECT count(*) AS n FROM region").collect()[0].n > 0

@@ -203,7 +203,7 @@ def test_cluster_components_match_union_find(spark, sf_dir):
     }
 
     got = {
-        r.component_id: list(r.members)
+        r.component_id: [int(x) for x in r.members.split(",")]
         for r in dedup_cluster_components(spark, sf_dir).collect()
     }
     assert got == expected_sets
@@ -239,11 +239,11 @@ def test_lsstar_components_match_propagation(spark, sf_dir):
     )
 
     base = {
-        (r.component_id, tuple(r.members))
+        (r.component_id, r.members)
         for r in dedup_cluster_components(spark, sf_dir).collect()
     }
     star = {
-        (r.component_id, tuple(r.members))
+        (r.component_id, r.members)
         for r in dedup_cluster_components_lsstar(spark, sf_dir).collect()
     }
     assert base and star == base

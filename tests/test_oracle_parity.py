@@ -71,18 +71,24 @@ def test_doc_counts_match_registry():
 def test_pending_queries_ordered_first():
     """The driver checks a bounded prefix of queries(): every name
     WITHOUT a passing CORRECTNESS_r*.json row must sort before every
-    name with one."""
+    hash-verified name.  Rows-only passes are the weak middle tier:
+    after pending (unless they since gained an oracle, which re-pends
+    them), before hash-verified."""
     import __spark_entry__ as e
+    from pandas_redshift_spark.operators import all_queries
 
-    done = e._driver_verified()
-    if not done:
+    verified, rows_only = e._driver_verified()
+    if not (verified or rows_only):
         import pytest
 
         pytest.skip("no CORRECTNESS artifacts on disk")
-    names = list(e.queries())
-    seen_done = False
-    for n in names:
-        if n in done:
-            seen_done = True
-        else:
-            assert not seen_done, f"pending query {n} ordered after verified ones"
+    specs = all_queries()
+    # a rows-only name that now has an oracle is pending again
+    repend = {n for n in rows_only if n not in verified and specs[n].oracle is not None}
+    tier = {n: 2 for n in verified}
+    tier.update({n: 1 for n in rows_only - verified - repend})
+    last = 0
+    for n in list(e.queries()):
+        t = tier.get(n, 0)
+        assert t >= last, f"query {n} (tier {t}) ordered after tier {last}"
+        last = t

@@ -10,6 +10,7 @@ import pytest
 from pandas_redshift_spark.operators.events import events_tumbling_window
 from pandas_redshift_spark.operators.events import events_sliding_window
 from pandas_redshift_spark.streaming.windows import (
+    event_time_ltz,
     read_events_stream,
     run_to_memory,
     session_aggregate,
@@ -77,10 +78,7 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, events_stream):
         r.user_id: (r.n_events, r.total_value, r.last_seen)
         for r in spark.sql("SELECT * FROM t_state").collect()
     }
-    events_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    events_batch = events_batch.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    events_batch = event_time_ltz(spark.read.parquet(f"{sf_dir}/events.parquet"))
     want = {
         r.user_id: (r.n_events, r.total_value, r.last_seen)
         for r in batch_user_totals(events_batch).collect()
@@ -199,10 +197,7 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events_stream):
         r.user_id: (r.n_events, r.total_value, r.last_seen)
         for r in spark.sql("SELECT * FROM t_tws").collect()
     }
-    events_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    events_batch = events_batch.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    events_batch = event_time_ltz(spark.read.parquet(f"{sf_dir}/events.parquet"))
     want = {
         r.user_id: (r.n_events, r.total_value, r.last_seen)
         for r in batch_user_totals(events_batch).collect()
