@@ -440,7 +440,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
-@query("dedup_cluster_components")
+#: DuckDB twin of the connected-components queries: the same >=0.2
+#: jaccard pair graph, closed transitively with a recursive CTE
+#: (reach(a, b) = b reachable from a), then component_id = min
+#: reachable node — exactly the fixpoint min-label propagation
+#: converges to.  Iterative Spark plan, recursive SQL oracle: the
+#: *results* are comparable even though the algorithms differ, which
+#: is the whole point of an oracle.
+_CLUSTER_ORACLE = """
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, min(b) AS component_id FROM reach GROUP BY a)
+    SELECT component_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY component_id
+    """
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph — the step
     that turns pairwise Jaccard matches into dedup GROUPS (transitive
@@ -458,9 +506,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star formulation (same join shape, provably
     O(log n) rounds); the driver loop and checkpointing are identical.
 
-    Iterative => no single SQL oracle; the driver records the weaker
-    rows-only check and tests/test_extensions.py asserts equality with
-    a union-find ground truth computed on the same pairs.
+    Checked three ways: the driver's value-hash oracle (a DuckDB
+    recursive-CTE transitive closure — see ``_CLUSTER_ORACLE``),
+    tests/test_extensions.py's union-find ground truth on the same
+    pairs, and the large-star/small-star twin below.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     # undirected: propagate labels both ways
@@ -580,7 +629,7 @@ def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
-@query("dedup_cluster_components_lsstar")
+@query("dedup_cluster_components_lsstar", oracle=_CLUSTER_ORACLE)
 def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and

@@ -459,8 +459,8 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_fuzzy_funcs",
     oracle="""
     SELECT c_custkey,
-           levenshtein(c_name, 'Customer#000000001') AS dist_to_first,
-           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+           CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS dist_to_first,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist,
            CAST(levenshtein(c_name, c_name) AS INTEGER) AS self_dist
     FROM customer
     WHERE c_custkey <= 500
@@ -477,7 +477,7 @@ def scalar_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Tables(spark, sf_dir).customer
     return c.filter(F.col("c_custkey") <= 500).select(
         "c_custkey",
-        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("dist_to_first"),
-        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.levenshtein("c_name", F.lit("Customer#000000001")).cast("bigint").alias("dist_to_first"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("bigint").alias("seg_dist"),
         F.levenshtein("c_name", "c_name").cast("int").alias("self_dist"),
     )

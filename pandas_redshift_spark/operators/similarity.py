@@ -266,11 +266,81 @@ def hyperplane_buckets(
     )
 
 
-@query("sim_lsh_topk")
+def _lsh_topk_oracle(
+    n_planes: int = 16, band_bits: int = 4, seed: int = 42, n_dims: int = 64
+) -> str:
+    """DuckDB twin of sim_lsh_topk: the SAME seeded ±1 hyperplane
+    literals (``n_dims`` pinned to the corpus embedding width,
+    TESTDATA.md), same sign bits, same band buckets, same exact
+    re-score.  Valid because both engines fold the dot product
+    left-to-right over identical doubles (verified bit-exact), so
+    even the raw-double sign tests and rank orderings agree."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_dims)]
+        for _ in range(n_planes)
+    ]
+    bits = ",\n        ".join(
+        f"CASE WHEN list_inner_product(emb, {planes[p]}) > 0 THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(n_planes)
+    )
+    n_bands = n_planes // band_bits
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT vec_id, '{b}|' || {bits} AS bucket FROM sig".format(
+            b=b,
+            bits=" || ".join(
+                f"CAST(bit{b * band_bits + r} AS VARCHAR)" for r in range(band_bits)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id,
+        {bits}
+        FROM e
+    ),
+    buckets AS (
+        {band_rows}
+    ),
+    q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 10),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM buckets c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_inner_product(qe.emb, ne.emb) / (qe.nrm * ne.nrm), 4)
+                   AS score
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rn FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS BIGINT) AS rn FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@query("sim_lsh_topk", oracle=_lsh_topk_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via random-hyperplane LSH — the
-    100 TB path.  No SQL oracle (hash-family specific); unit test
-    measures recall vs sim_bruteforce_topk.  Candidates come from
+    100 TB path.  The plane literals are seeded constants, so the
+    whole pipeline is deterministic and the DuckDB oracle reproduces
+    it exactly (see :func:`_lsh_topk_oracle`; rows-only before round
+    3); the unit test additionally measures recall vs
+    sim_bruteforce_topk.  Candidates come from
     :func:`hyperplane_buckets` (16 planes, 4 bands); only candidates
     are exactly re-scored."""
     t = Tables(spark, sf_dir)
@@ -388,12 +458,62 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb_dedup_mark(e, dups)
 
 
-@query("sim_ivf_topk")
+#: DuckDB twin of sim_ivf_topk: first-16-vectors centroids, nearest-1
+#: cell assignment for the corpus, nearest-4 probes for the queries,
+#: exact re-score in probed cells, top-5 — all deterministic (ties
+#: broken by cell/neighbor id; dot products bit-exact across engines).
+_IVF_TOPK_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cell, emb AS c_emb, nrm AS c_nrm FROM e
+        WHERE vec_id < 16
+    ),
+    cellsim AS (
+        SELECT e.vec_id, c.cell,
+               list_inner_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) AS c_sim
+        FROM e CROSS JOIN cents c
+    ),
+    ranked AS (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY c_sim DESC, cell
+        ) AS c_rn FROM cellsim
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE c_rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM ranked
+        WHERE vec_id < 10 AND c_rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_inner_product(qe.emb, ne.emb) / (qe.nrm * ne.nrm), 4)
+                   AS score
+        FROM assigned a
+        JOIN probes p ON a.cell = p.cell
+        JOIN e qe ON qe.vec_id = p.query_id
+        JOIN e ne ON ne.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, score, rn FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS BIGINT) AS rn FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@query("sim_ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via IVF (inverted-file) coarse
-    quantization — the other classic ANN scale path next to LSH.  No
-    SQL oracle (assignment is centroid-seed specific); the unit test
-    measures recall vs sim_bruteforce_topk.
+    quantization — the other classic ANN scale path next to LSH.
+    Centroid seeding is deterministic (first K vectors), so the DuckDB
+    oracle replays the full assign/probe/score pipeline exactly
+    (rows-only before round 3); the unit test additionally measures
+    recall vs sim_bruteforce_topk.
 
     Build: the first K=16 vectors by id seed the coarse centroids (a
     deterministic stand-in for k-means — at scale you'd run

@@ -201,22 +201,36 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
 
 
-@query("text_fingerprint")
+_FINGERPRINT_ORACLE = """
+    SELECT doc_id,
+        list_reduce(
+            list_prepend(CAST(0 AS BIGINT), [
+                CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647
+                for t in string_split(text, ' ')
+            ]),
+            (acc, h) -> (acc * 1000003 + h) % 2147483647
+        ) AS fingerprint,
+        CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: polynomial rolling hash over
-    the token stream (mod 2^61-1), computed with F.aggregate — a pure
-    fold, no Python.  Rows-only driver check (no portable SQL hash);
-    unit test asserts equal texts <=> equal fingerprints.
+    the token stream, computed with F.aggregate — a pure fold, no
+    Python.  The per-token hash is an md5 prefix (same algorithm in
+    DuckDB), so since round 3 the fold is reproduced verbatim by the
+    SQL oracle — a full value-hash driver check; unit test additionally
+    asserts equal texts <=> equal fingerprints.
     """
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
-    toks = F.split("text", " ")
     # modulus 2^31-1 keeps acc*1000003 + h < 2^52 — no ANSI long
     # overflow (Spark 4 runs ANSI mode by default)
-    m = F.lit(2147483647)
-    fp = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: (acc * F.lit(1000003) + F.pmod(F.xxhash64(t), m)) % m,
+    fp = F.expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, t) -> "
+        "(acc * 1000003 + CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+        " % 2147483647) % 2147483647)"
     )
     return d.select("doc_id", fp.alias("fingerprint"), F.col("n_chars").cast("bigint").alias("n_chars"))
 
