@@ -71,10 +71,14 @@ def _ordered_specs():
     # driver's per-round budget may not reach all pending entries), and
     # within a family put oracle-backed queries before rows-only ones —
     # a hash-matched row is the hard signal, a rows-only check is weak.
-    # Round-2 verdict cleared tpch/subquery/dedup/sim; the round-3
-    # priority is the never-checked extension families: events (22),
-    # pipe (14), text (11), multimodal (4), then source/sink/scalars.
+    # Round-3 order: first clear the r2 ERR rows (subquery_* ×8 +
+    # tpch_q17 — collateral of the fixed events-load bug; the other 21
+    # tpch are already verified so "tpch_" only matches q17 here), then
+    # the never-checked extension families: events (22), pipe (14),
+    # text (12), multimodal (4), then source/sink/scalars.
     prio = (
+        "subquery_",
+        "tpch_",
         "events_",
         "pipe_",
         "text_",
@@ -84,8 +88,6 @@ def _ordered_specs():
         "ctas_",
         "ddl_",
         "scalar_",
-        "subquery_",
-        "tpch_",
         "dedup_",
         "sim_",
     )
