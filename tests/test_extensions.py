@@ -393,3 +393,46 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     diff = [n for n in names if h32[n] != h7[n]]
     assert not diff, f"partition-count-dependent results: {diff}"
+
+
+def test_md5_hash_family_cross_engine_parity(spark):
+    """The portable hash family must be bit-identical in Spark and
+    DuckDB over adversarial inputs (empty, unicode, long, quotes) —
+    this equality is what the simhash/minhash/fingerprint oracles
+    stand on.  Also pins the no-overflow envelope of the affine
+    re-mix at the extreme coefficient/hash values."""
+    import duckdb
+
+    from pandas_redshift_spark.operators.dedup import (
+        HASH_MOD,
+        md5_hash_duckdb_sql,
+        md5_hash_spark_sql,
+    )
+
+    cases = [
+        "", "a", "hello world", "x" * 10_000, "naïve café ünïcode 漢字",
+        "it's \"quoted\"", "tab\tnewline\nmix", "0", " leading trailing ",
+    ]
+    rows = spark.createDataFrame([(c,) for c in cases], ["t"])
+    got = {
+        r.t: (r.h8, r.h15)
+        for r in rows.selectExpr(
+            "t",
+            f"{md5_hash_spark_sql('t', 1, 8)} AS h8",
+            f"{md5_hash_spark_sql('t', 1, 15)} AS h15",
+        ).collect()
+    }
+    con = duckdb.connect()
+    # same expressions the oracles embed, parameterized over the cases
+    duck_sql = (
+        f"SELECT {md5_hash_duckdb_sql('$1', 1, 8)}, "
+        f"{md5_hash_duckdb_sql('$1', 1, 15)}"
+    )
+    for c in cases:
+        d8, d15 = con.execute(duck_sql, [c]).fetchone()
+        assert got[c] == (d8, d15), c
+    # overflow envelope: worst-case affine re-mix stays inside a long
+    a = b = HASH_MOD - 1
+    g = HASH_MOD - 1
+    assert (a * g) % HASH_MOD + (b * g) % HASH_MOD + (HASH_MOD - 1) < 2**63
+    assert a * g < 2**63
