@@ -516,10 +516,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    # seed with min(self, neighbors) — same shuffle as the plain
+    # distinct would cost, but it bakes round 1 of propagation into
+    # the seed, so tiny cliques (the overwhelming case) converge one
+    # join+agg+collect round earlier
     labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("doc_a").alias("node"))
+        .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
