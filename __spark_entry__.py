@@ -25,14 +25,16 @@ sys.path.insert(0, _REPO)
 from pandas_redshift_spark.operators import all_queries  # noqa: E402
 
 
-def _driver_verified() -> set[str]:
-    """Names already verified by the driver in any prior round.
+def _driver_verified() -> tuple[set[str], set[str]]:
+    """(hash_verified, rows_only) names from all prior driver rounds.
 
     The driver checks a bounded prefix of ``queries()`` per round
     (CORRECTNESS_r01 stopped at exactly 50 entries), so ``queries()``
     orders not-yet-verified operators first and rotates previously
-    verified ones to the back.  Verified = a CORRECTNESS_r*.json row
-    with hash_match true, or a rows-only pass for no-oracle ops.
+    verified ones to the back.  ``hash_verified`` = a
+    CORRECTNESS_r*.json row with hash_match true (the hard signal);
+    ``rows_only`` = a no-oracle rows check passed (the weak signal —
+    such names re-pend if they later gain an oracle).
     """
     verified: set[str] = set()
     rows_only: set[str] = set()

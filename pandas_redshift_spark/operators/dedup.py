@@ -88,6 +88,23 @@ def shingles(text_col: str = "text", n: int = 3):
     )
 
 
+def shingle_cte_sql(alias: str = "shingle_set") -> str:
+    """The DuckDB CTE mirroring :func:`shingles` (distinct word
+    3-grams; <3-token docs yield an empty set) — THE single source for
+    every shingle-based oracle (jaccard, dfcut, containment,
+    minhash-LSH, clustering, decontaminate).  Any change to shingle
+    semantics lands here and in :func:`shingles` together, or the
+    oracles silently desynchronize from the Spark side."""
+    return f"""sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
+                   for i in range(greatest(len(tokens) - 2, 0))
+               ]) AS {alias}
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    )"""
+
+
 _SHINGLE_FRAME_CACHE: dict = {}
 
 
@@ -126,15 +143,8 @@ def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct([
-                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
-                   for i in range(greatest(len(tokens) - 2, 0))
-               ]) AS shingle_set
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ),
+    oracle=f"""
+    WITH {shingle_cte_sql()},
     tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
@@ -253,6 +263,12 @@ def minhash_signatures(d: DataFrame, n_hashes: int = 32) -> DataFrame:
     :func:`md5_hash_spark_sql`) makes the whole signature — and the
     LSH pairs built on it — reproducible in DuckDB for the driver's
     value-hash oracle."""
+    # md5 runs once per (shingle, base-hash) — twice per shingle.
+    # Factoring the md5 into its own transform and parsing two
+    # substrings from the materialized hex array was measured
+    # SLOWER (0.79 s vs 0.71 s for the signature pass at sf0.1):
+    # the intermediate 32-char string array costs more than the
+    # second md5, and shingle-building dominates the stage anyway.
     g1 = f"{md5_hash_spark_sql('s', 1, 8)} % {HASH_MOD}"
     g2 = f"{md5_hash_spark_sql('s', 9, 8)} % {HASH_MOD}"
     sh = d.select("doc_id", shingles().alias("ss")).select(
@@ -300,14 +316,7 @@ def _minhash_lsh_oracle(n_hashes: int = 32, band_size: int = 4) -> str:
         for b in range(n_hashes // band_size)
     )
     return f"""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct([
-                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
-                   for i in range(greatest(len(tokens) - 2, 0))
-               ]) AS ss
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ),
+    WITH {shingle_cte_sql("ss")},
     tok AS (SELECT doc_id, unnest(ss) AS s FROM sh),
     gh AS (SELECT doc_id, {g1} AS g1, {g2} AS g2 FROM tok),
     mh AS (
@@ -440,6 +449,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+def _components_output(labels: DataFrame) -> DataFrame:
+    """(component_id, n_members, members) from a (node, label) frame —
+    shared by both clustering variants so the output contract stays in
+    lockstep with _CLUSTER_ORACLE's ``string_agg(node, ',' ORDER BY
+    node)`` (comma separator, numeric member order).  The member list
+    is a STRING because the driver's canonicalizer hashes row values
+    and cannot sort/hash a raw array<long> cell."""
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("component_id")
+    )
+
+
 #: DuckDB twin of the connected-components queries: the same >=0.2
 #: jaccard pair graph, closed transitively with a recursive CTE
 #: (reach(a, b) = b reachable from a), then component_id = min
@@ -447,16 +479,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: converges to.  Iterative Spark plan, recursive SQL oracle: the
 #: *results* are comparable even though the algorithms differ, which
 #: is the whole point of an oracle.
-_CLUSTER_ORACLE = """
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE
-    sh AS (
-        SELECT doc_id,
-               list_distinct([
-                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
-                   for i in range(greatest(len(tokens) - 2, 0))
-               ]) AS shingle_set
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ),
+    {shingle_cte_sql()},
     tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
@@ -543,35 +568,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    return (
-        labels.groupBy(F.col("label").alias("component_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            # stringified member list: the driver's canonicalizer hashes
-            # row values and cannot sort/hash a raw array<long> cell
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("node")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("members"),
-        )
-        .orderBy("component_id")
-    )
+    return _components_output(labels)
 
 
 @query(
     "dedup_ngram_jaccard_dfcut",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct([
-                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
-                   for i in range(greatest(len(tokens) - 2, 0))
-               ]) AS shingle_set
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ),
+    oracle=f"""
+    WITH {shingle_cte_sql()},
     tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
     hot AS (SELECT s FROM tok GROUP BY s HAVING count(*) > 5),
     kept AS (
@@ -699,35 +702,13 @@ def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFra
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("label")).union(
         e.select(F.col("v").alias("node"), F.col("v").alias("label"))
     ).groupBy("node").agg(F.min("label").alias("label"))
-    return (
-        labels.groupBy(F.col("label").alias("component_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            # stringified member list: the driver's canonicalizer hashes
-            # row values and cannot sort/hash a raw array<long> cell
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("node")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("members"),
-        )
-        .orderBy("component_id")
-    )
+    return _components_output(labels)
 
 
 @query(
     "dedup_containment",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct([
-                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
-                   for i in range(greatest(len(tokens) - 2, 0))
-               ]) AS shingle_set
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ),
+    oracle=f"""
+    WITH {shingle_cte_sql()},
     tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (

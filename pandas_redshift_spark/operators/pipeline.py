@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pandas_redshift_spark.operators.dedup import shingle_frame
+from pandas_redshift_spark.operators.dedup import shingle_cte_sql, shingle_frame
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -132,15 +132,8 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_decontaminate",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct([
-                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
-                   for i in range(greatest(len(tokens) - 2, 0))
-               ]) AS shingle_set
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ),
+    oracle=f"""
+    WITH {shingle_cte_sql()},
     bench AS (
         SELECT DISTINCT unnest(shingle_set) AS s FROM sh WHERE doc_id % 53 = 0
     ),
@@ -379,15 +372,8 @@ def pipe_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_dedup_keepfirst",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id,
-               list_distinct([
-                   tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]
-                   for i in range(greatest(len(tokens) - 2, 0))
-               ]) AS shingle_set
-        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    ),
+    oracle=f"""
+    WITH {shingle_cte_sql()},
     tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (

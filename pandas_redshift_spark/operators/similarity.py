@@ -223,17 +223,11 @@ def hyperplane_buckets(
     the recall-vs-pruning point: wide bands (4 bits) for
     high-threshold near-dup recall, narrow bands for low thresholds.
     """
-    import random
-
     # probe the embedding width from the data — literal planes of the
     # wrong length would zip_with-pad with nulls and silently zero
     # every signature bit
     n_dims = t.embeddings.select(F.size("embedding").alias("d")).first()["d"]
-    rng = random.Random(seed)
-    planes = [
-        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_dims)]
-        for _ in range(n_planes)
-    ]
+    planes = hyperplane_literals(n_planes, n_dims, seed)
 
     def plane_bit(p: int) -> Column:
         # sign of <emb, h_p> with h_p a literal ±1 array
@@ -266,6 +260,23 @@ def hyperplane_buckets(
     )
 
 
+def hyperplane_literals(
+    n_planes: int, n_dims: int, seed: int = 42
+) -> list[list[float]]:
+    """Seeded ±1 hyperplane literals — THE single source for both the
+    Spark signature pass (:func:`hyperplane_buckets`, which probes
+    ``n_dims`` from the data) and the DuckDB oracle
+    (:func:`_lsh_topk_oracle`, which pins the corpus width).  One draw
+    order; editing either consumer cannot desynchronize the planes."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_dims)]
+        for _ in range(n_planes)
+    ]
+
+
 def _lsh_topk_oracle(
     n_planes: int = 16, band_bits: int = 4, seed: int = 42, n_dims: int = 64
 ) -> str:
@@ -275,13 +286,7 @@ def _lsh_topk_oracle(
     re-score.  Valid because both engines fold the dot product
     left-to-right over identical doubles (verified bit-exact), so
     even the raw-double sign tests and rank orderings agree."""
-    import random
-
-    rng = random.Random(seed)
-    planes = [
-        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_dims)]
-        for _ in range(n_planes)
-    ]
+    planes = hyperplane_literals(n_planes, n_dims, seed)
     bits = ",\n        ".join(
         f"CASE WHEN list_inner_product(emb, {planes[p]}) > 0 THEN 1 ELSE 0 END AS bit{p}"
         for p in range(n_planes)

@@ -162,7 +162,7 @@ class Tables:
         first *use* — ``spark.sql`` raises TABLE_OR_VIEW_NOT_FOUND.
         Pass ``names`` to register only the tables a query reads.
         """
-        for name in names or TABLE_NAMES:
+        for name in TABLE_NAMES if names is None else names:
             try:
                 self.load(name).createOrReplaceTempView(name)
             except Exception as exc:  # pragma: no cover - env-dependent

@@ -83,8 +83,14 @@ def test_pending_queries_ordered_first():
 
         pytest.skip("no CORRECTNESS artifacts on disk")
     specs = all_queries()
-    # a rows-only name that now has an oracle is pending again
-    repend = {n for n in rows_only if n not in verified and specs[n].oracle is not None}
+    # a rows-only name that now has an oracle is pending again; names
+    # recorded in old rounds but since renamed/removed are ignored
+    # (they can't appear in queries() either)
+    repend = {
+        n
+        for n in rows_only
+        if n not in verified and n in specs and specs[n].oracle is not None
+    }
     tier = {n: 2 for n in verified}
     tier.update({n: 1 for n in rows_only - verified - repend})
     last = 0
