@@ -79,3 +79,25 @@ def test_register_views_is_fault_isolated(spark, sf_dir, tmp_path):
     ok = Tables(spark, sf_dir)
     ok.register_views()
     assert spark.sql("SELECT count(*) AS n FROM region").collect()[0].n > 0
+
+
+def test_core_ops_survive_both_ansi_modes(spark, sf_dir):
+    """The driver's Spark may default ANSI on (4.x) or off (3.x).  The
+    engine's arithmetic is written to be mode-independent (every mod /
+    multiply stays inside long range; no lossy casts in hot paths) —
+    prove it by running the hash-family ops under the flipped mode."""
+    from pandas_redshift_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+
+    orig = spark.conf.get("spark.sql.ansi.enabled")
+    flipped = "false" if orig == "true" else "true"
+    baseline_sim = sorted(map(tuple, dedup_simhash(spark, sf_dir).collect()))
+    baseline_lsh = sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect()))
+    spark.conf.set("spark.sql.ansi.enabled", flipped)
+    try:
+        assert sorted(map(tuple, dedup_simhash(spark, sf_dir).collect())) == baseline_sim
+        assert sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect())) == baseline_lsh
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", orig)
