@@ -66,7 +66,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         best = float("inf")
-        for _ in range(2):  # best-of-2: damp JIT/GC/scheduler jitter
+        for _ in range(3):  # best-of-3: damp JIT/GC/scheduler jitter
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
