@@ -158,13 +158,19 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine >= 0.3 pairs on the deterministic 1/5 sample, with the
     label agreement bit — DEFAULT = the bucketed scale path: random-
     hyperplane bands from :func:`hyperplane_buckets` (24 planes, 8
-    NARROW 3-bit bands, because 0.3 is a low threshold: ~85-93% recall
-    at the boundary on this corpus while pruning the pair space ~8x)
-    generate candidates; only same-bucket pairs are exactly re-scored.
-    Approximate by design, so no SQL oracle (rows-only driver check);
-    the unit test measures recall against sim_pairs_threshold_exact.
-    The candidate space is sum-of-squares of bucket sizes, never
-    |sample|^2 — the shape that survives 100 TB."""
+    NARROW 3-bit bands) generate candidates; only same-bucket pairs
+    are exactly re-scored.  Measured on this corpus: ~88% recall at
+    ~1.6x pruning — and an IVF-cell candidate generator measures the
+    same Pareto (0.88 recall / 1.4x at nprobe=4), because a 0.3
+    threshold (~72 degrees) sits near-orthogonal, where NO locality
+    scheme separates matches from the uniform background; LSH prunes
+    hard only at high thresholds (see dedup_embedding_cosine: recall
+    ~1 at 0.999).  The low threshold here exercises the
+    candidate/re-score SHAPE — sum-of-squares of bucket sizes, never
+    |sample|^2 — which is what survives 100 TB once the threshold is
+    a production one.  Approximate by design, so no SQL oracle
+    (rows-only driver check); the unit test measures recall against
+    sim_pairs_threshold_exact."""
     t = Tables(spark, sf_dir)
     sub, a, b = _sample_sides(t)
     buckets = hyperplane_buckets(t, sub, n_planes=24, band_bits=3).select(
