@@ -472,16 +472,11 @@ def _components_output(labels: DataFrame) -> DataFrame:
     )
 
 
-#: DuckDB twin of the connected-components queries: the same >=0.2
-#: jaccard pair graph, closed transitively with a recursive CTE
-#: (reach(a, b) = b reachable from a), then component_id = min
-#: reachable node — exactly the fixpoint min-label propagation
-#: converges to.  Iterative Spark plan, recursive SQL oracle: the
-#: *results* are comparable even though the algorithms differ, which
-#: is the whole point of an oracle.
-_CLUSTER_ORACLE = f"""
-    WITH RECURSIVE
-    {shingle_cte_sql()},
+def jaccard_pairs_cte_sql(threshold: float = 0.2) -> str:
+    """CTE chain (sh, tok, sizes, inter, pairs) producing the
+    >=threshold jaccard pair graph — shared by the jaccard-adjacent
+    oracles so the pair semantics can't fork."""
+    return f"""{shingle_cte_sql()},
     tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
@@ -494,8 +489,17 @@ _CLUSTER_ORACLE = f"""
         FROM inter i
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
-        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.2
-    ),
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {threshold}
+    )"""
+
+
+def components_cte_sql(threshold: float = 0.2) -> str:
+    """Extends :func:`jaccard_pairs_cte_sql` with the recursive
+    transitive closure: adds (edges, reach, comp) where ``comp`` maps
+    every node in the pair graph to its component_id (the min
+    reachable node — exactly the fixpoint min-label propagation
+    converges to).  Requires ``WITH RECURSIVE`` at the call site."""
+    return f"""{jaccard_pairs_cte_sql(threshold)},
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
@@ -505,7 +509,17 @@ _CLUSTER_ORACLE = f"""
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    comp AS (SELECT a AS node, min(b) AS component_id FROM reach GROUP BY a)
+    comp AS (SELECT a AS node, min(b) AS component_id FROM reach GROUP BY a)"""
+
+
+#: DuckDB twin of the connected-components queries: the same >=0.2
+#: jaccard pair graph, closed transitively with a recursive CTE.
+#: Iterative Spark plan, recursive SQL oracle: the *results* are
+#: comparable even though the algorithms differ, which is the whole
+#: point of an oracle.
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE
+    {components_cte_sql()}
     SELECT component_id,
            CAST(count(*) AS BIGINT) AS n_members,
            string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members

@@ -773,3 +773,114 @@ def pipe_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("hi"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+def _dedup_cascade_oracle() -> str:
+    """DuckDB twin of the cascade: same stage markers (window
+    keep-first for exact, >=0.5 pair partners for near-dup, transitive
+    >=0.2 components for cluster), same cumulative set-difference
+    accounting."""
+    from pandas_redshift_spark.operators.dedup import components_cte_sql
+
+    return f"""
+    WITH RECURSIVE
+    {components_cte_sql(0.2)},
+    r1 AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn > 1
+    ),
+    near AS (
+        SELECT DISTINCT i.doc_b AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
+    ),
+    r2 AS (
+        SELECT doc_id FROM near
+        WHERE doc_id NOT IN (SELECT doc_id FROM r1)
+    ),
+    clus AS (SELECT node AS doc_id FROM comp WHERE node <> component_id),
+    r3 AS (
+        SELECT doc_id FROM clus
+        WHERE doc_id NOT IN (SELECT doc_id FROM r1 UNION SELECT doc_id FROM r2)
+    ),
+    cnt AS (
+        SELECT (SELECT count(*) FROM r1) AS c1,
+               (SELECT count(*) FROM r2) AS c2,
+               (SELECT count(*) FROM r3) AS c3,
+               (SELECT count(*) FROM documents) AS n_raw
+    )
+    SELECT 1 AS stage_order, 'raw' AS stage,
+           CAST(0 AS BIGINT) AS n_removed, CAST(n_raw AS BIGINT) AS n_remaining
+    FROM cnt
+    UNION ALL SELECT 2, 'exact_dup', CAST(c1 AS BIGINT), CAST(n_raw - c1 AS BIGINT) FROM cnt
+    UNION ALL SELECT 3, 'near_dup_keepfirst', CAST(c2 AS BIGINT),
+           CAST(n_raw - c1 - c2 AS BIGINT) FROM cnt
+    UNION ALL SELECT 4, 'cluster_transitive', CAST(c3 AS BIGINT),
+           CAST(n_raw - c1 - c2 - c3 AS BIGINT) FROM cnt
+    """
+
+
+@query("pipe_dedup_cascade", oracle=_dedup_cascade_oracle())
+def pipe_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CASCADE report — the stage-by-stage shrinkage
+    accounting a production corpus pass publishes: exact dedup, then
+    near-dup keep-first (jaccard >= 0.5 lower-id partner), then
+    transitive clustering (>= 0.2 components, one survivor per
+    component), each stage counting only documents not already removed
+    by an earlier stage (cumulative set difference).  Cheap stages run
+    first so expensive ones see a smaller corpus — the canonical
+    cascade ordering at 100 TB, where exact dedup typically removes
+    30-60% before any shingling happens.
+
+    All counting is DataFrame aggregates (no collect); the per-stage
+    1-row counts cross-join (broadcast, 1 row each) into one frame and
+    unpivot via ``stack`` into the 4-row funnel."""
+    from pandas_redshift_spark.operators.dedup import (
+        dedup_cluster_components,
+        dedup_ngram_jaccard,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("text").orderBy("doc_id")
+    r1 = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    near = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    r2 = near.join(r1, "doc_id", "left_anti")
+    clus = (
+        dedup_cluster_components(spark, sf_dir)
+        .select(
+            "component_id",
+            F.explode(F.split("members", ",")).alias("node_s"),
+        )
+        .select("component_id", F.col("node_s").cast("bigint").alias("doc_id"))
+        .filter(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id")
+    )
+    r3 = clus.join(r1.union(r2.select("doc_id")), "doc_id", "left_anti")
+    counts = (
+        d.agg(F.count(F.lit(1)).alias("n_raw"))
+        .crossJoin(F.broadcast(r1.agg(F.count(F.lit(1)).alias("c1"))))
+        .crossJoin(F.broadcast(r2.agg(F.count(F.lit(1)).alias("c2"))))
+        .crossJoin(F.broadcast(r3.agg(F.count(F.lit(1)).alias("c3"))))
+    )
+    return counts.selectExpr(
+        """stack(4,
+            1, 'raw', CAST(0 AS BIGINT), n_raw,
+            2, 'exact_dup', c1, n_raw - c1,
+            3, 'near_dup_keepfirst', c2, n_raw - c1 - c2,
+            4, 'cluster_transitive', c3, n_raw - c1 - c2 - c3
+        ) AS (stage_order, stage, n_removed, n_remaining)"""
+    )

@@ -237,6 +237,10 @@ _AUDIT_WAIVERS = {
     "pipe_domain_reweight": {"single_part": "corpus totals: 1-row frame", "bnlj": "1-row totals broadcast cross join"},
     "pipe_feature_binning": {"single_part": "1-row decile-cuts aggregate", "bnlj": "1-row cuts broadcast cross join"},
     "pipe_mix_sample": {"single_part": "per-cell targets: |lang x source| rows", "bnlj": "tiny target frame broadcast"},
+    "pipe_dedup_cascade": {
+        "single_part": "funnel output: four 1-row stage-count aggregates",
+        "bnlj": "1-row stage counts broadcast cross-joined into the funnel frame",
+    },
     "sink_zorder_layout": {"single_part": "final global 1-row aggregate over the filtered read-back"},
     "source_schema_evolution": {"single_part": "final global 1-row aggregate"},
     "subquery_not_in_nulls": {"single_part": "NOT IN null-probe: 1-row existence aggregate"},
