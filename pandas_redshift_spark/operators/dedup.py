@@ -533,15 +533,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     that turns pairwise Jaccard matches into dedup GROUPS (transitive
     closure: if A~B and B~C, then {A,B,C} is one cluster with one
     survivor).  Iterative min-label propagation: every node starts
-    labeled with its own doc_id; each round every node takes the min
-    label among itself and its neighbors; fixpoint in O(diameter)
-    rounds.  Near-dup graphs are overwhelmingly tiny cliques, so 2-4
-    rounds close them.  Each round is one shuffle join + one
-    aggregate; ``localCheckpoint`` truncates the growing lineage so
-    round N doesn't re-execute rounds 1..N-1 (the classic iterative-
-    DataFrame trap).  Convergence is detected by the strictly
-    decreasing sum of labels — a cheap scalar aggregate, no
-    row-diffing.  At 100 TB you'd switch the round body to the
+    labeled with min(self, neighbors) (round 1 baked into the seed);
+    each hop every node takes the min label among itself and its
+    neighbors; fixpoint in O(diameter) hops.  Near-dup graphs are
+    overwhelmingly tiny cliques, so 1-2 materialized rounds close
+    them — each round runs TWO hops (two shuffle join+aggregates)
+    because the driver-side costs per round (convergence collect,
+    ``localCheckpoint`` job) dominate, and propagation is monotone so
+    deeper reach per materialization never changes the fixpoint.
+    ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't re-execute rounds 1..N-1 (the classic iterative-DataFrame
+    trap).  Convergence is detected by the strictly decreasing sum of
+    labels — a cheap scalar aggregate, no row-diffing.  At 100 TB you'd switch the round body to the
     large-star/small-star formulation (same join shape, provably
     O(log n) rounds); the driver loop and checkpointing are identical.
 
@@ -564,19 +567,25 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):  # diameter bound; near-dup cliques close in 2-4
-        neighbor = (
-            edges.join(labels, edges.doc_a == labels.node)
-            .select(F.col("doc_b").alias("node"), "label")
+    def hop(lbl):
+        neighbor = edges.join(lbl, edges.doc_a == lbl.node).select(
+            F.col("doc_b").alias("node"), "label"
         )
-        labels = (
-            labels.select("node", "label")
+        return (
+            lbl.select("node", "label")
             .union(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(10):  # diameter bound; near-dup cliques close in 1-2
+        # TWO hops per materialized round: the driver-side costs
+        # (convergence collect + localCheckpoint job) dominate at small
+        # graph sizes, and label propagation is monotone, so doubling
+        # the per-round reach halves the materializations without
+        # changing the fixpoint.
+        labels = hop(hop(labels)).localCheckpoint()
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break
