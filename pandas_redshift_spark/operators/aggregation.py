@@ -528,25 +528,39 @@ def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: support (orders containing both
     parts) and lift (observed co-occurrence vs independence) for part
-    pairs bought together.  The pair join is keyed on l_orderkey, so
-    the pair space is Σ k_i² over per-order item counts (k is small
-    and bounded by basket size) — linear-ish in orders, never
-    |parts|².  Marginals and the order total are tiny aggregates
-    joined back; lift is one exact-integer product divided once
+    pairs bought together.  Basket-array formulation: one shuffle
+    builds the sorted per-order item list, then intra-order pairs are
+    generated ARRAY-SIDE (transform over the sorted list — sortedness
+    gives part_a < part_b for free) and exploded, so the fact table is
+    never self-joined: the pair space is Σ k_i² over basket sizes (k
+    small, bounded by basket width), expanded map-side in the same
+    stage.  At 100 TB this saves re-shuffling the fact for the join's
+    second side.  Marginals and the order total come off the same
+    basket frame; lift is one exact-integer product divided once
     (identical IEEE division both engines)."""
     li = Tables(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
-    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a, b = li.alias("a"), li.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("items")
+    ).persist()  # tot, marginals and pairs all read it once each
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    marg = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
