@@ -1,0 +1,110 @@
+"""Driver simulator: exercises __spark_entry__.py the way the external
+driver does — vanilla session, any-cwd, entry + queries + oracle_sql
+hash-compare against DuckDB at sf0.01."""
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+LIMIT = int(os.environ.get("SIM_LIMIT", "0"))  # 0 = all
+ONLY_PREFIX = os.environ.get("SIM_ONLY", "")
+
+
+def canon_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6).map(lambda v: "%.6f" % v if pd.notna(v) else "NaN")
+        else:
+            df[c] = df[c].astype(str)
+    if len(df) == 0:
+        rows = []
+    else:
+        rows = sorted(df.apply(lambda r: "|".join(r.values), axis=1).tolist())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    res = e.entry(spark)
+    n = res.count()
+    print(f"SMOKE entry: {n} rows, schema: {[f.name for f in res.schema.fields]}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    items = [
+        (name, fn)
+        for name, fn in qs.items()
+        if not ONLY_PREFIX or name.startswith(ONLY_PREFIX)
+    ]
+    if LIMIT:
+        items = items[:LIMIT]
+    for i, (name, fn) in enumerate(items):
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:
+            print(f"ERROR {name}: {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(sdf)} rows [{dt:.1f}s]")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"ERROR {name} (oracle): {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
+        probs = []
+        if len(sdf) != len(odf):
+            probs.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            probs.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            sd = {c: str(sdf[c].dtype) for c in sdf.columns}
+            od = {c: str(odf[c].dtype) for c in odf.columns}
+            diff = {c: (sd[c], od[c]) for c in sd if sd[c] != od[c]}
+            # int64 vs int32 etc. are real driver mismatches only when
+            # value strings differ; still report
+            if diff:
+                print(f"DTYPE-DIFF {name}: {diff}")
+        if not probs and canon_hash(sdf.copy()) != canon_hash(odf.copy()):
+            probs.append("value-hash MISMATCH")
+        if probs:
+            print(f"MISMATCH {name}: {'; '.join(probs)}")
+            failures.append(name)
+        else:
+            print(f"ok {name}: {len(sdf)} rows [{dt:.1f}s]")
+    print("FAILURES:", ", ".join(failures) if failures else "none")
+
+
+if __name__ == "__main__":
+    main()
