@@ -486,3 +486,59 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
     )
+
+
+@query(
+    "source_jdbc_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_regionkey >= 2
+    """,
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JDBC warehouse roundtrip — the reference's actual
+    data path (pandas_to_redshift -> COPY -> SELECT back, core.py:269
+    + :82) exercised against Apache Derby, the embedded JDBC database
+    Spark ships in its own classpath: ``bridge.write_table`` drives
+    the distributed JDBC writer (createTableColumnTypes DDL), then the
+    read pushes a filtered query DOWN to the database via the JDBC
+    ``query`` option — the warehouse, not Spark, evaluates the
+    predicate, exactly like a Redshift-side scan.  The oracle is the
+    same projection/filter on the parquet source, proving the
+    roundtrip is lossless.
+
+    Identifiers in the pushdown SQL are double-quoted: Spark's JDBC
+    writer quotes names on CREATE and unquoted identifiers fold in
+    engine-specific directions (Derby upper, Redshift lower).  The
+    Derby db dir is per-process (embedded Derby holds a JVM-lifetime
+    lock; a dir shared across crashed processes could hold a stale
+    ``db.lck``)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pandas_redshift_spark.sources.bridge import SparkRedshiftBridge
+
+    t = Tables(spark, sf_dir)
+    dbdir = _os.path.join(
+        _tempfile.gettempdir(), f"prs_jdbc_stage_{_os.getpid()}", "db"
+    )
+    jdbc_options = {
+        "url": f"jdbc:derby:{dbdir};create=true",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    }
+    bridge = SparkRedshiftBridge(spark=spark, jdbc_options=jdbc_options)
+    bridge.write_table(
+        t.nation.select("n_nationkey", "n_name", "n_regionkey"),
+        "nation_jdbc",
+        verbose=False,
+    )
+    out = bridge.sql(
+        'SELECT "n_nationkey", "n_name", "n_regionkey" '
+        'FROM nation_jdbc WHERE "n_regionkey" >= 2'
+    )
+    return out.select(
+        F.col("n_nationkey").cast("bigint"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint"),
+    )
