@@ -73,25 +73,42 @@ def _ordered_specs():
     # driver's per-round budget may not reach all pending entries), and
     # within a family put oracle-backed queries before rows-only ones —
     # a hash-matched row is the hard signal, a rows-only check is weak.
-    # Round-3 order: first clear the r2 ERR rows (subquery_* ×8 +
-    # tpch_q17 — collateral of the fixed events-load bug; the other 21
-    # tpch are already verified so "tpch_" only matches q17 here), then
-    # the never-checked extension families: events (22), pipe (14),
-    # text (12), multimodal (4), then source/sink/scalars.
+    # Round-4 order (VERDICT r3 "Next round" item 1): flagship LLM ops
+    # first — dedup (cluster-components pair that ERR'd in r2 + the two
+    # re-oracled rows-only sketches), sim (re-oracled ANN pair),
+    # multimodal (never driver-touched) — then the §2.A roundtrip
+    # cluster (source/sink/ctas/ddl/dml/sql_text_interface), text,
+    # scalars, and the §2.B stragglers (as-of join, setop _all twins,
+    # window extras, banded/blocked/DPP joins, pivot/unpivot,
+    # percentiles/listagg).  The ~17-row overflow (agg extras, skew,
+    # bucketed, mv, recursive/lateral/sample) stays ordered for r5.
     prio = (
-        "subquery_",
-        "tpch_",
-        "events_",
-        "pipe_",
-        "text_",
+        "dedup_",
+        "sim_",
         "multimodal_",
         "source_",
         "sink_",
         "ctas_",
         "ddl_",
+        "dml_",
+        "sql_",
+        "text_",
         "scalar_",
-        "dedup_",
-        "sim_",
+        "asof_",
+        "setop_",
+        "window_",
+        "join_",
+        "pivot_",
+        "unpivot_",
+        "percentiles_",
+        "listagg_",
+        "recursive_",
+        "lateral_",
+        "agg_",
+        "skew_",
+        "bucketed_",
+        "mv_",
+        "sample_",
     )
 
     def rank(spec) -> tuple[int, int]:

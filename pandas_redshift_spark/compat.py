@@ -126,9 +126,13 @@ def connect_to_s3(
     )
 
 
-def redshift_to_pandas(sql_query: str, query_params: list | None = None) -> pd.DataFrame:
+def redshift_to_pandas(
+    sql_query: str, query_params: list | dict | None = None
+) -> pd.DataFrame:
     """core.py:82-87: run SQL, return a pandas DataFrame.  Distributed
-    execution + Arrow transfer replace the single-cursor fetchall."""
+    execution + Arrow transfer replace the single-cursor fetchall.
+    Both psycopg2 paramstyles are honored (positional ``%s`` +
+    sequence, pyformat ``%(name)s`` + dict) plus the ``%%`` escape."""
     return _require_bridge().read_sql(sql_query, query_params=query_params)
 
 

@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables, ensure_parallelism
+from pandas_redshift_spark.session import Tables, ensure_parallelism, memoized_persist
 
 
 @query(
@@ -105,9 +105,6 @@ def shingle_cte_sql(alias: str = "shingle_set") -> str:
     )"""
 
 
-_SHINGLE_FRAME_CACHE: dict = {}
-
-
 def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, shingle_set) frame, persisted ONCE per
     (session, sf_dir) and shared by every shingle-based operator
@@ -130,15 +127,15 @@ def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       100 TB shape: shingling is the expensive linear scan, every
       downstream dedup variant should share it.
 
-    Keyed on applicationId so a fresh SparkContext never sees a stale
-    frame."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHINGLE_FRAME_CACHE.get(key)
-    if df is None:
+    Keyed on applicationId (via ``memoized_persist``) so a fresh
+    SparkContext never sees a stale frame and stopped-session entries
+    are evicted."""
+
+    def build() -> DataFrame:
         d = ensure_parallelism(Tables(spark, sf_dir).documents)
-        df = d.select("doc_id", shingles().alias("shingle_set")).persist()
-        _SHINGLE_FRAME_CACHE[key] = df
-    return df
+        return d.select("doc_id", shingles().alias("shingle_set"))
+
+    return memoized_persist(spark, ("shingle_frame", sf_dir), build)
 
 
 @query(
@@ -352,28 +349,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster you'd swap the base hash for xxhash64 (one expression,
     same plan shape) for the constant factor.
     """
-    d = ensure_parallelism(Tables(spark, sf_dir).documents)
     n_hashes, band_size = 32, 4
-    sigs = minhash_signatures(d, n_hashes)
-    bands = [
-        F.expr(_band_fold_sql(b, band_size)).alias(f"band{b}")
-        for b in range(n_hashes // band_size)
-    ]
-    banded = sigs.select("doc_id", *bands)
-    # one row per (band_idx, band_hash) — the LSH bucket key
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("h"))
-                    for b in range(n_hashes // band_size)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.h").alias("h")
-    ).persist()  # both self-join sides reuse the signature pipeline
+
+    def build_buckets() -> DataFrame:
+        d = ensure_parallelism(Tables(spark, sf_dir).documents)
+        sigs = minhash_signatures(d, n_hashes)
+        bands = [
+            F.expr(_band_fold_sql(b, band_size)).alias(f"band{b}")
+            for b in range(n_hashes // band_size)
+        ]
+        banded = sigs.select("doc_id", *bands)
+        # one row per (band_idx, band_hash) — the LSH bucket key
+        return banded.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("h"))
+                        for b in range(n_hashes // band_size)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.h").alias("h")
+        )
+
+    # both self-join sides reuse the signature pipeline; memoized so
+    # repeated calls share ONE cached bucket frame (no per-call pile-up)
+    buckets = memoized_persist(spark, ("lsh_buckets", sf_dir, n_hashes), build_buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -629,16 +632,21 @@ def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is then computed consistently over the cut shingle space
     (sizes recomputed per doc after the cut, riding a window over the
     same doc_id partitioning)."""
-    sh = shingle_frame(spark, sf_dir)
-    tok = sh.select("doc_id", F.explode("shingle_set").alias("s"))
-    hot = (
-        tok.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 5)
-        .select("s")
-    )
-    kept = tok.join(F.broadcast(hot), "s", "left_anti")
-    sized = kept.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
-    ).persist()
+    def build_sized() -> DataFrame:
+        sh = shingle_frame(spark, sf_dir)
+        tok = sh.select("doc_id", F.explode("shingle_set").alias("s"))
+        hot = (
+            tok.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 5)
+            .select("s")
+        )
+        kept = tok.join(F.broadcast(hot), "s", "left_anti")
+        return kept.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
+        )
+
+    # both self-join sides reuse the cut postings; memoized (see
+    # memoized_persist) so repeat calls don't stack cache entries
+    sized = memoized_persist(spark, ("dfcut_sized", sf_dir), build_sized)
     a = sized.alias("a")
     b = sized.alias("b")
     inter = (

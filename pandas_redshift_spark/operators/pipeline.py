@@ -837,6 +837,14 @@ def pipe_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade ordering at 100 TB, where exact dedup typically removes
     30-60% before any shingling happens.
 
+    Accounting caveat: the counts are FULL-CORPUS stage marks combined
+    by set difference, not a literally re-evaluated cascade — a doc
+    whose only >=0.5 partner was itself removed by exact-dedup still
+    counts as removed at the near-dup stage.  The oracle applies the
+    identical marking rule, so Spark and DuckDB agree; a
+    re-run-each-stage-on-the-shrunken-corpus variant would report
+    slightly different per-stage counts (same final survivor set).
+
     All counting is DataFrame aggregates (no collect); the per-stage
     1-row counts cross-join (broadcast, 1 row each) into one frame and
     unpivot via ``stack`` into the 4-row funnel."""

@@ -16,6 +16,15 @@ from pyspark.sql.functions import broadcast
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables, ensure_parallelism
 
+#: TESTDATA-pinned corpus embedding width (embeddings.embedding is
+#: array<float>[64] at every scale factor).  THE single constant the
+#: DuckDB oracles pin when they need compile-time plane literals while
+#: the Spark side probes the width from data; a corpus-width change
+#: must land here, and tests/test_extensions.py asserts the parquet
+#: width still matches so drift is caught in-repo before a driver
+#: hash mismatch would surface it.
+EMBEDDING_DIMS = 64
+
 
 def dot(x: Column, y: Column) -> Column:
     """Dot product of two array<double> columns using only JVM
@@ -284,7 +293,10 @@ def hyperplane_literals(
 
 
 def _lsh_topk_oracle(
-    n_planes: int = 16, band_bits: int = 4, seed: int = 42, n_dims: int = 64
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+    n_dims: int = EMBEDDING_DIMS,
 ) -> str:
     """DuckDB twin of sim_lsh_topk: the SAME seeded ±1 hyperplane
     literals (``n_dims`` pinned to the corpus embedding width,

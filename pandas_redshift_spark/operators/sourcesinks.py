@@ -511,18 +511,28 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identifiers in the pushdown SQL are double-quoted: Spark's JDBC
     writer quotes names on CREATE and unquoted identifiers fold in
     engine-specific directions (Derby upper, Redshift lower).  The
-    Derby db dir is per-process (embedded Derby holds a JVM-lifetime
-    lock; a dir shared across crashed processes could hold a stale
-    ``db.lck``)."""
+    Derby db dir is a fresh ``mkdtemp`` per call — embedded Derby
+    holds a JVM-lifetime lock, and a name reused across processes
+    (e.g. keyed on a recycled pid) could collide with a stale
+    ``db.lck`` from a crashed run.  ``derby.stream.error.file`` is
+    pointed into the staging dir so ``derby.log`` never lands in
+    whatever cwd the driver happens to run from (the property is read
+    at Derby engine boot; setting it later in the same JVM is a
+    harmless no-op)."""
     import os as _os
     import tempfile as _tempfile
 
     from pandas_redshift_spark.sources.bridge import SparkRedshiftBridge
 
     t = Tables(spark, sf_dir)
-    dbdir = _os.path.join(
-        _tempfile.gettempdir(), f"prs_jdbc_stage_{_os.getpid()}", "db"
-    )
+    stage = _tempfile.mkdtemp(prefix="prs_jdbc_stage_")
+    dbdir = _os.path.join(stage, "db")
+    try:
+        spark._jvm.java.lang.System.setProperty(
+            "derby.stream.error.file", _os.path.join(stage, "derby.log")
+        )
+    except Exception:
+        pass  # non-JVM test doubles; Derby then uses its default
     jdbc_options = {
         "url": f"jdbc:derby:{dbdir};create=true",
         "driver": "org.apache.derby.jdbc.EmbeddedDriver",

@@ -101,12 +101,42 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+#: shared persisted-DataFrame memo, keyed (applicationId, *caller key).
+#: Operators that ``.persist()`` an intermediate consumed lazily by the
+#: returned plan cannot unpersist before the caller executes — so a
+#: bare per-call persist piles up MEMORY_AND_DISK blocks across
+#: repeated invocations (bench best-of-3, a 200-query sweep).  Routing
+#: through this memo makes each such frame persist ONCE per session
+#: and keeps repeated invocations plan-stable ("Asked to cache already
+#: cached data" warnings come from re-persisting identical plans).
+_PERSIST_MEMO: dict[tuple, DataFrame] = {}
+
+
+def memoized_persist(spark: SparkSession, cache_key: tuple, build) -> DataFrame:
+    """Return the one persisted DataFrame for ``cache_key`` in the live
+    session, building + persisting it on first use.  Entries from
+    stopped sessions (stale applicationId) are evicted on access, so
+    dead JVM plan references can't accumulate for the process
+    lifetime."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PERSIST_MEMO if k[0] != app_id]:
+        del _PERSIST_MEMO[k]
+    key = (app_id, *cache_key)
+    df = _PERSIST_MEMO.get(key)
+    if df is None:
+        df = build().persist()
+        _PERSIST_MEMO[key] = df
+    return df
+
+
 #: module-level DataFrame memo keyed (applicationId, sf_dir, table):
 #: every operator call builds a fresh ``Tables``, and without this each
 #: one re-reads the parquet footer for schema inference (~30-80 ms per
 #: table — seconds across a 200-query sweep).  A DataFrame is an
 #: immutable logical plan, so sharing one per (session, dir, table) is
-#: free; keying on applicationId drops entries from dead sessions.
+#: free.  ``Tables.load`` evicts entries whose applicationId differs
+#: from the live session's, so plans (and their JVM references) from
+#: stopped sessions can't accumulate for the life of the process.
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -135,7 +165,11 @@ class Tables:
     def load(self, name: str) -> DataFrame:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-        key = (self._spark.sparkContext.applicationId, self._sf_dir, name)
+        app_id = self._spark.sparkContext.applicationId
+        stale = [k for k in self._cache if k[0] != app_id]
+        for k in stale:
+            del self._cache[k]
+        key = (app_id, self._sf_dir, name)
         if key not in self._cache:
             df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
             if name == "events" and isinstance(

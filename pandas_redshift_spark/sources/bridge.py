@@ -148,26 +148,30 @@ class SparkRedshiftBridge:
             raise RuntimeError("bridge is closed (close_up_shop was called)")
 
     # -- redshift_to_pandas (core.py:82-87) ----------------------------
-    def read_sql(self, sql_query: str, query_params: list | None = None) -> pd.DataFrame:
+    def read_sql(
+        self, sql_query: str, query_params: list | dict | None = None
+    ) -> pd.DataFrame:
         """Execute SQL on the engine, return a *pandas* DataFrame —
         signature-compatible with reference redshift_to_pandas.  The
         distributed-native variant is :meth:`sql`."""
         return self.sql(sql_query, query_params).toPandas()
 
-    def sql(self, sql_query: str, query_params: list | None = None) -> DataFrame:
+    def sql(self, sql_query: str, query_params: list | dict | None = None) -> DataFrame:
         """Distributed extract: Spark executes the SQL (local mode) or
         pushes the whole query down to the warehouse as a JDBC subquery
         (remote mode) — either way no single-socket fetchall.
 
-        ``query_params`` are psycopg2-style positional ``%s`` params
-        (reference core.py:82-87 passes them to cursor.execute).  Local
-        mode rewrites ``%s`` -> ``?`` and binds server-side via
-        ``spark.sql(q, args=...)`` (parameterized SQL, Spark 3.4+) — no
-        string interpolation, so quoting/injection is the engine's
-        problem, same as psycopg2.  JDBC mode must push query TEXT down
-        to the warehouse, so params are spliced as escaped SQL literals
-        in a single pass (a previously-inserted value containing
-        ``%s`` is never re-substituted)."""
+        ``query_params`` follow psycopg2 (reference core.py:82-87
+        passes them to cursor.execute): positional ``%s`` with a
+        sequence OR pyformat ``%(name)s`` with a dict, with ``%%`` as a
+        literal-percent escape.  Local mode rewrites placeholders to
+        ``?`` and binds server-side via ``spark.sql(q, args=...)``
+        (parameterized SQL, Spark 3.4+) — no string interpolation, so
+        quoting/injection is the engine's problem, same as psycopg2.
+        JDBC mode must push query TEXT down to the warehouse, so params
+        are spliced as escaped SQL literals in a single pass (a
+        previously-inserted value containing ``%s`` is never
+        re-substituted)."""
         self._check_open()
         logger.info("executing query: %s", mask_aws_credentials(sql_query))
         if self.jdbc_options:
@@ -180,13 +184,9 @@ class SparkRedshiftBridge:
             )
             return reader.load()
         if query_params:
-            parts = sql_query.split("%s")
-            if len(parts) - 1 != len(query_params):
-                raise ValueError(
-                    f"query has {len(parts) - 1} %s placeholders but "
-                    f"{len(query_params)} params were given"
-                )
-            return self.spark.sql("?".join(parts), args=list(query_params))
+            parts, names = _split_placeholders(sql_query)
+            values = _resolve_params(names, query_params)
+            return self.spark.sql("?".join(parts), args=values)
         return self.spark.sql(sql_query)
 
     def read_table(
@@ -452,20 +452,76 @@ def _sql_literal(p: Any) -> str:
     return f"'{escaped}'"
 
 
-def _bind_literals(sql_query: str, params: list) -> str:
-    """Single-pass ``%s`` -> escaped-literal substitution for the JDBC
-    text-pushdown path (local mode uses real server-side binding
-    instead).  Splitting first means a param VALUE containing ``%s``
-    can never be re-substituted."""
-    parts = sql_query.split("%s")
-    if len(parts) - 1 != len(params):
+#: psycopg2 placeholder grammar (reference core.py:84 hands params to
+#: cursor.execute): ``%%`` literal-escape first so ``'100%%'`` never
+#: half-matches, then pyformat ``%(name)s``, then positional ``%s``.
+_PLACEHOLDER_RE = re.compile(r"%%|%\(([^)]+)\)s|%s")
+
+
+def _split_placeholders(sql_query: str) -> tuple[list[str], list[str | None]]:
+    """Tokenize psycopg2-style placeholders.
+
+    Returns ``(parts, names)`` where ``names[i]`` is the placeholder
+    between ``parts[i]`` and ``parts[i+1]`` — ``None`` for positional
+    ``%s``, the key for pyformat ``%(name)s``.  ``%%`` collapses to a
+    literal ``%`` inside the surrounding part, matching psycopg2's
+    escape semantics when params are supplied."""
+    parts: list[str] = []
+    names: list[str | None] = []
+    buf: list[str] = []
+    pos = 0
+    for m in _PLACEHOLDER_RE.finditer(sql_query):
+        buf.append(sql_query[pos : m.start()])
+        if m.group(0) == "%%":
+            buf.append("%")
+        else:
+            parts.append("".join(buf))
+            buf = []
+            names.append(m.group(1))  # None for bare %s
+        pos = m.end()
+    buf.append(sql_query[pos:])
+    parts.append("".join(buf))
+    return parts, names
+
+
+def _resolve_params(names: list[str | None], params) -> list:
+    """Order the supplied params against tokenized placeholders with
+    psycopg2's rules: dict params require pyformat names (repeats
+    allowed), sequence params require exactly-counted ``%s``."""
+    if isinstance(params, dict):
+        if any(n is None for n in names):
+            raise ValueError(
+                "dict params require %(name)s placeholders, but the "
+                "query contains positional %s"
+            )
+        try:
+            return [params[n] for n in names]
+        except KeyError as exc:
+            raise ValueError(f"query parameter {exc.args[0]!r} not supplied") from exc
+    if any(n is not None for n in names):
         raise ValueError(
-            f"query has {len(parts) - 1} %s placeholders but "
+            "%(name)s placeholders require dict params, got a sequence"
+        )
+    if len(names) != len(params):
+        raise ValueError(
+            f"query has {len(names)} %s placeholders but "
             f"{len(params)} params were given"
         )
+    return list(params)
+
+
+def _bind_literals(sql_query: str, params) -> str:
+    """Single-pass placeholder -> escaped-literal substitution for the
+    JDBC text-pushdown path (local mode uses real server-side binding
+    instead).  Tokenizing first means a param VALUE containing ``%s``
+    can never be re-substituted.  Accepts both psycopg2 paramstyles
+    (positional ``%s`` + sequence, pyformat ``%(name)s`` + dict) and
+    the ``%%`` literal escape — reference core.py:84 semantics."""
+    parts, names = _split_placeholders(sql_query)
+    values = _resolve_params(names, params)
     out = [parts[0]]
-    for p, tail in zip(params, parts[1:]):
-        out.append(_sql_literal(p))
+    for v, tail in zip(values, parts[1:]):
+        out.append(_sql_literal(v))
         out.append(tail)
     return "".join(out)
 

@@ -17,6 +17,7 @@ Deliberate deviations from the reference (SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Sequence
 
 import pandas as pd
@@ -25,9 +26,13 @@ from pyspark.sql import types as T
 
 # Redshift reserved words (public list, Amazon Redshift documentation —
 # "Reserved words", database developer guide).  The reference ships the
-# same list as a data file and refuses any column named by it
-# (core.py:96-108).  Stored lowercase; membership checks lowercase.
-REDSHIFT_RESERVED_WORDS = frozenset(
+# same list as a data file its validator re-reads on every call
+# (core.py:96-108), so a user who edits the txt expects the edit
+# honored.  We ship the same list as package data
+# (sources/redshift_reserve_words.txt) and re-read it per validation
+# call, keeping this inline frozenset as the fallback when the file is
+# missing/unreadable.  Stored lowercase; membership checks lowercase.
+_BUILTIN_RESERVED_WORDS = frozenset(
     """
     aes128 aes256 all allowoverwrite analyse analyze and any array as asc
     authorization backup between binary blanksasnull both bytedict bzip2 case cast
@@ -47,6 +52,31 @@ REDSHIFT_RESERVED_WORDS = frozenset(
     verbose wallet when where with without
     """.split()
 )
+
+#: package-data twin of the reference's shipped word list
+#: (pandas_redshift/redshift_reserve_words.txt, loaded core.py:96-98)
+_WORDS_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "redshift_reserve_words.txt"
+)
+
+
+def load_reserved_words(path: str | None = None) -> frozenset[str]:
+    """Read the reserved-word data file (one word per line, any case),
+    falling back to the built-in list when the file is absent — the
+    reference's file-driven behavior (core.py:96-98) with a safety
+    net the reference lacks."""
+    try:
+        with open(path or _WORDS_FILE) as f:
+            words = frozenset(w.strip().lower() for w in f if w.strip())
+        return words or _BUILTIN_RESERVED_WORDS
+    except OSError:
+        return _BUILTIN_RESERVED_WORDS
+
+
+#: import-time snapshot for cheap membership checks / introspection;
+#: ``validate_column_names`` re-reads the file per call so edits to
+#: the txt are honored without a process restart.
+REDSHIFT_RESERVED_WORDS = load_reserved_words()
 
 
 class ReservedWordError(ValueError):
@@ -71,10 +101,11 @@ def validate_column_names(columns: Iterable[str]) -> list[str]:
     (core.py:90-117): lowercase everything, reject reserved words,
     quote whitespace-containing names.  Returns the new name list
     instead of mutating a DataFrame."""
+    reserved = load_reserved_words()
     normalized = []
     for name in columns:
         lowered = str(name).lower()
-        if lowered in REDSHIFT_RESERVED_WORDS:
+        if lowered in reserved:
             raise ReservedWordError(
                 f"DataFrame column name {lowered!r} is a reserved word in Redshift! "
                 "Please rename the column."

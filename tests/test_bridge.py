@@ -103,6 +103,52 @@ def test_bind_literals_single_pass():
         _bind_literals("x=%s", [1, 2])
 
 
+def test_bind_literals_pyformat_and_percent_escape():
+    """psycopg2 parity (reference core.py:84): dict params bind
+    %(name)s placeholders (repeats allowed), %% is a literal %."""
+    from pandas_redshift_spark.sources.bridge import _bind_literals
+
+    assert (
+        _bind_literals(
+            "SELECT * FROM t WHERE a = %(a)s AND b = %(b)s OR a = %(a)s",
+            {"a": "O'Brien", "b": 3},
+        )
+        == "SELECT * FROM t WHERE a = 'O''Brien' AND b = 3 OR a = 'O''Brien'"
+    )
+    # %% escape collapses, in both paramstyles
+    assert _bind_literals("x LIKE 'a%%b' AND y=%s", [1]) == "x LIKE 'a%b' AND y=1"
+    assert (
+        _bind_literals("x LIKE '100%%' AND y=%(y)s", {"y": 2})
+        == "x LIKE '100%' AND y=2"
+    )
+    # a bound VALUE containing %(x)s or %% is never re-substituted
+    assert _bind_literals("a=%(v)s", {"v": "%(v)s %%"}) == "a='%(v)s %%'"
+    # style mixing and missing keys are errors, as in psycopg2
+    with pytest.raises(ValueError):
+        _bind_literals("a=%(a)s b=%s", {"a": 1})
+    with pytest.raises(ValueError):
+        _bind_literals("a=%(a)s", [1])
+    with pytest.raises(ValueError):
+        _bind_literals("a=%(a)s", {"b": 1})
+
+
+def test_query_params_pyformat_local(bridge):
+    """Local mode: dict params bind server-side via spark.sql args."""
+    bridge.write_table(pd.DataFrame({"a": [1, 2, 3]}), "t_roundtrip")
+    out = bridge.read_sql(
+        "SELECT a FROM t_roundtrip WHERE a >= %(lo)s AND a <= %(hi)s",
+        {"lo": 2, "hi": 3},
+    )
+    assert len(out) == 2
+    # %% escape: '100%%' reaches the engine as the pattern 100%
+    bridge.write_table(pd.DataFrame({"name": ["100%", "plain"]}), "t_roundtrip")
+    out2 = bridge.read_sql(
+        "SELECT name FROM t_roundtrip WHERE name LIKE '100%%' AND name = %(n)s",
+        {"n": "100%"},
+    )
+    assert len(out2) == 1
+
+
 def test_stage_csv_kwarg_allowlist(bridge, tmp_path, caplog):
     """Reference core.py:129-130: only S3_ACCEPTED_KWARGS survive."""
     import logging

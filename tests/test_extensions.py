@@ -436,3 +436,100 @@ def test_md5_hash_family_cross_engine_parity(spark):
     g = HASH_MOD - 1
     assert (a * g) % HASH_MOD + (b * g) % HASH_MOD + (HASH_MOD - 1) < 2**63
     assert a * g < 2**63
+
+
+def test_percentiles_approx_within_tolerance_of_exact(spark, sf_dir):
+    """percentiles_approx is rows-only at the driver (GK-sketch values
+    are engine-specific) — THIS test is its correctness check: the
+    sketch median must land within 1% relative error of the exact
+    interpolated median for every group (accuracy=10000 bounds rank
+    error at 1/10000, far tighter than 1% value error here)."""
+    from pandas_redshift_spark.operators.advanced import (
+        percentiles_approx,
+        percentiles_exact,
+    )
+
+    exact = {
+        r.l_returnflag: r.median_price for r in percentiles_exact(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r.median_price_approx
+        for r in percentiles_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, med in exact.items():
+        assert abs(approx[flag] - med) / med < 0.01, (flag, approx[flag], med)
+
+
+def test_sample_bernoulli_fraction_subset_and_reproducible(spark, sf_dir):
+    """sample_bernoulli is rows-only at the driver (RNG streams are
+    engine-specific) — THIS test is its correctness check: the sample
+    is a subset of the source, the kept fraction concentrates around
+    10%, and a fixed seed reproduces the identical row set."""
+    from pandas_redshift_spark.operators.advanced import sample_bernoulli
+
+    li = Tables(spark, sf_dir).lineitem
+    n_src = li.count()
+    s1 = sample_bernoulli(spark, sf_dir)
+    rows1 = {(r.l_orderkey, r.l_linenumber) for r in s1.collect()}
+    # fraction: binomial(n, 0.1) — 5 sigma bounds even at sf0.001
+    import math
+
+    sigma = math.sqrt(n_src * 0.1 * 0.9)
+    assert abs(len(rows1) - 0.1 * n_src) < 5 * sigma + 1
+    # subset of the source keys
+    src_keys = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.select("l_orderkey", "l_linenumber").collect()
+    }
+    assert rows1 <= src_keys
+    # seeded reproducibility within Spark
+    rows2 = {(r.l_orderkey, r.l_linenumber) for r in sample_bernoulli(spark, sf_dir).collect()}
+    assert rows1 == rows2
+
+
+def test_embedding_width_matches_pinned_constant(spark):
+    """The LSH/IVF oracles bake plane literals of EMBEDDING_DIMS while
+    the Spark side probes the width from data — a TESTDATA width
+    change must fail HERE, not as a driver hash mismatch on an
+    otherwise-correct operator."""
+    from pandas_redshift_spark.operators.similarity import EMBEDDING_DIMS
+    from pandas_redshift_spark.session import Tables
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        widths = (
+            Tables(spark, sf_dir)
+            .embeddings.select(F.size("embedding").alias("d"))
+            .distinct()
+            .collect()
+        )
+        assert [r.d for r in widths] == [EMBEDDING_DIMS], sf_dir
+
+
+def test_dot_product_cross_engine_parity(spark):
+    """Spark's aggregate fold and DuckDB's list_inner_product both sum
+    left-to-right, so dot products over identical doubles must be
+    BIT-exact — the equality every raw-double sign test / cosine
+    ranking oracle (sim_lsh_topk, sim_ivf_topk) stands on.  Exercised
+    over adversarial magnitudes where any reassociation or fused
+    summation would change the low bits."""
+    import duckdb
+
+    from pandas_redshift_spark.operators.similarity import dot
+
+    vecs = [
+        ([1e16, 1.0, -1e16, 1.0], [1.0, 1.0, 1.0, 1.0]),
+        ([0.1] * 64, [0.3] * 64),
+        ([1e-300, 1e300, -1e300, 1e-300], [2.0, 1.0, 1.0, 2.0]),
+        ([3.141592653589793, -2.718281828459045], [1.4142135623730951, 1.7320508075688772]),
+    ]
+    sdf = spark.createDataFrame(vecs, ["a", "b"]).select(dot("a", "b").alias("d"))
+    got = [r.d for r in sdf.collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT list_inner_product($1::DOUBLE[], $2::DOUBLE[])", [a, b]).fetchone()[0]
+        for a, b in vecs
+    ]
+    import struct
+
+    assert [struct.pack("<d", g) for g in got] == [struct.pack("<d", w) for w in want]

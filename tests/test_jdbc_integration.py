@@ -58,6 +58,26 @@ def test_jdbc_query_params_spliced(jdbc_bridge):
     assert len(out) == 1 and out["k"].iloc[0] == 1
 
 
+def test_jdbc_query_params_pyformat_and_escape(jdbc_bridge):
+    """Both psycopg2 paramstyles round-trip on live Derby (reference
+    core.py:84 semantics): pyformat %(name)s dict params with repeats,
+    and the %% literal-percent escape inside LIKE."""
+    pdf = pd.DataFrame({"k": [1, 2, 3], "name": ["100%", "plain", "100%"]})
+    jdbc_bridge.write_table(pdf, "t_jdbc_pyf")
+    out = jdbc_bridge.read_sql(
+        'SELECT "k" FROM t_jdbc_pyf WHERE "name" = %(n)s OR "k" = %(k)s '
+        'OR "name" = %(n)s',
+        {"n": "plain", "k": 3},
+    )
+    assert sorted(out["k"]) == [2, 3]
+    out2 = jdbc_bridge.read_sql(
+        "SELECT \"k\" FROM t_jdbc_pyf WHERE \"name\" LIKE '100%%' "
+        'AND "k" >= %s',
+        [2],
+    )
+    assert sorted(out2["k"]) == [3]
+
+
 def test_jdbc_partitioned_read(jdbc_bridge):
     """read_table with partition_column opens parallel range-partitioned
     connections (the fix for the reference's one-socket fetchall) and

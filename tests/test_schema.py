@@ -58,6 +58,32 @@ class TestValidateColumnNames:
         assert len(REDSHIFT_RESERVED_WORDS) == 151
         assert {"bzip2", "oid"} <= REDSHIFT_RESERVED_WORDS
 
+    def test_word_list_ships_as_package_data(self):
+        """Reference behavior (core.py:96-98): the word list is a data
+        file next to the module, re-read by the validator — not only
+        an inline constant."""
+        from pandas_redshift_spark.sources import schema as s
+
+        assert os.path.exists(s._WORDS_FILE)
+        assert s.load_reserved_words() == s._BUILTIN_RESERVED_WORDS
+
+    def test_word_list_file_edits_are_honored(self, tmp_path, monkeypatch):
+        """A user who edits the txt expects the edit honored (the
+        reference re-opens the file per validate call)."""
+        from pandas_redshift_spark.sources import schema as s
+
+        custom = tmp_path / "redshift_reserve_words.txt"
+        custom.write_text("FROBNICATE\nSELECT\n")
+        monkeypatch.setattr(s, "_WORDS_FILE", str(custom))
+        with pytest.raises(s.ReservedWordError):
+            s.validate_column_names(["frobnicate"])
+        # a word removed from the file is no longer rejected
+        assert s.validate_column_names(["timestamp"]) == ["timestamp"]
+        # missing file falls back to the built-in list
+        monkeypatch.setattr(s, "_WORDS_FILE", str(tmp_path / "nope.txt"))
+        with pytest.raises(s.ReservedWordError):
+            s.validate_column_names(["timestamp"])
+
 
 class TestDtypeMapping:
     @pytest.mark.parametrize(
