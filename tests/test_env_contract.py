@@ -101,3 +101,29 @@ def test_core_ops_survive_both_ansi_modes(spark, sf_dir):
         assert sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect())) == baseline_lsh
     finally:
         spark.conf.set("spark.sql.ansi.enabled", orig)
+
+
+def test_memoized_persist_shares_and_evicts(spark):
+    """One persisted frame per (session, key); same key returns the
+    SAME DataFrame object (plan-stable repeat calls), and entries from
+    other/stopped applicationIds are evicted on access so dead-session
+    plans can't accumulate."""
+    from pandas_redshift_spark.session import _PERSIST_MEMO, memoized_persist
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    a = memoized_persist(spark, ("t_memo_unit",), build)
+    b = memoized_persist(spark, ("t_memo_unit",), build)
+    assert a is b and len(calls) == 1
+    # plant a stale entry from a "dead" session; next access evicts it
+    _PERSIST_MEMO[("app-does-not-exist", "stale")] = a
+    memoized_persist(spark, ("t_memo_unit",), build)
+    assert ("app-does-not-exist", "stale") not in _PERSIST_MEMO
+    app_id = spark.sparkContext.applicationId
+    assert (app_id, "t_memo_unit") in _PERSIST_MEMO
+    del _PERSIST_MEMO[(app_id, "t_memo_unit")]
+    a.unpersist()

@@ -283,6 +283,16 @@ _AUDIT_WAIVERS = {
 def test_every_registered_plan_passes_audit(spark, sf_dir):
     from pandas_redshift_spark.operators import all_queries
     from pandas_redshift_spark.plans.audit import audit_plan
+    from pandas_redshift_spark.session import _PERSIST_MEMO
+
+    # Audit COLD plans: a memoized frame already materialized by an
+    # earlier test shows AQE-finalized cached partitioning (with
+    # canChangeCachedPlanOutputPartitioning=true), which hides/changes
+    # exchanges and makes findings depend on test order.  Dropping the
+    # memo + cache gives every query the same unmaterialized plan no
+    # matter what ran before (consumers rebuild the memo lazily).
+    _PERSIST_MEMO.clear()
+    spark.catalog.clearCache()
 
     unwaived, fired = [], set()
     for name, spec in sorted(all_queries().items()):
