@@ -1,0 +1,206 @@
+"""Embedding-column QC operators over ``embeddings`` (north-star
+extension, SURVEY.md §2.C "similarity / multimodal" adjunct) — the
+audit passes a training-data pipeline runs over an
+``array<float>`` column before spending GPU-hours on it: norm audit,
+quantization-error report, per-dimension distribution stats, and
+degenerate-vector (norm outlier) detection.
+
+Scale design: every op is one linear pass over the corpus (plus at
+most one 64-row or 1-row auxiliary aggregate that broadcasts).  All
+vector math is JVM built-ins (``zip_with``/``aggregate`` folds — the
+same codegen primitives as operators/similarity.py); nothing ever
+collects or shuffles raw vectors except the per-dimension explode,
+whose shuffle key space is the embedding width, not the corpus.
+
+Oracle portability: float32 components are widened to float64 (exact),
+and every reduction is built from the two primitives proven bit-exact
+across engines in tests/test_extensions.py
+(``test_dot_product_cross_engine_parity``): left-to-right product-sum
+folds (Spark ``aggregate`` == DuckDB ``list_inner_product``) and IEEE
+sqrt/division.  Vector sums reuse the inner-product primitive against
+an all-ones list so no new cross-engine fold semantics are assumed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.operators.similarity import dot
+from pandas_redshift_spark.session import Tables
+
+#: float32 -> float64 widening is exact; all arithmetic happens in
+#: double so Spark and DuckDB round identically at every step
+_EMB_DOUBLE = "transform(embedding, x -> CAST(x AS DOUBLE))"
+_EMB_DOUBLE_DUCK = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _vec_sum(col: Column) -> Column:
+    """Left-to-right component sum — folds exactly like DuckDB's
+    ``list_inner_product(v, ones)`` (1.0-products are exact)."""
+    return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v)
+
+
+@query(
+    "embed_l2_normalize",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, label, {_EMB_DOUBLE_DUCK} AS e FROM embeddings
+    )
+    SELECT vec_id, label,
+           sqrt(list_inner_product(e, e)) AS l2_norm,
+           list_inner_product(e, list_transform(e, x -> 1.0))
+               / sqrt(list_inner_product(e, e)) AS unit_checksum
+    FROM d
+    """,
+)
+def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization audit: per-vector norm plus the component sum
+    of the unit-normalized vector (sum first, ONE division — the
+    order-stable formulation).  The norm is what a serving stack
+    divides by before cosine retrieval; emitting it (rather than the
+    normalized array) keeps the output scalar-canonicalizable and the
+    shuffle payload tiny.  One linear pass, no shuffle at all."""
+    e = F.expr(_EMB_DOUBLE)
+    norm = F.sqrt(dot(e, e))
+    return Tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        (_vec_sum(e) / norm).alias("unit_checksum"),
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, {_EMB_DOUBLE_DUCK} AS e FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM d
+    ),
+    q AS (
+        SELECT vec_id, e, scale,
+               list_transform(e, x -> floor(x / scale + 0.5) * scale) AS deq
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id, scale,
+           list_inner_product(e, e)
+             - 2 * list_inner_product(e, deq)
+             + list_inner_product(deq, deq) AS sq_err
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization report: per-vector scale
+    (max|x|/127) and the squared reconstruction error after
+    round-to-nearest quantize/dequantize — the standard decision input
+    for shipping int8 embeddings at 100 TB (4x smaller ANN index, one
+    number per vector to judge the recall risk).  The error uses the
+    identical three-inner-product expansion on both engines so the
+    float rounding path is the same; zero vectors (scale 0) are
+    excluded on both sides.  One linear pass, no shuffle."""
+    e = F.expr(_EMB_DOUBLE)
+    emb = Tables(spark, sf_dir).embeddings
+    scale = (F.array_max(F.transform(e, F.abs)) / F.lit(127.0)).alias("scale")
+    s = emb.select("vec_id", e.alias("e"), scale).filter(F.col("scale") > 0)
+    deq = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+    )
+    q = s.select("vec_id", "scale", F.col("e"), deq.alias("deq"))
+    sq_err = (
+        dot(F.col("e"), F.col("e"))
+        - F.lit(2.0) * dot(F.col("e"), F.col("deq"))
+        + dot(F.col("deq"), F.col("deq"))
+    )
+    return q.select("vec_id", "scale", sq_err.alias("sq_err"))
+
+
+@query(
+    "embed_dim_stats",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, {_EMB_DOUBLE_DUCK} AS e FROM embeddings
+    ),
+    flat AS (
+        SELECT CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS dim,
+               unnest(e) AS val
+        FROM d
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(val), 6) AS mean_val,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM flat GROUP BY dim
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats (count / mean / min / max) —
+    the dead-dimension and scale-imbalance check run before choosing a
+    quantization or projection.  posexplode keys the shuffle on the
+    DIMENSION INDEX (width 64), so shuffle volume is corpus rows ×
+    one double with a fixed tiny key space — partial aggregation
+    collapses it map-side; min/max are exact, mean rounded 6dp per the
+    parallel-sum convention (FIXTURES.md)."""
+    emb = Tables(spark, sf_dir).embeddings.select(
+        F.posexplode(F.expr(_EMB_DOUBLE)).alias("dim", "val")
+    )
+    return emb.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@query(
+    "embed_bias_outliers",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, label, {_EMB_DOUBLE_DUCK} AS e FROM embeddings
+    ),
+    sums AS (
+        SELECT vec_id, label,
+               list_inner_product(e, list_transform(e, x -> 1.0)) AS comp_sum
+        FROM d
+    ),
+    stats AS (
+        SELECT round(avg(comp_sum), 6) AS mu, round(stddev(comp_sum), 6) AS sigma
+        FROM sums
+    )
+    SELECT n.vec_id, n.label, n.comp_sum, n.comp_sum - s.mu AS dev
+    FROM sums n CROSS JOIN stats s
+    WHERE n.comp_sum > s.mu + 2 * s.sigma OR n.comp_sum < s.mu - 2 * s.sigma
+    """,
+)
+def embed_bias_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biased-embedding detection: vectors whose COMPONENT SUM sits
+    more than 2 sigma from the corpus mean — the cheap canary for
+    encoder drift / systematic offset before vectors poison an ANN
+    index.  (L2-norm outliers are the classic variant, but this corpus
+    — like any serving-side store — is already unit-normalized, so
+    norm carries no signal; component-sum bias still does.)  Per-row
+    sums are bit-exact folds; the 1-row mean/std aggregate is rounded
+    6dp on BOTH engines so the threshold comparison uses identical
+    exact decimals (no raw-parallel-sum boundary jitter), then
+    broadcast — the corpus never reshuffles."""
+    e = F.expr(_EMB_DOUBLE)
+    sums = Tables(spark, sf_dir).embeddings.select(
+        "vec_id", "label", _vec_sum(e).alias("comp_sum")
+    )
+    stats = sums.agg(
+        F.round(F.avg("comp_sum"), 6).alias("mu"),
+        F.round(F.stddev("comp_sum"), 6).alias("sigma"),
+    )
+    flagged = sums.crossJoin(F.broadcast(stats)).filter(
+        (F.col("comp_sum") > F.col("mu") + 2 * F.col("sigma"))
+        | (F.col("comp_sum") < F.col("mu") - 2 * F.col("sigma"))
+    )
+    return flagged.select(
+        "vec_id", "label", "comp_sum", (F.col("comp_sum") - F.col("mu")).alias("dev")
+    )

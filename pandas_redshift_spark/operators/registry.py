@@ -71,6 +71,7 @@ def _load_all() -> None:
         "events",
         "dedup",
         "similarity",
+        "embeddings",
         "textstats",
         "multimodal",
         "pipeline",

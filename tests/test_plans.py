@@ -234,6 +234,10 @@ _AUDIT_WAIVERS = {
         "single_part": "global order count: 1-row aggregate",
         "bnlj": "1-row order-total broadcast cross join",
     },
+    "embed_bias_outliers": {
+        "single_part": "1-row corpus mean/std aggregate",
+        "bnlj": "1-row stats frame broadcast cross join; corpus never reshuffles",
+    },
     "pipe_domain_reweight": {"single_part": "corpus totals: 1-row frame", "bnlj": "1-row totals broadcast cross join"},
     "pipe_feature_binning": {"single_part": "1-row decile-cuts aggregate", "bnlj": "1-row cuts broadcast cross join"},
     "pipe_mix_sample": {"single_part": "per-cell targets: |lang x source| rows", "bnlj": "tiny target frame broadcast"},
