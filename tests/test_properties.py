@@ -70,3 +70,59 @@ def test_validate_preserves_arity_and_order(names):
 def test_dtype_mapping_table(pair):
     dtype, want = pair
     assert pd_dtype_to_redshift_dtype(dtype) == want
+
+
+# -- psycopg2 placeholder grammar (bridge._split_placeholders) ---------
+
+_sql_chunk = st.text(
+    alphabet=string.ascii_letters + string.digits + " '\"=<>,.()%s",
+    max_size=20,
+)
+
+
+@given(
+    st.lists(_sql_chunk, max_size=5),
+    st.lists(st.sampled_from([None, "a", "b", "long_name"]), max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_split_placeholders_roundtrip(chunks, ph):
+    """Rebuilding the SQL from (parts, names) — re-escaping %% and
+    re-inserting placeholders — must reproduce the input exactly, for
+    ANY text (including stray lone %% and %-signs) interleaved with
+    ANY mix of positional and named placeholders."""
+    from pandas_redshift_spark.sources.bridge import _split_placeholders
+
+    # build an input whose literal text escapes % as %% (what a real
+    # caller writes when also passing params)
+    pieces = []
+    for i, name in enumerate(ph):
+        lit = chunks[i] if i < len(chunks) else ""
+        pieces.append(lit.replace("%", "%%"))
+        pieces.append("%s" if name is None else f"%({name})s")
+    tail = chunks[len(ph)] if len(ph) < len(chunks) else ""
+    pieces.append(tail.replace("%", "%%"))
+    sql = "".join(pieces)
+
+    parts, names = _split_placeholders(sql)
+    assert names == ph
+    rebuilt = [parts[0].replace("%", "%%")]
+    for n, part in zip(names, parts[1:]):
+        rebuilt.append("%s" if n is None else f"%({n})s")
+        rebuilt.append(part.replace("%", "%%"))
+    assert "".join(rebuilt) == sql
+
+
+@given(st.lists(st.one_of(st.integers(), st.text(max_size=8), st.none(), st.booleans()), min_size=0, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_bind_literals_count_parity_with_positional(params):
+    """For pure-positional queries _bind_literals accepts exactly
+    len(params) %s markers and rejects any other count."""
+    import pytest
+
+    from pandas_redshift_spark.sources.bridge import _bind_literals
+
+    sql = " AND ".join(["c=%s"] * len(params)) or "SELECT 1"
+    out = _bind_literals(sql, params)
+    assert "%s" not in out
+    with pytest.raises(ValueError):
+        _bind_literals(sql + " AND extra=%s", params)
