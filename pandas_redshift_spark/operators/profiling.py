@@ -1,0 +1,231 @@
+"""Data-profiling / integrity operators (north-star extension,
+SURVEY.md §2.C adjunct) — the audits run BEFORE a 100 TB pipeline
+spends compute on a corpus: per-column profile, referential-integrity
+sweep across every FK edge of the star schema, and rule-based quality
+checks on the event stream.
+
+Scale design: each op is one linear pass per table with mergeable
+aggregates only (count / count-distinct / min / max — all partial-agg
+friendly), or an anti-join keyed on the FK whose parent side
+broadcasts when small.  Nothing collects; outputs are tiny
+per-column / per-edge / per-rule report frames.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+#: (column, is_numeric) profile targets over ``orders`` — min/max are
+#: emitted as strings so one report frame covers heterogeneous types
+_ORDERS_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, _num in _ORDERS_COLS:
+        parts.append(f"""
+        SELECT '{col}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(min({col}) AS VARCHAR) AS min_str,
+               CAST(max({col}) AS VARCHAR) AS max_str
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_table_summary", oracle=_profile_oracle())
+def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (rows / nulls / distinct / min / max)
+    — the first query any pipeline runs against an unfamiliar 100 TB
+    table.  ONE scan computes every column's aggregates side by side
+    (all mergeable, so partial aggregation collapses them map-side);
+    the per-column report rows are then unioned from the single 1-row
+    frame, not from per-column rescans.  min/max cast to string so one
+    frame profiles heterogeneous column types.
+
+    Multi-DISTINCT note: Spark 4 plans these N single-column DISTINCT
+    aggregates without an Expand (plan-asserted by the audit — any
+    regression to an Expand xN would fire the ``expand`` rule and need
+    an explicit waiver).  At warehouse scale the exact distinct counts
+    flip to approx_count_distinct (mergeable sketches, no second
+    shuffle) and this hash-exact twin stays for oracle checking."""
+    o = Tables(spark, sf_dir).orders
+    aggs = []
+    for col, _num in _ORDERS_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+    one = o.agg(*aggs)
+    reports = [
+        one.select(
+            F.lit(col).alias("column_name"),
+            F.col(f"{col}__rows").alias("n_rows"),
+            F.col(f"{col}__nulls").alias("n_nulls"),
+            F.col(f"{col}__distinct").alias("n_distinct"),
+            F.col(f"{col}__min").alias("min_str"),
+            F.col(f"{col}__max").alias("max_str"),
+        )
+        for col, _num in _ORDERS_COLS
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+#: every FK edge of the star schema: (edge label, child table, child
+#: key, parent table, parent key)
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{label}' AS edge,
+               CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphans
+        FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}""")
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_fk_integrity", oracle=_fk_oracle())
+def profile_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over every FK edge of the schema:
+    child-row count + orphan count (child keys with no parent).  Each
+    edge is a LEFT join against the parent KEY SET (projected +
+    distinct, broadcast — every parent here is dimension-sized; at
+    100 TB a huge parent flips to a shuffled join and the orphan
+    count stays one mergeable aggregate).  The fact table is scanned
+    once per edge with only the FK column read (column pruning), never
+    materialized wide."""
+    t = Tables(spark, sf_dir)
+    reports = []
+    for label, child, ck, parent, pk in _FK_EDGES:
+        c = t.load(child).select(ck)
+        p = F.broadcast(t.load(parent).select(pk).distinct())
+        joined = c.join(p, c[ck] == p[pk], "left")
+        reports.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            ).select(F.lit(label).alias("edge"), "n_child", "n_orphans")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@query(
+    "profile_events_quality",
+    oracle="""
+    SELECT 'null_user' AS rule,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'negative_value',
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'unknown_event_type',
+           CAST(sum(CASE WHEN event_type NOT IN
+                    ('click','view','purchase','signup','error')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'error_events',
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'ts_out_of_range',
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                         OR ts >= TIMESTAMP '2027-01-01 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    """,
+)
+def profile_events_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based stream-quality report: one row per validation rule
+    (null key, negative value, unknown enum, timestamp out of range)
+    with violation and total counts.  All rules evaluate in ONE scan
+    as conditional-sum aggregates (map-side partials), then the 1-row
+    frame unpivots into the per-rule report — the shape that audits a
+    100 TB day of events without re-reading it per rule."""
+    e = Tables(spark, sf_dir).events
+    known = ("click", "view", "purchase", "signup", "error")
+    one = e.agg(
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_user"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("negative_value"),
+        F.sum(F.when(~F.col("event_type").isin(*known), 1).otherwise(0))
+        .cast("bigint")
+        .alias("unknown_event_type"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("error_events"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+                | (F.col("ts") >= F.lit("2027-01-01 00:00:00").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ts_out_of_range"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    rules = (
+        "null_user",
+        "negative_value",
+        "unknown_event_type",
+        "error_events",
+        "ts_out_of_range",
+    )
+    reports = [
+        one.select(
+            F.lit(r).alias("rule"),
+            F.col(r).alias("n_violations"),
+            F.col("n_rows"),
+        )
+        for r in rules
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out

@@ -75,6 +75,7 @@ def _load_all() -> None:
         "textstats",
         "multimodal",
         "pipeline",
+        "profiling",
     ):
         importlib.import_module(f"pandas_redshift_spark.operators.{mod}")
 

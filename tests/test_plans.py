@@ -238,6 +238,15 @@ _AUDIT_WAIVERS = {
         "single_part": "1-row corpus mean/std aggregate",
         "bnlj": "1-row stats frame broadcast cross join; corpus never reshuffles",
     },
+    "profile_table_summary": {
+        "single_part": "single-scan profile: 1-row all-columns aggregate, unioned into the report"
+    },
+    "profile_fk_integrity": {
+        "single_part": "per-edge 1-row orphan-count aggregates, unioned into the report"
+    },
+    "profile_events_quality": {
+        "single_part": "single-scan rule report: 1-row conditional-sum aggregate"
+    },
     "pipe_domain_reweight": {"single_part": "corpus totals: 1-row frame", "bnlj": "1-row totals broadcast cross join"},
     "pipe_feature_binning": {"single_part": "1-row decile-cuts aggregate", "bnlj": "1-row cuts broadcast cross join"},
     "pipe_mix_sample": {"single_part": "per-cell targets: |lang x source| rows", "bnlj": "tiny target frame broadcast"},
