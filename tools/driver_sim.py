@@ -7,7 +7,17 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Repo root: env override > location-relative (works from tools/) >
+# the canonical checkout.  The file is routinely COPIED to /tmp and
+# run from there (executor-side import checks need a non-repo cwd), so
+# the relative guess must fall back when the copy isn't inside the
+# repo.
+_REPO = os.environ.get("SIM_REPO") or os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))
+)
+if not os.path.exists(os.path.join(_REPO, "__spark_entry__.py")):
+    _REPO = "/root/repo"
+sys.path.insert(0, _REPO)
 
 import duckdb
 import pandas as pd
