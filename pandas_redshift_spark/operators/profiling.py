@@ -229,3 +229,77 @@ def profile_events_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionAll(r)
     return out
+
+
+@query(
+    "profile_embedding_coverage",
+    oracle="""
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(e.vec_id) AS BIGINT) AS n_with_vec,
+           CAST(count(*) - count(e.vec_id) AS BIGINT) AS n_missing
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+)
+def profile_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal coverage report: per language, how many documents
+    have an embedding row (doc_id = vec_id) and how many are missing —
+    the join-completeness check run before any retrieval/dedup pass
+    that assumes every document is vectorized.  LEFT join against the
+    embedding KEY SET only (vec_id projected, broadcast at dimension
+    scale; flips to a shuffled key-only join on a 100 TB store), then
+    one mergeable aggregate per language."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", "lang")
+    e = F.broadcast(t.embeddings.select("vec_id"))
+    joined = d.join(e, d.doc_id == e.vec_id, "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("vec_id").alias("n_with_vec"),
+        (F.count(F.lit(1)) - F.count("vec_id")).alias("n_missing"),
+    )
+
+
+@query(
+    "profile_langid_confusion",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
+    scores AS (
+        SELECT doc_id, lang AS actual_lang,
+            len(list_filter(tokens, t -> t IN ('the','and','of','is')))    AS s_en,
+            len(list_filter(tokens, t -> t IN ('el','la','de','que')))     AS s_es,
+            len(list_filter(tokens, t -> t IN ('der','die','und','das')))  AS s_de,
+            len(list_filter(tokens, t -> t IN ('le','la','et','les')))     AS s_fr,
+            len(list_filter(tokens, t -> t IN ('de5','shi4','le5','zai4'))) AS s_zh
+        FROM tok
+    ),
+    pred AS (
+        SELECT actual_lang,
+            CASE
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh'
+            END AS predicted_lang
+        FROM scores
+    )
+    SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """,
+)
+def profile_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality confusion matrix: declared ``lang`` vs the
+    marker-word language-ID heuristic, one row per (actual, predicted)
+    cell — the audit that catches mislabeled or code-switched corpora
+    before language-stratified sampling trusts the metadata column.
+    Reuses text_langid_heuristic's scoring (single source for the
+    marker sets and tie-break order), then ONE aggregate keyed on the
+    tiny |langs|^2 space — map-side partials collapse the corpus."""
+    from pandas_redshift_spark.operators.textstats import text_langid_heuristic
+
+    pred = text_langid_heuristic(spark, sf_dir)
+    return pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
