@@ -175,7 +175,10 @@ class SparkRedshiftBridge:
         self._check_open()
         logger.info("executing query: %s", mask_aws_credentials(sql_query))
         if self.jdbc_options:
-            if query_params:
+            # psycopg2 parity: ANY non-None params (even empty) turn
+            # on placeholder processing — %% collapses and a leftover
+            # %s without a value is an error
+            if query_params is not None:
                 sql_query = _bind_literals(sql_query, query_params)
             reader = (
                 self.spark.read.format("jdbc")
@@ -183,10 +186,14 @@ class SparkRedshiftBridge:
                 .option("query", sql_query)
             )
             return reader.load()
-        if query_params:
+        if query_params is not None:
             parts, names = _split_placeholders(sql_query)
             values = _resolve_params(names, query_params)
-            return self.spark.sql("?".join(parts), args=values)
+            if values:
+                return self.spark.sql("?".join(parts), args=values)
+            # empty params still collapse %% (psycopg2 semantics);
+            # nothing to bind server-side
+            return self.spark.sql(parts[0])
         return self.spark.sql(sql_query)
 
     def read_table(

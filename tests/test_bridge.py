@@ -132,6 +132,21 @@ def test_bind_literals_pyformat_and_percent_escape():
         _bind_literals("a=%(a)s", {"b": 1})
 
 
+def test_query_params_empty_sequence_still_processes_escapes(bridge):
+    """psycopg2 parity: execute(sql, []) turns on placeholder
+    processing — %% collapses to a literal % and a leftover %s is an
+    error — while execute(sql) (params=None) leaves % untouched."""
+    bridge.write_table(pd.DataFrame({"name": ["100%", "plain"]}), "t_roundtrip")
+    # empty params: %% collapses, so the engine compares against '100%'
+    out = bridge.read_sql("SELECT name FROM t_roundtrip WHERE name = '100%%'", [])
+    assert list(out["name"]) == ["100%"]
+    with pytest.raises(ValueError):
+        bridge.sql("SELECT * FROM t_roundtrip WHERE name = %s", [])
+    # params omitted: % stays raw — the engine compares against '100%%'
+    out2 = bridge.read_sql("SELECT name FROM t_roundtrip WHERE name = '100%%'")
+    assert len(out2) == 0
+
+
 def test_query_params_pyformat_local(bridge):
     """Local mode: dict params bind server-side via spark.sql args."""
     bridge.write_table(pd.DataFrame({"a": [1, 2, 3]}), "t_roundtrip")
