@@ -832,3 +832,91 @@ def dedup_provenance_crossref(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_sources") > 1, 1)).alias("n_cross_source"),
         F.sum("n_copies").alias("n_dup_docs"),
     )
+
+
+CHUNK_TOKENS = 16
+
+
+@query(
+    "dedup_chunk_level",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+        FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, i*{CHUNK_TOKENS} + 1, i*{CHUNK_TOKENS} + {CHUNK_TOKENS}),
+                   ' ')) AS chunk_h
+        FROM idx
+    ),
+    dup AS (
+        SELECT chunk_h FROM chunks GROUP BY chunk_h HAVING count(DISTINCT doc_id) > 1
+    ),
+    perdoc AS (
+        SELECT c.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(d.chunk_h) AS BIGINT) AS n_dup_chunks
+        FROM chunks c LEFT JOIN dup d USING (chunk_h)
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           round(n_dup_chunks * 1.0 / n_chunks, 4) AS dup_chunk_fraction,
+           CASE WHEN n_dup_chunks * 1.0 / n_chunks < 0.5 THEN TRUE ELSE FALSE END AS keep
+    FROM perdoc
+    """,
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-style) dedup, the CCNet/RefinedWeb shape:
+    split each document into consecutive ``CHUNK_TOKENS``-token chunks,
+    digest each chunk, and mark chunks whose identical text appears in
+    more than one document; report the per-document duplicated-chunk
+    fraction and a keep/drop verdict (<50% duplicated content).
+
+    The corpus here has no newlines, so fixed-width token windows stand
+    in for paragraphs; on real web text the chunker would split on
+    ``\\n`` first and fall back to token windows for oversized
+    paragraphs — the downstream plan is identical.
+
+    Scale design: the shuffle key is the 16-byte chunk digest, never
+    the chunk text, so shuffle width is independent of chunk length;
+    the duplicated-chunk set is a HAVING-filtered aggregate joined back
+    to the exploded chunk stream (inverted-index shape, no self-join);
+    per-doc re-aggregation is keyed on doc_id.  Three shuffles total,
+    all narrow."""
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    toks = F.split("text", " ")
+    k = F.lit(CHUNK_TOKENS)
+    idx = F.sequence(F.lit(0), F.ceil(F.size(toks) / CHUNK_TOKENS).cast("bigint") - 1)
+    chunk_hashes = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), CHUNK_TOKENS))
+        ),
+    )
+    exploded = d.select("doc_id", F.explode(chunk_hashes).alias("chunk_h"))
+    dup = (
+        exploded.groupBy("chunk_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk_h")
+    )
+    perdoc = (
+        exploded.join(dup.withColumn("is_dup", F.lit(1)), "chunk_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("is_dup").alias("n_dup_chunks"),
+        )
+    )
+    frac = F.col("n_dup_chunks") / F.col("n_chunks")
+    return perdoc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round(frac, 4).alias("dup_chunk_fraction"),
+        (frac < 0.5).alias("keep"),
+    )

@@ -1112,3 +1112,109 @@ def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s_full_funnel"),
     )
+
+
+#: a purchase event at/above this value is a "big-ticket conversion" —
+#: chosen so the converted share sits mid-range (not 0/1) at every
+#: driver scale factor, keeping the z-statistic well-defined.
+ABTEST_CONVERSION_VALUE = 150.0
+
+
+@query(
+    "events_experiment_abtest",
+    oracle=f"""
+    WITH peruser AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2
+                   AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value >= {ABTEST_CONVERSION_VALUE}
+                        THEN 1 ELSE 0 END) AS converted,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+                   AS purchase_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT
+            CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_control,
+            CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_treatment,
+            CAST(sum(converted) FILTER (variant = 0) AS BIGINT) AS conv_control,
+            CAST(sum(converted) FILTER (variant = 1) AS BIGINT) AS conv_treatment,
+            round(sum(purchase_value) FILTER (variant = 0), 2) AS revenue_control,
+            round(sum(purchase_value) FILTER (variant = 1), 2) AS revenue_treatment
+        FROM peruser
+    )
+    SELECT n_control, n_treatment, conv_control, conv_treatment,
+           revenue_control, revenue_treatment,
+           round(conv_control * 1.0 / n_control, 4) AS rate_control,
+           round(conv_treatment * 1.0 / n_treatment, 4) AS rate_treatment,
+           round(conv_treatment * 1.0 / n_treatment
+                 - conv_control * 1.0 / n_control, 4) AS lift,
+           round((conv_treatment * 1.0 / n_treatment - conv_control * 1.0 / n_control)
+                 / sqrt(((conv_control + conv_treatment) * 1.0
+                         / (n_control + n_treatment))
+                        * (1.0 - (conv_control + conv_treatment) * 1.0
+                           / (n_control + n_treatment))
+                        * (1.0 / n_control + 1.0 / n_treatment)), 4) AS z_score
+    FROM agg
+    """,
+)
+def events_experiment_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically assigned to
+    control/treatment by md5(user_id) parity (the standard
+    hash-bucketing that needs no coordination or assignment table),
+    conversion = any big-ticket purchase, and the two-proportion pooled
+    z-statistic is computed in closed form from the four counts.
+
+    Scale design: one (user_id) shuffle builds per-user facts with
+    mergeable aggs; everything after is a 1-row conditional-sum fold —
+    the experiment readout costs the same as a count.  Assignment via
+    md5 parity is uniform and stable across runs/engines (the same hash
+    family every dedup operator here uses)."""
+    e = Tables(spark, sf_dir).events
+    variant = (
+        F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+        % 2
+    )
+    is_conv_event = (F.col("event_type") == "purchase") & (
+        F.col("value") >= ABTEST_CONVERSION_VALUE
+    )
+    peruser = e.groupBy("user_id").agg(
+        F.first(variant).alias("variant"),
+        F.max(F.when(is_conv_event, 1).otherwise(0)).alias("converted"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias(
+            "purchase_value"
+        ),
+    )
+    agg = peruser.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_control"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_treatment"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias("conv_control"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias("conv_treatment"),
+        F.round(F.sum(F.when(F.col("variant") == 0, F.col("purchase_value"))), 2).alias(
+            "revenue_control"
+        ),
+        F.round(F.sum(F.when(F.col("variant") == 1, F.col("purchase_value"))), 2).alias(
+            "revenue_treatment"
+        ),
+    )
+    rate_c = F.col("conv_control") / F.col("n_control")
+    rate_t = F.col("conv_treatment") / F.col("n_treatment")
+    pooled = (F.col("conv_control") + F.col("conv_treatment")) / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    z = (rate_t - rate_c) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_control") + 1.0 / F.col("n_treatment"))
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        "revenue_control",
+        "revenue_treatment",
+        F.round(rate_c, 4).alias("rate_control"),
+        F.round(rate_t, 4).alias("rate_treatment"),
+        F.round(rate_t - rate_c, 4).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+    )

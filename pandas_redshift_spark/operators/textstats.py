@@ -624,3 +624,193 @@ def text_normalize_dedupe_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens_norm"),
         F.sha2(norm, 256).alias("norm_hash"),
     )
+
+
+# PII detector patterns, shared verbatim by the Spark and oracle sides.
+# Both engines' regex dialects (Java util.regex / RE2) agree on this
+# conservative subset: explicit classes, bounded repetition, no
+# lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "phone": r"\+[0-9][0-9 ]{7,}[0-9]",
+    "digitrun": r"[0-9]{9,}",
+}
+
+
+def pii_hit_counts(text_col: Column) -> dict[str, Column]:
+    """Per-category non-overlapping match counts over a text column —
+    the reusable detector core (JVM ``regexp_count``, codegen'd; no
+    Python in the loop).  Applied to ``documents`` by
+    :func:`text_pii_scan`; unit-tested on adversarial synthetic strings
+    in tests/test_extensions.py."""
+    return {
+        name: F.regexp_count(text_col, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+@query(
+    "text_pii_scan",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' from 192.168.' || (doc_id % 256) || '.17' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' call +1 415 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123456789' ELSE '' END
+               AS text
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+               len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS n_phone,
+               len(regexp_extract_all(text, '{PII_PATTERNS["digitrun"]}')) AS n_digitrun
+        FROM enriched
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (n_email + n_ipv4 + n_phone + n_digitrun > 0) AS BIGINT)
+               AS n_docs_flagged,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           CAST(sum(n_digitrun) AS BIGINT) AS total_digit_runs,
+           round(count(*) FILTER (n_email + n_ipv4 + n_phone + n_digitrun > 0) * 1.0
+                 / count(*), 4) AS flag_rate
+    FROM hits
+    GROUP BY source
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-content scan: per-source counts of email, IPv4,
+    phone-number, and long-digit-run matches plus a flagged-document
+    rate — the pre-training redaction/drop report.
+
+    The driver corpus is synthetic word salad with no real PII, which
+    would make a hash check vacuous (all zeros), so the query first
+    grafts deterministic PII artifacts onto arithmetically-chosen docs
+    (doc_id mod 7/11/13/17) — both engines apply the identical
+    construction, so the hash compare genuinely exercises regex
+    extraction parity, not just zero-count agreement.  The detector
+    core (:func:`pii_hit_counts`) is what a real pipeline calls on raw
+    text.
+
+    Scale design: detection is a pure map stage (JVM regexp_count under
+    codegen, no Python); the only shuffle is the per-source rollup.
+    Redaction (regexp_replace with the same patterns) composes onto the
+    same scan without another pass."""
+    d = Tables(spark, sf_dir).documents
+    doc_id = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(F.lit(" from 192.168."), (doc_id % 256).cast("string"), F.lit(".17")),
+        ).otherwise(""),
+        F.when(
+            doc_id % 13 == 0,
+            F.concat(F.lit(" call +1 415 555 01"), F.lpad((doc_id % 100).cast("string"), 2, "0")),
+        ).otherwise(""),
+        F.when(doc_id % 17 == 0, F.lit(" ssn 123456789")).otherwise(""),
+    )
+    counts = pii_hit_counts(enriched)
+    hits = d.select(
+        "source",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        counts["digitrun"].alias("n_digitrun"),
+    )
+    any_hit = (
+        F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") + F.col("n_digitrun") > 0
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(any_hit, 1)).alias("n_docs_flagged"),
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum("n_digitrun").alias("total_digit_runs"),
+        F.round(F.count(F.when(any_hit, 1)) / F.count(F.lit(1)), 4).alias("flag_rate"),
+    )
+
+
+ZIPF_FIT_TOP_N = 100
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT lang, token, count(*) AS freq FROM tok GROUP BY lang, token),
+    ranked AS (
+        SELECT lang, freq,
+               row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS rnk
+        FROM freq
+    ),
+    fit AS (SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+            FROM ranked WHERE rnk <= {ZIPF_FIT_TOP_N}),
+    sums AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+               (count(*) * sum(x*y) - sum(x) * sum(y))
+                 / (count(*) * sum(x*x) - sum(x) * sum(x)) AS slope,
+               avg(x) AS xbar, avg(y) AS ybar
+        FROM fit GROUP BY lang
+    )
+    SELECT lang, n_terms, round(slope, 4) AS zipf_slope,
+           round(ybar - slope * xbar, 4) AS zipf_intercept
+    FROM sums
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope/intercept of
+    log(freq) vs log(rank) over the top-{N} terms — the corpus-health
+    number that catches template/boilerplate floods (slope near 0) and
+    over-aggressive dedup (slope cliff) before training.
+
+    Closed-form regression on aggregate sums (no iteration): one
+    (lang, token) partial-count shuffle, a per-lang rank window over
+    the (tiny) vocab frame, and a per-lang 1-row fold.  Frequency ties
+    rank deterministically (token asc tie-break) so both engines fit
+    identical point sets."""
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token"))
+    fit = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_FIT_TOP_N)
+        .select(
+            "lang",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sums = fit.groupBy("lang").agg(
+        n.cast("bigint").alias("n_terms"),
+        (
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        ).alias("slope"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+    )
+    return sums.select(
+        "lang",
+        "n_terms",
+        F.round("slope", 4).alias("zipf_slope"),
+        F.round(F.col("ybar") - F.col("slope") * F.col("xbar"), 4).alias("zipf_intercept"),
+    )

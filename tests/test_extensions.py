@@ -533,3 +533,145 @@ def test_dot_product_cross_engine_parity(spark):
     import struct
 
     assert [struct.pack("<d", g) for g in got] == [struct.pack("<d", w) for w in want]
+
+
+def test_pii_detector_counts_on_adversarial_strings(spark):
+    """The reusable detector core must count non-overlapping matches
+    correctly on strings the synthetic corpus never produces: multiple
+    PII items in one doc, PII at string boundaries, and look-alikes
+    that must NOT match (bare @, short digit runs, trailing-dot IP
+    prefix)."""
+    from pandas_redshift_spark.operators.textstats import pii_hit_counts
+
+    cases = [
+        # (text, email, ipv4, phone, digitrun)
+        ("a@b.co and c.d+x@e-f.org together", 2, 0, 0, 0),
+        ("ip 10.0.0.1 then 255.255.255.255", 0, 2, 0, 0),
+        ("call +1 415 555 0100 or +44 20 7946 0958", 0, 0, 2, 0),
+        ("card 1234567890123456", 0, 0, 0, 1),
+        ("no pii here, just words @ and 123.456", 0, 0, 0, 0),
+        ("edge@case.io", 1, 0, 0, 0),
+        ("9.9.9.9", 0, 1, 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in cases], ["text"])
+    counts = pii_hit_counts(F.col("text"))
+    got = (
+        df.select(
+            "text",
+            counts["email"].alias("e"),
+            counts["ipv4"].alias("i"),
+            counts["phone"].alias("p"),
+            counts["digitrun"].alias("d"),
+        )
+        .collect()
+    )
+    by_text = {r.text: (r.e, r.i, r.p, r.d) for r in got}
+    for text, *expected in cases:
+        assert by_text[text] == tuple(expected), text
+
+
+def test_chunk_dedup_counts_instances_and_partial_tail(spark, tmp_path):
+    """Chunk semantics pinned on a constructed corpus: 16-token chunks,
+    a partial tail chunk is still a chunk, a chunk repeated WITHIN one
+    doc is not cross-doc duplicated, and every instance of a cross-doc
+    duplicated chunk counts toward its doc's fraction."""
+    import pandas as pd
+
+    from pandas_redshift_spark.operators.dedup import dedup_chunk_level
+
+    A = " ".join(f"a{i}" for i in range(16))  # exactly one chunk
+    B = " ".join(f"b{i}" for i in range(16))
+    C = " ".join(f"c{i}" for i in range(8))  # partial tail
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            # doc0: A + B           -> chunks [A, B]
+            # doc1: A + C           -> chunks [A, C-tail]
+            # doc2: B + B           -> chunks [B, B] (within-doc repeat)
+            # doc3: unique tokens   -> chunks [u, u-tail]
+            "text": [
+                f"{A} {B}",
+                f"{A} {C}",
+                f"{B} {B}",
+                " ".join(f"u{i}" for i in range(24)),
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 0, 0, 0],
+        }
+    )
+    sf = str(tmp_path / "mini")
+    import os
+
+    os.makedirs(sf)
+    docs.to_parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r for r in dedup_chunk_level(spark, sf).collect()}
+    # A appears in docs 0,1 -> dup; B appears in docs 0,2 -> dup.
+    assert (out[0].n_chunks, out[0].n_dup_chunks) == (2, 2)  # A,B both dup
+    assert (out[1].n_chunks, out[1].n_dup_chunks) == (2, 1)  # A dup, tail not
+    # doc2's B chunks are cross-doc dups (B also in doc0): both instances count
+    assert (out[2].n_chunks, out[2].n_dup_chunks) == (2, 2)
+    assert out[2].keep is False
+    assert (out[3].n_chunks, out[3].n_dup_chunks) == (2, 0)
+    assert out[3].keep is True
+
+
+def test_zipf_slope_is_minus_one_on_exact_zipf_corpus(spark, tmp_path):
+    """A corpus whose term frequencies are exactly C/rank must fit
+    slope -1 (log-log linear), pinning the regression arithmetic."""
+    import os
+
+    import pandas as pd
+
+    from pandas_redshift_spark.operators.textstats import text_zipf_slope
+
+    # term t_r occurs floor(64 / r) times for rank r in 1..8 -> freq
+    # halving is NOT exact zipf; instead use freq = 2^(8-r) and rank =
+    # 2^(r-1)... simplest exact construction: freq_r = K / r with K
+    # divisible by all ranks.  lcm(1..8) = 840.
+    K = 840
+    words: list[str] = []
+    for r in range(1, 9):
+        words += [f"t{r:02d}"] * (K // r)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [" ".join(words)],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [0],
+        }
+    )
+    sf = str(tmp_path / "zipf")
+    os.makedirs(sf)
+    docs.to_parquet(os.path.join(sf, "documents.parquet"))
+    row = text_zipf_slope(spark, sf).collect()[0]
+    assert row.lang == "en"
+    assert row.n_terms == 8
+    assert abs(row.zipf_slope - (-1.0)) < 1e-4
+    # intercept = ln(K); output is rounded to 4dp
+    import math
+
+    assert abs(row.zipf_intercept - math.log(K)) < 1e-4
+
+
+def test_abtest_assignment_is_md5_parity_and_counts_add_up(spark, sf_dir):
+    """Variant assignment must be the md5-hex parity of the stringified
+    user_id (verified against Python's hashlib), and the readout's
+    group sizes must partition the user universe."""
+    import hashlib
+
+    from pandas_redshift_spark.operators.events import events_experiment_abtest
+
+    row = events_experiment_abtest(spark, sf_dir).collect()[0]
+    users = [
+        r.user_id
+        for r in Tables(spark, sf_dir).events.select("user_id").distinct().collect()
+    ]
+    expect_treat = sum(
+        int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2 for u in users
+    )
+    assert row.n_treatment == expect_treat
+    assert row.n_control + row.n_treatment == len(users)
+    assert 0 <= row.conv_control <= row.n_control
+    assert 0 <= row.conv_treatment <= row.n_treatment

@@ -271,6 +271,7 @@ _AUDIT_WAIVERS = {
     "window_trailing_30d": {"single_part": "global time-range window over the DAILY aggregate (|days| rows), raw orders never enter the window"},
     "window_moving_median": {"single_part": "global 7-row frame window over the DAILY aggregate (|days| rows)"},
     "events_peak_concurrency": {"single_part": "global sweep over session BOUNDARIES (2 rows/session), not raw events"},
+    "events_experiment_abtest": {"single_part": "experiment readout: 1-row conditional-sum fold over the per-user aggregate"},
     "window_revenue_share": {"single_part": "percent-of-total: share of a 1-row exact total"},
     # -- Expand nodes that ARE the operator's semantics --
     "agg_cube": {"expand": "CUBE = expand over grouping-set combinations (2^k groups)"},
