@@ -882,34 +882,50 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraphs — the downstream plan is identical.
 
     Scale design: the shuffle key is the 16-byte chunk digest, never
-    the chunk text, so shuffle width is independent of chunk length;
-    the duplicated-chunk set is a HAVING-filtered aggregate joined back
-    to the exploded chunk stream (inverted-index shape, no self-join);
-    per-doc re-aggregation is keyed on doc_id.  Three shuffles total,
-    all narrow."""
-    d = ensure_parallelism(Tables(spark, sf_dir).documents)
-    toks = F.split("text", " ")
-    k = F.lit(CHUNK_TOKENS)
-    idx = F.sequence(F.lit(0), F.ceil(F.size(toks) / CHUNK_TOKENS).cast("bigint") - 1)
-    chunk_hashes = F.transform(
-        idx,
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), CHUNK_TOKENS))
-        ),
-    )
-    exploded = d.select("doc_id", F.explode(chunk_hashes).alias("chunk_h"))
+    the chunk text, so shuffle width is independent of chunk length.
+    The expensive part at 100 TB is tokenize+digest over all text, so
+    that pass runs ONCE: the reduced (chunk_h, doc_id, n_inst) frame is
+    persisted (memoized, shingle_frame pattern) and both consumers —
+    the HAVING-filtered duplicated-chunk set and the per-doc rollup it
+    joins back to (inverted-index shape, no self-join) — read the
+    cached digests instead of re-scanning the corpus.  Hot boilerplate
+    chunks are bounded by the reduction to distinct (chunk, doc) pairs
+    before any join; AQE skew-join covers the rest."""
+
+    def build() -> DataFrame:
+        d = ensure_parallelism(Tables(spark, sf_dir).documents)
+        toks = F.split("text", " ")
+        k = F.lit(CHUNK_TOKENS)
+        idx = F.sequence(
+            F.lit(0), F.ceil(F.size(toks) / CHUNK_TOKENS).cast("bigint") - 1
+        )
+        chunk_hashes = F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), CHUNK_TOKENS))
+            ),
+        )
+        return (
+            d.select("doc_id", F.explode(chunk_hashes).alias("chunk_h"))
+            .groupBy("chunk_h", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_inst"))
+        )
+
+    grouped = memoized_persist(spark, ("chunk_frame", sf_dir), build)
     dup = (
-        exploded.groupBy("chunk_h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        grouped.groupBy("chunk_h")
+        .agg(F.count(F.lit(1)).alias("nd"))  # rows are distinct docs already
         .filter(F.col("nd") > 1)
         .select("chunk_h")
     )
     perdoc = (
-        exploded.join(dup.withColumn("is_dup", F.lit(1)), "chunk_h", "left")
+        grouped.join(dup.withColumn("is_dup", F.lit(1)), "chunk_h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.count("is_dup").alias("n_dup_chunks"),
+            F.sum("n_inst").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("n_inst")).otherwise(0)
+            ).alias("n_dup_chunks"),
         )
     )
     frac = F.col("n_dup_chunks") / F.col("n_chunks")
