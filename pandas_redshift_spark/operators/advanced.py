@@ -462,3 +462,45 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fresh.isNotNull().alias("matched"),
     )
+
+
+RESERVOIR_K = 5
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group uniform sample (distributed reservoir
+    analogue): rank rows within each group by the md5 of their id —
+    a uniform, engine-portable permutation — and keep the first k.
+    Unlike TABLESAMPLE (``sample_bernoulli``), group sizes are exact;
+    unlike ``pipe_sample_stratified``'s rate-based buckets, tiny groups
+    are never emptied.  The eval/debug sampler: "give me exactly 5
+    docs per language, stable across runs and engines".
+
+    Scale design: one shuffle on the group key; Catalyst rewrites the
+    rank-filter into WindowGroupLimit, so each partition keeps a k-row
+    heap instead of sorting its whole group — no global sort, no
+    skew-amplifying materialization."""
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("lang", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+    )

@@ -1,0 +1,57 @@
+"""Per-query bench delta report: compare two driver-recorded
+BENCH_r*.json files and name any regression beyond a threshold
+(VERDICT r3 item 7 — ROUND docs must report driver-to-driver deltas,
+not builder-local runs).
+
+Usage: python tools/bench_compare.py BENCH_r03.json BENCH_r04.json [pct]
+Prints a markdown table plus a REGRESSIONS line (queries slower by
+more than ``pct`` percent, default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
+    with open(old_path) as f:
+        old = json.load(f)
+    with open(new_path) as f:
+        new = json.load(f)
+    # driver BENCH_r*.json wraps bench.py's metric line in "parsed"
+    old = old.get("parsed", old)
+    new = new.get("parsed", new)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    print(f"| query | {old_path} | {new_path} | delta |")
+    print("|---|---|---|---|")
+    regressions = []
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            delta = "added" if a is None else "removed"
+        else:
+            pct = (b - a) / a * 100 if a else 0.0
+            delta = f"{pct:+.0f}%"
+            if pct > threshold:
+                regressions.append(f"{name} ({a:.3f}s -> {b:.3f}s, {pct:+.0f}%)")
+        fmt = lambda v: f"{v:.3f}s" if v is not None else "—"
+        print(f"| {name} | {fmt(a)} | {fmt(b)} | {delta} |")
+    print(
+        f"| **total** | {old.get('value', 0):.3f}s | {new.get('value', 0):.3f}s | "
+        f"{(new.get('value', 0) - old.get('value', 0)) / (old.get('value') or 1) * 100:+.0f}% |"
+    )
+    if regressions:
+        print(f"\nREGRESSIONS >{threshold:.0f}%: " + "; ".join(regressions))
+        return 1
+    print(f"\nREGRESSIONS >{threshold:.0f}%: none")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
