@@ -675,3 +675,102 @@ def test_abtest_assignment_is_md5_parity_and_counts_add_up(spark, sf_dir):
     assert row.n_control + row.n_treatment == len(users)
     assert 0 <= row.conv_control <= row.n_control
     assert 0 <= row.conv_treatment <= row.n_treatment
+
+
+def test_chunk_dedup_matches_python_reference_on_random_corpus(spark, tmp_path):
+    """Differential check against an independent pure-Python
+    implementation on a seeded random corpus built from shared
+    16-token 'paragraph units' (guaranteeing cross-doc chunk
+    collisions) plus unique filler."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from pandas_redshift_spark.operators.dedup import CHUNK_TOKENS, dedup_chunk_level
+
+    rng = random.Random(1234)
+    units = [
+        " ".join(f"u{u}w{i}" for i in range(CHUNK_TOKENS)) for u in range(6)
+    ]
+    texts = []
+    for d in range(40):
+        parts = [rng.choice(units) for _ in range(rng.randint(0, 3))]
+        # unique filler, random length (may produce a partial tail chunk)
+        filler_len = rng.randint(1, 40)
+        parts.append(" ".join(f"d{d}f{i}" for i in range(filler_len)))
+        rng.shuffle(parts)
+        texts.append(" ".join(parts))
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": texts,
+            "lang": ["en"] * 40,
+            "source": ["s"] * 40,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path / "rand")
+    os.makedirs(sf)
+    docs.to_parquet(os.path.join(sf, "documents.parquet"))
+
+    # pure-Python reference
+    def chunks_of(text: str) -> list[str]:
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + CHUNK_TOKENS])
+            for i in range(0, len(toks), CHUNK_TOKENS)
+        ]
+
+    per_doc = {d: chunks_of(t) for d, t in zip(docs.doc_id, docs.text)}
+    owners: dict[str, set[int]] = {}
+    for d, cs in per_doc.items():
+        for c in cs:
+            owners.setdefault(c, set()).add(d)
+    expected = {
+        d: (
+            len(cs),
+            sum(1 for c in cs if len(owners[c]) > 1),
+        )
+        for d, cs in per_doc.items()
+    }
+
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks) for r in dedup_chunk_level(spark, sf).collect()}
+    assert got == expected
+
+
+def test_pii_counts_match_python_re_on_random_strings(spark):
+    """Differential check of the PII regexes against Python's ``re``
+    on seeded random compositions of PII snippets and noise (the two
+    regex dialects must agree on this conservative pattern subset)."""
+    import random
+    import re
+
+    from pandas_redshift_spark.operators.textstats import PII_PATTERNS, pii_hit_counts
+
+    rng = random.Random(99)
+    snippets = [
+        "alice@example.com",
+        "bob.smith+tag@mail.co.uk",
+        "10.1.2.3",
+        "256.300.1.2",  # still matches the naive ipv4 pattern (by design)
+        "+1 650 555 0199",
+        "98765432109",
+        "word",
+        "a@b",  # no TLD -> no email match
+        "1.2.3",  # too few octets
+        "+12",  # too short for phone
+        "12345678",  # 8 digits: below digitrun threshold
+    ]
+    texts = [
+        " ".join(rng.choice(snippets) for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    counts = pii_hit_counts(F.col("text"))
+    rows = df.select(
+        "text", *[counts[k].alias(k) for k in PII_PATTERNS]
+    ).collect()
+    for r in rows:
+        for k, pat in PII_PATTERNS.items():
+            assert getattr(r, k) == len(re.findall(pat, r.text)), (k, r.text)
