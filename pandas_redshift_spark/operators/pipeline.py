@@ -892,3 +892,68 @@ def pipe_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             4, 'cluster_transitive', c3, n_raw - c1 - c2 - c3
         ) AS (stage_order, stage, n_removed, n_remaining)"""
     )
+
+
+@query(
+    "pipe_url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           'https://WWW.' || source || '.Example.COM/docs/' || doc_id
+               || '?utm_source=feed&ref=' || lang || '&id=' || doc_id || '#frag'
+               AS raw_url,
+           lower(source) || '.example.com' AS canonical_host,
+           'example.com' AS domain,
+           '/docs/' || doc_id AS path,
+           CAST(doc_id AS VARCHAR) AS id_param,
+           'https://' || lower(source) || '.example.com/docs/' || doc_id
+               || '?id=' || doc_id AS canonical_url
+    FROM documents
+    """,
+)
+def pipe_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: parse the URL into
+    components (JVM ``parse_url``), lowercase the host, strip a
+    leading ``www.``, drop the fragment and tracking params
+    (``utm_*``/``ref``, keeping ``id``), extract the registrable
+    domain, and re-assemble the canonical form — the key under which
+    crawl snapshots dedup.
+
+    The synthetic corpus has no URL column, so the query first builds
+    one deterministically from (source, doc_id, lang) — mixed-case
+    host, tracking params, fragment.  The ORACLE side never parses:
+    it states the expected canonical output directly from the base
+    columns, so the hash compare verifies that Spark's parse +
+    canonicalize pipeline lands exactly on spec.
+
+    Scale design: pure map stage — parse_url/regexp are codegen'd
+    JVM expressions, zero shuffles, zero joins; the canonical_url
+    column then feeds the standard digest-keyed exact dedup."""
+    d = Tables(spark, sf_dir).documents
+    raw = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("lang"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    host = F.lower(F.parse_url(raw, F.lit("HOST")))
+    canonical_host = F.regexp_replace(host, r"^www\.", "")
+    domain = F.regexp_extract(canonical_host, r"([^.]+\.[^.]+)$", 1)
+    path = F.parse_url(raw, F.lit("PATH"))
+    id_param = F.parse_url(raw, F.lit("QUERY"), F.lit("id"))
+    canonical = F.concat(
+        F.lit("https://"), canonical_host, path, F.lit("?id="), id_param
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        canonical_host.alias("canonical_host"),
+        domain.alias("domain"),
+        path.alias("path"),
+        id_param.alias("id_param"),
+        canonical.alias("canonical_url"),
+    )
