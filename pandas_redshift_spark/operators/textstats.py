@@ -13,8 +13,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from pandas_redshift_spark.operators.dedup import shingle_cte_sql, shingle_frame
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables, ensure_parallelism
+from pandas_redshift_spark.session import Tables, ensure_parallelism, memoized_persist
 
 # tiny deterministic stopword list used by quality scoring (shared by
 # the Spark and oracle sides; a real pipeline would broadcast a larger
@@ -650,10 +651,13 @@ def pii_hit_counts(text_col: Column) -> dict[str, Column]:
     }
 
 
-@query(
-    "text_pii_scan",
-    oracle=f"""
-    WITH enriched AS (
+#: DuckDB CTE grafting deterministic PII artifacts onto
+#: arithmetically-chosen docs (doc_id mod 7/11/13/17) — the driver
+#: corpus is synthetic word salad with no real PII, so without the
+#: graft a hash check would compare all-zero counts.  THE single
+#: source for every PII oracle (scan + redact); :func:`_pii_enriched`
+#: is its Spark twin and any change lands in both together.
+PII_ENRICH_CTE = """enriched AS (
         SELECT doc_id, source,
                text
                || CASE WHEN doc_id % 7 = 0
@@ -666,7 +670,35 @@ def pii_hit_counts(text_col: Column) -> dict[str, Column]:
                || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123456789' ELSE '' END
                AS text
         FROM documents
-    ),
+    )"""
+
+
+def _pii_enriched() -> Column:
+    """Spark twin of :data:`PII_ENRICH_CTE` (same deterministic
+    artifact graft, expressed over the ``doc_id``/``text`` columns)."""
+    doc_id = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(F.lit(" from 192.168."), (doc_id % 256).cast("string"), F.lit(".17")),
+        ).otherwise(""),
+        F.when(
+            doc_id % 13 == 0,
+            F.concat(F.lit(" call +1 415 555 01"), F.lpad((doc_id % 100).cast("string"), 2, "0")),
+        ).otherwise(""),
+        F.when(doc_id % 17 == 0, F.lit(" ssn 123456789")).otherwise(""),
+    )
+
+
+@query(
+    "text_pii_scan",
+    oracle=f"""
+    WITH {PII_ENRICH_CTE},
     hits AS (
         SELECT doc_id, source,
                len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
@@ -708,24 +740,7 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Redaction (regexp_replace with the same patterns) composes onto the
     same scan without another pass."""
     d = Tables(spark, sf_dir).documents
-    doc_id = F.col("doc_id")
-    enriched = F.concat(
-        F.col("text"),
-        F.when(
-            doc_id % 7 == 0,
-            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com now")),
-        ).otherwise(""),
-        F.when(
-            doc_id % 11 == 0,
-            F.concat(F.lit(" from 192.168."), (doc_id % 256).cast("string"), F.lit(".17")),
-        ).otherwise(""),
-        F.when(
-            doc_id % 13 == 0,
-            F.concat(F.lit(" call +1 415 555 01"), F.lpad((doc_id % 100).cast("string"), 2, "0")),
-        ).otherwise(""),
-        F.when(doc_id % 17 == 0, F.lit(" ssn 123456789")).otherwise(""),
-    )
-    counts = pii_hit_counts(enriched)
+    counts = pii_hit_counts(_pii_enriched())
     hits = d.select(
         "source",
         counts["email"].alias("n_email"),
@@ -813,4 +828,196 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         F.round("slope", 4).alias("zipf_slope"),
         F.round(F.col("ybar") - F.col("slope") * F.col("xbar"), 4).alias("zipf_intercept"),
+    )
+
+
+@query(
+    "pipe_pii_redact",
+    oracle=f"""
+    WITH {PII_ENRICH_CTE}
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                 '{PII_PATTERNS["ipv4"]}', '<IP>', 'g'),
+               '{PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+             '{PII_PATTERNS["digitrun"]}', '<DIGITS>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+              + len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}'))
+              + len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}'))
+              + len(regexp_extract_all(text, '{PII_PATTERNS["digitrun"]}')) AS BIGINT)
+               AS n_redactions
+    FROM enriched
+    """,
+)
+def pipe_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction transform — the write-path partner of
+    :func:`text_pii_scan`: every email / IPv4 / phone / long-digit-run
+    match is replaced with a typed placeholder token, and the match
+    count is carried so downstream stages can drop heavily-redacted
+    docs without re-scanning.
+
+    Replacement order is fixed (email -> ip -> phone -> digitrun) and
+    every placeholder is digit-free, so an earlier replacement can
+    never manufacture a match for a later pattern; both engines apply
+    the identical cascade, making the full redacted text hash-stable
+    across regex engines (Java util.regex vs RE2) — exercised over the
+    same deterministic artifact graft as the scan.
+
+    Scale design: a pure map stage (JVM ``regexp_replace`` /
+    ``regexp_count`` under codegen) — zero shuffles, composes onto any
+    scan for free.  Reference delegates text transforms via
+    pandas_redshift/core.py:84."""
+    d = Tables(spark, sf_dir).documents
+    text = _pii_enriched()
+    redacted = text
+    for name, token in (
+        ("email", "<EMAIL>"),
+        ("ipv4", "<IP>"),
+        ("phone", "<PHONE>"),
+        ("digitrun", "<DIGITS>"),
+    ):
+        redacted = F.regexp_replace(redacted, F.lit(PII_PATTERNS[name]), F.lit(token))
+    counts = pii_hit_counts(text)
+    n_red = (
+        counts["email"] + counts["ipv4"] + counts["phone"] + counts["digitrun"]
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        redacted.alias("text_redacted"),
+        n_red.alias("n_redactions"),
+    )
+
+
+@query(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+    WITH {shingle_cte_sql()},
+    tok AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    dfreq AS (SELECT s, count(*) AS df FROM tok GROUP BY s),
+    per_doc AS (
+        SELECT tok.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(*) FILTER (dfreq.df >= 2) AS BIGINT) AS n_shared
+        FROM tok JOIN dfreq ON tok.s = dfreq.s
+        GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           round(n_shared * 1.0 / n_shingles, 6) AS dup_coverage
+    FROM per_doc
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram duplication coverage: for each document,
+    the fraction of its distinct 3-gram shingles that also occur in at
+    least one OTHER document — the RefinedWeb/Gopher-style
+    "memorization risk" number that near-dup removal is judged by
+    (doc-level Jaccard can stay low while 80% of a doc's n-grams are
+    corpus-duplicated boilerplate).
+
+    Because ``shingle_set`` is per-doc distinct, a shingle's row count
+    across the frame IS its document frequency — so coverage needs
+    only the shared memoized shingle frame (one shingling pass per
+    session, same frame jaccard/containment/decontaminate use), a
+    per-shingle count, and a co-partitioned join back: the
+    document-frequency table is corpus-sized vocabulary, so it joins
+    on the shingle key it was grouped by (no broadcast of an
+    unbounded side, no second shuffle of the posting list), then one
+    per-doc rollup.  Docs with <3 tokens have no shingles and drop
+    out in both engines alike."""
+    sh = shingle_frame(spark, sf_dir)
+    tok = sh.select("doc_id", F.explode("shingle_set").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        tok.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("dup_coverage"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    model AS (SELECT term, count(*) AS tc FROM tok GROUP BY term),
+    totals AS (
+        SELECT CAST(sum(tc) AS DOUBLE) AS n_total,
+               CAST(count(*) AS DOUBLE) AS n_vocab
+        FROM model
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               -ln((model.tc + 1.0) / (totals.n_total + totals.n_vocab)) AS nlp
+        FROM tok JOIN model ON tok.term = model.term CROSS JOIN totals
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(nlp), 6) AS avg_neglogp
+        FROM scored GROUP BY doc_id
+    ),
+    cut AS (
+        SELECT avg(avg_neglogp) + 0.5 * stddev_pop(avg_neglogp) AS tail_cut
+        FROM per_doc
+    )
+    SELECT doc_id, n_tokens, avg_neglogp,
+           avg_neglogp > cut.tail_cut AS is_tail
+    FROM per_doc CROSS JOIN cut
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score: train an
+    add-one-smoothed unigram model on the corpus itself, score each
+    document by its mean per-token negative log-probability, and flag
+    the "tail" (worst-quality) docs whose score sits more than half a
+    population-stddev above the corpus mean — the classic
+    perplexity-bucket filter (CCNet trains the LM on a trusted corpus;
+    the self-trained variant here needs no external artifact and flags
+    the same template-flood / gibberish outliers).
+
+    Scale design: the model is vocabulary-sized, orders of magnitude
+    smaller than the token stream, so it BROADCASTS onto the stream
+    (the stream itself is never shuffled by term — the one shape that
+    survives a 100 TB corpus); the per-doc frame is memoized-persisted
+    because both the tail cutoff and the final projection consume it,
+    and the cutoff joins back as a broadcast 1-row aggregate.  Token
+    scan -> per-term partial counts is the only big shuffle."""
+    d = ensure_parallelism(Tables(spark, sf_dir).documents)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    model = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    totals = model.agg(
+        F.sum("tc").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("n_vocab"),
+    )
+    nlp = -F.log((F.col("tc") + 1.0) / (F.col("n_total") + F.col("n_vocab")))
+
+    def build() -> DataFrame:
+        scored = (
+            tok.join(broadcast(model), "term")
+            .crossJoin(broadcast(totals))
+            .select("doc_id", nlp.alias("nlp"))
+        )
+        return scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nlp"), 6).alias("avg_neglogp"),
+        )
+
+    per_doc = memoized_persist(spark, ("unigram_perdoc", sf_dir), build)
+    cut = per_doc.agg(
+        (F.avg("avg_neglogp") + 0.5 * F.stddev_pop("avg_neglogp")).alias("tail_cut")
+    )
+    return per_doc.crossJoin(broadcast(cut)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_neglogp",
+        (F.col("avg_neglogp") > F.col("tail_cut")).alias("is_tail"),
     )

@@ -774,3 +774,117 @@ def test_pii_counts_match_python_re_on_random_strings(spark):
     for r in rows:
         for k, pat in PII_PATTERNS.items():
             assert getattr(r, k) == len(re.findall(pat, r.text)), (k, r.text)
+
+
+def test_pii_redact_leaves_no_residual_matches(spark, sf_dir):
+    """After the redaction cascade, re-running the detector on the
+    redacted text must find ZERO matches in every category (the
+    placeholders are digit-free by construction, so no replacement can
+    manufacture a later-pattern match), and redaction count equals the
+    scan's per-doc hit total."""
+    from pandas_redshift_spark.operators.textstats import (
+        PII_PATTERNS,
+        pii_hit_counts,
+        pipe_pii_redact,
+    )
+
+    red = pipe_pii_redact(spark, sf_dir)
+    residual = pii_hit_counts(F.col("text_redacted"))
+    leftovers = red.select(
+        *[residual[k].alias(k) for k in PII_PATTERNS]
+    ).groupBy().sum().collect()[0]
+    assert all(v == 0 for v in leftovers), leftovers
+    # every artifact-grafted doc (id % 7/11/13/17) reports >=1 redaction
+    flagged = red.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("n_redactions") == 0)
+    ).count()
+    assert flagged == 0
+
+
+def test_pii_redact_matches_python_re_cascade(spark):
+    """Differential check: Spark's regexp_replace cascade must produce
+    byte-identical redacted text to Python ``re.sub`` applied in the
+    same order, over seeded compositions of PII snippets and noise."""
+    import random
+    import re
+
+    from pandas_redshift_spark.operators.textstats import PII_PATTERNS
+
+    rng = random.Random(7)
+    snippets = [
+        "alice@example.com",
+        "call +1 650 555 0199 now",
+        "10.1.2.3",
+        "ssn 987654321",
+        "plain words only",
+        "a@b 1.2.3 +12 12345678",
+    ]
+    texts = [
+        " ".join(rng.choice(snippets) for _ in range(rng.randint(1, 10)))
+        for _ in range(40)
+    ]
+    order = (("email", "<EMAIL>"), ("ipv4", "<IP>"), ("phone", "<PHONE>"), ("digitrun", "<DIGITS>"))
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    col = F.col("text")
+    for name, token in order:
+        col = F.regexp_replace(col, F.lit(PII_PATTERNS[name]), F.lit(token))
+    got = [r[0] for r in df.select(col).collect()]
+    for t, g in zip(texts, got):
+        want = t
+        for name, token in order:
+            want = re.sub(PII_PATTERNS[name], token, want)
+        assert g == want, (t, g, want)
+
+
+def test_unigram_logprob_rare_doc_scores_worse(spark, tmp_path):
+    """A doc made of corpus-rare terms must score a higher mean
+    negative log-prob than one made of the dominant term, and the
+    smoothed probabilities must reproduce a hand-computed value."""
+    import math
+    import shutil
+
+    import pandas as pd
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "uni")
+    (tmp_path / "uni").mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["common common common", "common common rare", "rare oddball common"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [20, 18, 19],
+        }
+    )
+    docs.to_parquet(f"{d}/documents.parquet")
+    from pandas_redshift_spark.operators.textstats import text_unigram_logprob
+
+    out = {r.doc_id: r for r in text_unigram_logprob(spark, d).collect()}
+    # corpus: common x6, rare x2, oddball x1 -> total 9, vocab 3
+    p = {"common": 7 / 12, "rare": 3 / 12, "oddball": 2 / 12}
+    expect1 = -math.log(p["common"])
+    got1 = out[1].avg_neglogp
+    assert abs(got1 - round(expect1, 6)) < 1e-9, (got1, expect1)
+    assert out[1].avg_neglogp < out[2].avg_neglogp < out[3].avg_neglogp
+    assert out[1].n_tokens == 3
+
+
+def test_dup_ngram_coverage_bounds_and_identical_docs(spark, sf_dir):
+    """Coverage is in [0,1]; fully-duplicated docs (exact dupes exist
+    in the corpus via shared shingles) reach coverage 1 iff every
+    shingle is shared — spot-check consistency with the containment
+    operator's inputs: n_shared <= n_shingles always."""
+    from pandas_redshift_spark.operators.textstats import text_dup_ngram_coverage
+
+    cov = text_dup_ngram_coverage(spark, sf_dir)
+    bad = cov.filter(
+        (F.col("n_shared") > F.col("n_shingles"))
+        | (F.col("dup_coverage") < 0)
+        | (F.col("dup_coverage") > 1)
+    ).count()
+    assert bad == 0
+    assert cov.count() > 0

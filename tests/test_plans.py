@@ -260,6 +260,7 @@ _AUDIT_WAIVERS = {
     "subquery_scalar": {"single_part": "uncorrelated scalar subquery: 1-row aggregate broadcast"},
     "text_bigram_collocations": {"single_part": "corpus bigram total: 1-row frame", "bnlj": "1-row total broadcast cross join"},
     "text_tfidf_top_terms": {"single_part": "corpus doc count: 1-row frame", "bnlj": "1-row count broadcast cross join"},
+    "text_unigram_logprob": {"single_part": "model totals + tail cutoff: two 1-row aggregates", "bnlj": "1-row totals/cutoff broadcast cross joins"},
     "tpch_q11_important_stock": {"single_part": "global threshold: 1-row agg", "bnlj": "1-row threshold broadcast theta join"},
     "tpch_q14_promo_effect": {"single_part": "global scalar agg final step"},
     "tpch_q15_top_supplier": {"single_part": "max-over-revenue: 1-row agg broadcast"},
