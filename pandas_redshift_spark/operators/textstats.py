@@ -993,7 +993,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan -> per-term partial counts is the only big shuffle."""
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    model = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    # the model is consumed twice (totals fold + stream broadcast);
+    # memoized-persisting the vocab-sized frame keeps corpus passes at
+    # two (model build, scoring scan) instead of three
+    model = memoized_persist(
+        spark,
+        ("unigram_model", sf_dir),
+        lambda: tok.groupBy("term").agg(F.count(F.lit(1)).alias("tc")),
+    )
     totals = model.agg(
         F.sum("tc").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("n_vocab"),
