@@ -322,3 +322,22 @@ def test_every_registered_plan_passes_audit(spark, sf_dir):
         (n, r) for n, ws in _AUDIT_WAIVERS.items() for r in ws
     } - fired
     assert not stale, f"stale waivers (finding no longer fires): {sorted(stale)}"
+
+
+def test_no_registered_query_returns_nonscalar_columns(spark, sf_dir):
+    """Driver-canonicalizer contract (round-2 postmortem): the
+    external driver hash-compares results by sorting pandas object
+    columns, which raises ``unhashable type: numpy.ndarray`` on
+    array/map/struct/binary outputs — the ONLY driver ERR class this
+    repo has ever produced.  Every registered query must therefore
+    project scalar columns only (stringify arrays before returning,
+    as dedup_cluster_components does for ``members``)."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    offenders = []
+    for name, spec in sorted(all_queries().items()):
+        df = spec.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
