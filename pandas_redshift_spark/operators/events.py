@@ -1179,12 +1179,19 @@ def events_experiment_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_conv_event = (F.col("event_type") == "purchase") & (
         F.col("value") >= ABTEST_CONVERSION_VALUE
     )
-    peruser = e.groupBy("user_id").agg(
-        F.first(variant).alias("variant"),
-        F.max(F.when(is_conv_event, 1).otherwise(0)).alias("converted"),
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias(
-            "purchase_value"
-        ),
+    # variant is a pure function of the group key, so it is derived
+    # AFTER the rollup — one md5 per user; feeding it through an
+    # aggregate (first(variant)) would hash once per EVENT row inside
+    # the corpus scan
+    peruser = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(is_conv_event, 1).otherwise(0)).alias("converted"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("purchase_value"),
+        )
+        .withColumn("variant", variant)
     )
     agg = peruser.agg(
         F.count(F.when(F.col("variant") == 0, 1)).alias("n_control"),

@@ -13,10 +13,13 @@ per-column / per-edge / per-rule report frames.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.operators.textstats import langid_pred_cte_sql
 from pandas_redshift_spark.session import Tables
 
 #: (column, is_numeric) profile targets over ``orders`` — min/max are
@@ -50,14 +53,20 @@ def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the first query any pipeline runs against an unfamiliar 100 TB
     table.  ONE scan computes every column's aggregates side by side
     (all mergeable, so partial aggregation collapses them map-side);
-    the per-column report rows are then unioned from the single 1-row
-    frame, not from per-column rescans.  min/max cast to string so one
-    frame profiles heterogeneous column types.
+    the per-column report rows then unpivot from the single 1-row
+    frame with one stack() generator, not per-column rescans or a
+    union chain.  min/max cast to string so one frame profiles
+    heterogeneous column types.
 
-    Multi-DISTINCT note: Spark 4 plans these N single-column DISTINCT
-    aggregates without an Expand (plan-asserted by the audit — any
-    regression to an Expand xN would fire the ``expand`` rule and need
-    an explicit waiver).  At warehouse scale the exact distinct counts
+    Multi-DISTINCT note: N single-column DISTINCT aggregates in one
+    agg plan through RewriteDistinctAggregates' Expand ((N+1)x narrow
+    rows pre-shuffle, waived in the audit) — the price of the single
+    scan.  The pre-round-4 union-of-selects variant showed no Expand
+    only because each union branch re-planned the aggregate and
+    column-pruned it to ONE distinct column — i.e. it silently
+    re-scanned orders once per profiled column, the far worse trade at
+    100 TB (the map-side distinct partials are vocab-sized either way;
+    the scans are not).  At warehouse scale the exact distinct counts
     flip to approx_count_distinct (mergeable sketches, no second
     shuffle) and this hash-exact twin stays for oracle checking."""
     o = Tables(spark, sf_dir).orders
@@ -71,21 +80,17 @@ def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(col).cast("string").alias(f"{col}__max"),
         ]
     one = o.agg(*aggs)
-    reports = [
-        one.select(
-            F.lit(col).alias("column_name"),
-            F.col(f"{col}__rows").alias("n_rows"),
-            F.col(f"{col}__nulls").alias("n_nulls"),
-            F.col(f"{col}__distinct").alias("n_distinct"),
-            F.col(f"{col}__min").alias("min_str"),
-            F.col(f"{col}__max").alias("max_str"),
-        )
+    # unpivot the single 1-row frame with ONE stack() Expand (the
+    # pipe_dedup_cascade pattern) — not a per-column select+union loop
+    rows = ",\n            ".join(
+        f"'{col}', {col}__rows, {col}__nulls, {col}__distinct, {col}__min, {col}__max"
         for col, _num in _ORDERS_COLS
-    ]
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionAll(r)
-    return out
+    )
+    return one.selectExpr(
+        f"""stack({len(_ORDERS_COLS)},
+            {rows}
+        ) AS (column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"""
+    )
 
 
 #: every FK edge of the star schema: (edge label, child table, child
@@ -137,10 +142,9 @@ def profile_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_orphans"),
             ).select(F.lit(label).alias("edge"), "n_child", "n_orphans")
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionAll(r)
-    return out
+    # genuinely distinct per-edge aggregates (one per join), so this
+    # IS a union of frames — reduce instead of a rebinding loop
+    return reduce(DataFrame.union, reports)
 
 
 @query(
@@ -217,18 +221,12 @@ def profile_events_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_events",
         "ts_out_of_range",
     )
-    reports = [
-        one.select(
-            F.lit(r).alias("rule"),
-            F.col(r).alias("n_violations"),
-            F.col("n_rows"),
-        )
-        for r in rules
-    ]
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionAll(r)
-    return out
+    stacked = ",\n            ".join(f"'{r}', {r}, n_rows" for r in rules)
+    return one.selectExpr(
+        f"""stack({len(rules)},
+            {stacked}
+        ) AS (rule, n_violations, n_rows)"""
+    )
 
 
 @query(
@@ -263,28 +261,8 @@ def profile_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "profile_langid_confusion",
-    oracle="""
-    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
-    scores AS (
-        SELECT doc_id, lang AS actual_lang,
-            len(list_filter(tokens, t -> t IN ('the','and','of','is')))    AS s_en,
-            len(list_filter(tokens, t -> t IN ('el','la','de','que')))     AS s_es,
-            len(list_filter(tokens, t -> t IN ('der','die','und','das')))  AS s_de,
-            len(list_filter(tokens, t -> t IN ('le','la','et','les')))     AS s_fr,
-            len(list_filter(tokens, t -> t IN ('de5','shi4','le5','zai4'))) AS s_zh
-        FROM tok
-    ),
-    pred AS (
-        SELECT actual_lang,
-            CASE
-                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                WHEN s_fr >= s_zh THEN 'fr'
-                ELSE 'zh'
-            END AS predicted_lang
-        FROM scores
-    )
+    oracle=f"""
+    WITH {langid_pred_cte_sql()}
     SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
     FROM pred GROUP BY actual_lang, predicted_lang
     """,

@@ -39,6 +39,22 @@ def _stage_dir(name: str) -> str:
     return path
 
 
+#: one Derby staging dir per process (pid-keyed so a fork never reuses
+#: the parent's entry): embedded Derby keeps every database it has
+#: booted open until JVM shutdown, so a fresh dir per CALL would leak
+#: a staging dir + a permanently-cached Derby instance per invocation.
+_DERBY_STAGE: dict[int, str] = {}
+
+
+def _derby_stage_dir() -> str:
+    pid = os.getpid()
+    path = _DERBY_STAGE.get(pid)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="prs_jdbc_stage_")
+        _DERBY_STAGE[pid] = path
+    return path
+
+
 @query(
     "source_csv_roundtrip",
     oracle="""
@@ -511,21 +527,25 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identifiers in the pushdown SQL are double-quoted: Spark's JDBC
     writer quotes names on CREATE and unquoted identifiers fold in
     engine-specific directions (Derby upper, Redshift lower).  The
-    Derby db dir is a fresh ``mkdtemp`` per call — embedded Derby
-    holds a JVM-lifetime lock, and a name reused across processes
-    (e.g. keyed on a recycled pid) could collide with a stale
-    ``db.lck`` from a crashed run.  ``derby.stream.error.file`` is
+    Derby db dir is one ``mkdtemp`` per PROCESS, reused across calls
+    (:func:`_derby_stage_dir`): mkdtemp can never collide with a stale
+    ``db.lck`` from a crashed run (unlike a name keyed on a recyclable
+    pid), while reusing it keeps a driver sweep / bench best-of-3 from
+    leaking a staging dir and a permanently-booted embedded Derby
+    instance per invocation — embedded Derby holds every database it
+    has opened until JVM shutdown, so one DB per process is the cap.
+    Repeat calls overwrite the same table (write_table's default is
+    the atomic overwrite mode).  ``derby.stream.error.file`` is
     pointed into the staging dir so ``derby.log`` never lands in
     whatever cwd the driver happens to run from (the property is read
     at Derby engine boot; setting it later in the same JVM is a
     harmless no-op)."""
     import os as _os
-    import tempfile as _tempfile
 
     from pandas_redshift_spark.sources.bridge import SparkRedshiftBridge
 
     t = Tables(spark, sf_dir)
-    stage = _tempfile.mkdtemp(prefix="prs_jdbc_stage_")
+    stage = _derby_stage_dir()
     dbdir = _os.path.join(stage, "db")
     try:
         spark._jvm.java.lang.System.setProperty(

@@ -157,48 +157,69 @@ def _marker_count(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
 
 
-@query(
-    "text_langid_heuristic",
-    oracle="""
-    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
+def langid_pred_cte_sql() -> str:
+    """DuckDB CTEs (``tok`` -> ``scores`` -> ``pred``) computing the
+    marker-word language prediction per document — generated FROM
+    :data:`LANG_MARKERS` so the marker sets and the priority-order
+    tie-break chain are single-sourced for every langid oracle
+    (text_langid_heuristic, profile_langid_confusion); edits to the
+    dict land on the Spark side and in every oracle together (same
+    rule as PII_PATTERNS / shingle_cte_sql)."""
+    langs = list(LANG_MARKERS)
+    scores = ",\n            ".join(
+        "len(list_filter(tokens, t -> t IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    whens = "\n            ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :]), lang
+        )
+        for i, lang in enumerate(langs[:-1])
+    )
+    return f"""tok AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents),
     scores AS (
         SELECT doc_id, lang AS actual_lang,
-            len(list_filter(tokens, t -> t IN ('the','and','of','is')))    AS s_en,
-            len(list_filter(tokens, t -> t IN ('el','la','de','que')))     AS s_es,
-            len(list_filter(tokens, t -> t IN ('der','die','und','das')))  AS s_de,
-            len(list_filter(tokens, t -> t IN ('le','la','et','les')))     AS s_fr,
-            len(list_filter(tokens, t -> t IN ('de5','shi4','le5','zai4'))) AS s_zh
+            {scores}
         FROM tok
-    )
-    SELECT doc_id, actual_lang,
-        CASE
-            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-            WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-            WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
-            WHEN s_fr >= s_zh THEN 'fr'
-            ELSE 'zh'
-        END AS predicted_lang
-    FROM scores
+    ),
+    pred AS (
+        SELECT doc_id, actual_lang,
+            CASE
+            {whens}
+            ELSE '{langs[-1]}'
+            END AS predicted_lang
+        FROM scores
+    )"""
+
+
+@query(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH {langid_pred_cte_sql()}
+    SELECT doc_id, actual_lang, predicted_lang FROM pred
     """,
 )
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count per-language function words,
-    argmax with a fixed tie-break order (en > es > de > fr > zh).
-    Dictionary scoring is a pure map stage; a real n-gram model would
-    swap in a broadcast table without changing the plan shape."""
+    argmax with a fixed tie-break order (LANG_MARKERS key order:
+    en > es > de > fr > zh).  Dictionary scoring is a pure map stage;
+    a real n-gram model would swap in a broadcast table without
+    changing the plan shape.  The priority-argmax chain is generated
+    from the same dict the oracle CTE is, so adding a language is a
+    one-line change."""
     d = Tables(spark, sf_dir).documents
     toks = F.split("text", " ")
     s = {lang: _marker_count(toks, lang) for lang in LANG_MARKERS}
-    pred = (
-        F.when(
-            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
-            "en",
-        )
-        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
-        .when(s["fr"] >= s["zh"], "fr")
-        .otherwise("zh")
-    )
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = s[lang] >= s[langs[i + 1]]
+        for other in langs[i + 2 :]:
+            cond = cond & (s[lang] >= s[other])
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
     return d.select("doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
 
 

@@ -96,3 +96,17 @@ def test_jdbc_append_mode(jdbc_bridge):
     jdbc_bridge.write_table(pdf, "t_jdbc_append", append=True)
     out = jdbc_bridge.read_sql('SELECT COUNT(*) AS "n" FROM t_jdbc_append')
     assert int(out["n"].iloc[0]) == 4
+
+
+def test_derby_stage_dir_is_reused_within_process():
+    """One Derby staging dir per process (code-review r4): a fresh
+    mkdtemp per CALL leaks a dir + a permanently-booted embedded Derby
+    database per invocation across a driver sweep."""
+    from pandas_redshift_spark.operators.sourcesinks import _derby_stage_dir
+
+    a = _derby_stage_dir()
+    b = _derby_stage_dir()
+    assert a == b
+    import os
+
+    assert os.path.isdir(a)

@@ -239,7 +239,8 @@ _AUDIT_WAIVERS = {
         "bnlj": "1-row stats frame broadcast cross join; corpus never reshuffles",
     },
     "profile_table_summary": {
-        "single_part": "single-scan profile: 1-row all-columns aggregate, unioned into the report"
+        "single_part": "single-scan profile: 1-row all-columns aggregate, stack()-unpivoted into the report",
+        "expand": "RewriteDistinctAggregates over N distinct columns — the price of ONE scan (the no-Expand alternative re-scans the table per column)",
     },
     "profile_fk_integrity": {
         "single_part": "per-edge 1-row orphan-count aggregates, unioned into the report"

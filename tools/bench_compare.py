@@ -33,10 +33,21 @@ def main() -> int:
     regressions = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
-        if a is None or b is None:
-            delta = "added" if a is None else "removed"
+        if b is None:
+            # a query that vanished from the new run is a failure mode
+            # (crash/deregistration), never a clean result
+            delta = "removed"
+            regressions.append(f"{name} (removed from {new_path})")
+        elif a is None:
+            delta = "added"
+        elif a == 0:
+            # 0-second baselines are errored/instant records; any real
+            # new time over them must not read as +0%
+            delta = "no-baseline"
+            if b > 0.001:
+                regressions.append(f"{name} (baseline 0s -> {b:.3f}s)")
         else:
-            pct = (b - a) / a * 100 if a else 0.0
+            pct = (b - a) / a * 100
             delta = f"{pct:+.0f}%"
             if pct > threshold:
                 regressions.append(f"{name} ({a:.3f}s -> {b:.3f}s, {pct:+.0f}%)")

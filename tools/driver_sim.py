@@ -17,6 +17,11 @@ _REPO = os.environ.get("SIM_REPO") or os.path.dirname(
 )
 if not os.path.exists(os.path.join(_REPO, "__spark_entry__.py")):
     _REPO = "/root/repo"
+if not os.path.exists(os.path.join(_REPO, "__spark_entry__.py")):
+    raise SystemExit(
+        f"driver_sim: no __spark_entry__.py under {_REPO!r}; "
+        "set SIM_REPO=/path/to/repo when running a copied script"
+    )
 sys.path.insert(0, _REPO)
 
 import duckdb
