@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables, ensure_parallelism
+from pandas_redshift_spark.session import Tables, ensure_parallelism, memoized_persist
 
 #: TESTDATA-pinned corpus embedding width (embeddings.embedding is
 #: array<float>[64] at every scale factor).  THE single constant the
@@ -485,8 +485,11 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cell assignment for the corpus, nearest-4 probes for the queries,
 #: exact re-score in probed cells, top-5 — all deterministic (ties
 #: broken by cell/neighbor id; dot products bit-exact across engines).
-_IVF_TOPK_ORACLE = """
-    WITH e AS (
+#: shared oracle CTE prefix replaying the deterministic IVF coarse
+#: quantization (normed vectors -> first-16 centroids -> nearest-cell
+#: assignment) — single source for sim_ivf_topk and dedup_semantic_ivf
+#: so the assignment rule can never diverge between the two oracles.
+_IVF_ASSIGN_CTES = """e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
@@ -506,7 +509,10 @@ _IVF_TOPK_ORACLE = """
             PARTITION BY vec_id ORDER BY c_sim DESC, cell
         ) AS c_rn FROM cellsim
     ),
-    assigned AS (SELECT vec_id, cell FROM ranked WHERE c_rn = 1),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE c_rn = 1)"""
+
+_IVF_TOPK_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTES},
     probes AS (
         SELECT vec_id AS query_id, cell FROM ranked
         WHERE vec_id < 10 AND c_rn <= 4
@@ -755,4 +761,92 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.groupBy("label").agg(
         F.round(F.sqrt(F.sum(diff * diff)), 6).alias("drift_l2"),
         F.count(F.lit(1)).alias("n_dims"),
+    )
+
+
+@query(
+    "dedup_semantic_ivf",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    m AS (
+        SELECT a.vec_id, a.cell, e.emb, e.nrm
+        FROM assigned a JOIN e ON a.vec_id = e.vec_id
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.3
+    )
+    SELECT m.vec_id, m.cell, d.vec_id IS NULL AS kept
+    FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    coarse-cluster the embeddings, then inside each cluster drop every
+    vector that has ANY lower-id cluster-mate above the cosine
+    threshold — the embedding-space analogue of near-dup text removal,
+    used to prune semantically-redundant training data that n-gram
+    methods can't see.  (This is the PARALLEL drop rule: a vector is
+    dropped on similarity to any earlier mate, kept or dropped —
+    slightly more aggressive than the sequential greedy sweep, which
+    would be inherently order-dependent and unshardable; the parallel
+    rule is order-free, one join, and exactly SQL-replayable.)
+
+    Clustering reuses the deterministic IVF quantizer (first-16
+    centroids, nearest-cell assignment — sharing ``_IVF_ASSIGN_CTES``
+    with sim_ivf_topk so the two oracles can't diverge); the keep rule
+    is min-id-wins, making the result order-free and the DuckDB replay
+    exact (dot products are bit-identical across engines, so the
+    threshold compare needs no rounding guard).
+
+    Scale design: this IS the SemDeDup cost model — one broadcast
+    centroid pass assigns cells (no corpus shuffle), and the pairwise
+    stage is confined within cells, so the candidate space is
+    sum(|cell|^2) not |corpus|^2; K scales as N/target_cell_size
+    (here 16 cells stand in for the k-means codebook, which at 100 TB
+    comes from ML KMeans over a sample).  The assignment frame is
+    memoized-persisted because the self-join consumes it twice."""
+    t = Tables(spark, sf_dir)
+    k_cells, tau = 16, 0.3
+
+    def build() -> DataFrame:
+        emb = _emb_double(t).select("vec_id", "emb", "nrm")
+        cents = broadcast(
+            emb.filter(F.col("vec_id") < k_cells).select(
+                F.col("vec_id").alias("cell"),
+                F.col("emb").alias("c_emb"),
+                F.col("nrm").alias("c_nrm"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+        return (
+            emb.join(cents, how="cross")
+            .withColumn(
+                "c_sim",
+                cosine_pre(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+            )
+            .withColumn("c_rn", F.row_number().over(w))
+            .filter(F.col("c_rn") == 1)
+            .select("vec_id", "cell", "emb", "nrm")
+        )
+
+    assigned = memoized_persist(spark, ("semdedup_assigned", sf_dir), build)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            cosine_pre(F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm"))
+            >= tau
+        )
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup, F.col("vec_id") == F.col("dup_id"), "left")
+        .select("vec_id", "cell", F.col("dup_id").isNull().alias("kept"))
     )

@@ -888,3 +888,40 @@ def test_dup_ngram_coverage_bounds_and_identical_docs(spark, sf_dir):
     ).count()
     assert bad == 0
     assert cov.count() > 0
+
+
+def test_semantic_ivf_dedup_matches_numpy_reference(spark):
+    """Differential check of dedup_semantic_ivf against a pure
+    numpy/python replay (centroid assignment + parallel min-id drop
+    rule) at sf0.001."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_redshift_spark.operators.similarity import dedup_semantic_ivf
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.vec_id: (r.cell, r.kept)
+        for r in dedup_semantic_ivf(spark, sf).collect()
+    }
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    V, ids = V[order], ids[order]
+    nrm = np.linalg.norm(V, axis=1)
+    cents = V[ids < 16]
+    cnrm = nrm[ids < 16]
+    sims = (V @ cents.T) / np.outer(nrm, cnrm)
+    # nearest cell, ties to the lowest cell id (matches the window's
+    # (c_sim desc, cell asc) ordering)
+    cell = np.argmax(sims, axis=1)
+    cos = (V @ V.T) / np.outer(nrm, nrm)
+    for i, vid in enumerate(ids):
+        mates = [
+            j
+            for j in range(len(ids))
+            if cell[j] == cell[i] and ids[j] < vid and cos[j, i] >= 0.3
+        ]
+        expect_kept = not mates
+        assert got[vid] == (cell[i], expect_kept), (vid, got[vid], cell[i], expect_kept)
