@@ -252,32 +252,34 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 (large-volume customer): HAVING subquery -> semi join.
-    The qualifying-orders aggregate and the semi join share the same
-    orderkey partitioning, so AQE plans them back-to-back without an
-    extra exchange; customer broadcasts."""
+    """TPC-H Q18 (large-volume customer): HAVING subquery DECORRELATED
+    AWAY ENTIRELY (round-4 rewrite).  The query's final per-order
+    sum(l_quantity) is the SAME aggregate the HAVING subquery computes
+    — every grouping key (customer, orderdate, totalprice) is
+    functionally determined by o_orderkey — so the canonical shape's
+    semi join + second lineitem scan + re-aggregation are redundant:
+    aggregate lineitem once per order, filter > 150, and join the
+    surviving (tiny) aggregate straight to orders + broadcast
+    customer.  One fact scan and one shuffle instead of two scans,
+    a semi join, and two aggregations; at 100 TB the >150 filter makes
+    the post-agg frame thousands of rows, so even the orders join can
+    AQE-flip to broadcasting IT."""
     t = Tables(spark, sf_dir)
     big_orders = (
         t.lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        t.lineitem.join(
-            big_orders, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
-        )
-        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        big_orders.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             F.round("o_totalprice", 2).alias("total_price"),
-            "sum_qty",
+            F.round("qty", 2).alias("sum_qty"),
         )
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
         .limit(100)
