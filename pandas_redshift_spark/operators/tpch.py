@@ -18,7 +18,7 @@ aggregates.  Date filters sit directly on the parquet scan
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
@@ -846,11 +846,17 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               supplier IS the one)
 
     One lineitem-orders join (orderkey), one groupBy on the SAME
-    orderkey (no second exchange — partitioning reused), re-join of
-    the late rows against the per-order counts (co-partitioned), then
-    supplier broadcast + final name agg: 3 fact scans and a
-    SortMergeJoin anti become 1 joined scan reused twice.  Reference
-    delegates this via pandas_redshift/core.py:84."""
+    orderkey (no second exchange — partitioning reused), then
+    EVERYTHING downstream runs on the per-(order,supplier) aggregate:
+    carrying sum(is_late) through it preserves the canonical
+    row-level numwait (each late lineitem row counts 1) without ever
+    re-reading the fact side — the round-4 pass removed the second
+    lineitem scan + orders join the previous shape paid (the two
+    consumers' differing projections defeated ReuseExchange).  The
+    late-supplier filter joins per_supp to per_order co-partitioned
+    on orderkey, then supplier broadcast + final name agg: ONE fact
+    scan total.  Reference delegates this via
+    pandas_redshift/core.py:84."""
     t = Tables(spark, sf_dir)
     o = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     enr = (
@@ -865,21 +871,26 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both aggs reuse the join's orderkey partitioning (subset rule) —
     # zero additional exchanges
     per_supp = enr.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late")
+        F.max("is_late").alias("supp_late"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_rows"),
     )
+    # fold straight to one row per order: because the NOT-EXISTS
+    # condition pins n_late_supp == 1, the qualifying order's late
+    # supplier (and its row count) is recoverable with conditional
+    # max() — no window sort, and no per_supp-joins-per_order (a
+    # self-referencing join would plant the per_supp subtree and its
+    # lineitem scan in the plan twice; this shape scans lineitem ONCE)
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.count(F.when(F.col("supp_late"), 1)).alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias("late_suppkey"),
+        F.max(F.when(F.col("supp_late"), F.col("n_late_rows"))).alias("late_rows"),
     )
-    waiting = (
-        enr.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-    )
+    waiting = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     return (
-        waiting.join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(broadcast(t.supplier), F.col("s_suppkey") == F.col("late_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
