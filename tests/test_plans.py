@@ -264,7 +264,7 @@ _AUDIT_WAIVERS = {
     "text_unigram_logprob": {"single_part": "model totals + tail cutoff: two 1-row aggregates", "bnlj": "1-row totals/cutoff broadcast cross joins"},
     "tpch_q11_important_stock": {"single_part": "global threshold: 1-row agg", "bnlj": "1-row threshold broadcast theta join"},
     "tpch_q14_promo_effect": {"single_part": "global scalar agg final step"},
-    "tpch_q15_top_supplier": {"single_part": "max-over-revenue: 1-row agg broadcast"},
+    "tpch_q15_top_supplier": {"single_part": "global max window over the supplier-level aggregate (|suppliers| rows) — buys ONE fact scan instead of the scalar-agg shape's duplicated revenue subtree"},
     "tpch_q17_small_quantity_revenue": {"single_part": "global scalar agg final step"},
     "tpch_q19_discounted_revenue": {"single_part": "global scalar agg final step"},
     "tpch_q22_global_sales_opportunity": {"single_part": "global avg balance: 1-row agg", "bnlj": "1-row avg broadcast theta join"},
