@@ -201,16 +201,19 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week,
-    counted in each subsequent active week.  Both aggregates shuffle
-    on user_id, so AQE plans the self-join without a third exchange;
-    the final matrix is tiny (weeks x weeks).  Spark and DuckDB both
-    start weeks on Monday, so the buckets align exactly."""
+    counted in each subsequent active week.  The cohort week is a
+    per-user MIN WINDOW over the distinct (user, week) activity frame
+    — min over distinct weeks equals min over raw events, so events is
+    scanned ONCE (r4: the firsts-aggregate + self-join shape executed
+    the events scan twice; ReuseExchange never deduped it); the final
+    matrix is tiny (weeks x weeks).  Spark and DuckDB both start
+    weeks on Monday, so the buckets align exactly."""
     ev = Tables(spark, sf_dir).events
     wk = F.date_trunc("week", "ts")
-    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
     activity = ev.select("user_id", wk.alias("wk")).distinct()
+    w = Window.partitionBy("user_id")
     return (
-        firsts.join(activity, "user_id")
+        activity.withColumn("cohort_week", F.min("wk").over(w))
         .groupBy(
             F.date_format("cohort_week", _FMT).alias("cohort_week"),
             (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
@@ -644,12 +647,16 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("monetary"),
         )
     )
-    gmax = p.agg(F.max("umax").alias("gmax"))
-    r = p.crossJoin(F.broadcast(gmax)).select(
+    # corpus max as a global window over the per-user aggregate — the
+    # 1-row agg + broadcast-back shape executed the per-user aggregate
+    # (and its events scan) twice (r4); the query already pays
+    # single-partition windows for the exact ntiles anyway
+    gmax = F.max("umax").over(Window.partitionBy())
+    r = p.select(
         "user_id",
         "n_purchases",
         "monetary",
-        F.datediff(F.to_date("gmax"), F.to_date("umax")).cast("bigint").alias("recency_days"),
+        F.datediff(F.to_date(gmax), F.to_date("umax")).cast("bigint").alias("recency_days"),
     )
     q = r.select(
         "*",
@@ -894,19 +901,25 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
-    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = pairs.withColumn(
         "wday", F.explode(F.sequence("day", F.date_add("day", 6)))
     )
-    wau = contrib.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
-    return (
-        dau.join(wau, dau.day == wau.wday)
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "dau",
-            "wau",
-            (F.col("dau") / F.col("wau")).alias("stickiness"),
-        )
+    # ONE aggregate over the exploded frame yields both numbers:
+    # rows with wday == day are exactly the distinct (user, day)
+    # pairs, so their count IS the DAU — no separate dau aggregate
+    # joining back to its own source (r4: that shape executed the
+    # events scan + distinct twice).  Window days past the last
+    # event day have dau = 0 and are dropped, matching the previous
+    # inner join.
+    per_day = contrib.groupBy("wday").agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.count(F.when(F.col("wday") == F.col("day"), 1)).alias("dau"),
+    )
+    return per_day.filter(F.col("dau") > 0).select(
+        F.date_format("wday", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        (F.col("dau") / F.col("wau")).alias("stickiness"),
     )
 
 

@@ -651,9 +651,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical fraction-of-total HAVING threshold (0.0001/SF) is
     replaced by the scale-invariant 1.5x the mean part value, so the
     query selects a stable tail at every SF.  The per-part aggregate is
-    computed once; the uncorrelated scalar threshold re-aggregates the
-    SAME aggregated output (ReuseExchange) and broadcasts as a 1-row
-    join — lineitem is scanned once."""
+    computed once; the uncorrelated scalar threshold runs as a GLOBAL
+    WINDOW over that |parts|-row aggregate (r4: the re-aggregate +
+    broadcast-back shape planted the partval subtree and its lineitem
+    scan in the plan twice; ReuseExchange never deduped the
+    differently-shaped consumers) — lineitem is scanned once."""
     t = Tables(spark, sf_dir)
     supp = broadcast(
         t.supplier.join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -665,9 +667,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
     )
-    total = partval.agg((1.5 * F.avg("value")).alias("threshold"))
+    threshold = (1.5 * F.avg("value").over(Window.partitionBy())).alias("threshold")
     return (
-        partval.join(broadcast(total), F.col("value") > F.col("threshold"))
+        partval.withColumn("threshold", threshold)
+        .filter(F.col("value") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round("value", 2).alias("value"),
@@ -781,9 +784,14 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (potential part promotion), adapted: no
     partsupp availqty, so a supplier qualifies by shipping >1.3x the
-    average supplier's 1996 volume of some 'red' part.  The
-    (part,supplier) aggregate feeds both the per-part average and the
-    comparison — one lineitem scan, one reused exchange, dims
+    average supplier's 1996 volume of some 'red' part.  The per-part
+    average runs as a WINDOW over the (part,supplier) aggregate
+    (r4: the aggregate-joins-its-own-regrouping shape executed the
+    lineitem scan twice — ReuseExchange never fired on the
+    differently-shaped consumers), and the red-part broadcast filter
+    lands BEFORE the window: it drops whole part-partitions, never
+    partition members, so the per-part average is unchanged while the
+    window input shrinks to red parts only.  One lineitem scan, dims
     broadcast, DISTINCT on a tiny name set."""
     t = Tables(spark, sf_dir)
     shipped = (
@@ -794,13 +802,11 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    part_avg = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("qty").alias("avg_qty")
-    )
     red = broadcast(t.part.filter(F.col("p_name").like("red%")).select("p_partkey"))
+    w = Window.partitionBy("l_partkey")
     return (
         shipped.join(red, F.col("p_partkey") == F.col("l_partkey"))
-        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        .withColumn("avg_qty", F.avg("qty").over(w))
         .filter(F.col("qty") > 1.3 * F.col("avg_qty"))
         .join(broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))

@@ -225,8 +225,7 @@ _AUDIT_WAIVERS = {
     "events_ordered_funnel": {"single_part": "step counts: 3-row frame ordered globally"},
     "events_sessionized_funnel": {"single_part": "global 1-row final count over the per-session aggregate"},
     "events_rfm_segmentation": {
-        "single_part": "exact ntile over the per-user aggregate (|users| rows); approx_percentile cuts at 1e9 users (docstring)",
-        "bnlj": "1-row corpus-max-date broadcast cross join",
+        "single_part": "exact ntile + corpus-max window over the per-user aggregate (|users| rows); approx_percentile cuts at 1e9 users (docstring)",
     },
     "join_cross": {"bnlj": "the operator IS a cross join (5-row dim side, broadcast)"},
     "agg_calendar_gap_fill": {"single_part": "1-row min/max bounds aggregate that seeds the day spine"},
@@ -262,7 +261,7 @@ _AUDIT_WAIVERS = {
     "text_bigram_collocations": {"single_part": "corpus bigram total: 1-row frame", "bnlj": "1-row total broadcast cross join"},
     "text_tfidf_top_terms": {"single_part": "corpus doc count: 1-row frame", "bnlj": "1-row count broadcast cross join"},
     "text_unigram_logprob": {"single_part": "model totals + tail cutoff: two 1-row aggregates", "bnlj": "1-row totals/cutoff broadcast cross joins"},
-    "tpch_q11_important_stock": {"single_part": "global threshold: 1-row agg", "bnlj": "1-row threshold broadcast theta join"},
+    "tpch_q11_important_stock": {"single_part": "global threshold window over the |parts|-row aggregate — buys ONE fact scan (the 1-row-agg + broadcast-theta shape duplicated the partval subtree)"},
     "tpch_q14_promo_effect": {"single_part": "global scalar agg final step"},
     "tpch_q15_top_supplier": {"single_part": "global max window over the supplier-level aggregate (|suppliers| rows) — buys ONE fact scan instead of the scalar-agg shape's duplicated revenue subtree"},
     "tpch_q17_small_quantity_revenue": {"single_part": "global scalar agg final step"},
