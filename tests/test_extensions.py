@@ -375,6 +375,13 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         "join_range_banded",
         "events_sessionization",
         "text_tfidf_top_terms",
+        # r4: agg_global's avg over 60k decimal multiples landed
+        # EXACTLY on a 6dp rounding tie — summation order (a function
+        # of partition count) flipped the rounded digit.  Global
+        # whole-corpus folds are the highest-risk rounding class;
+        # keep one in the invariance net.
+        "agg_global",
+        "text_unigram_logprob",
     ]
     specs = all_queries()
 
