@@ -881,8 +881,11 @@ def pipe_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Replacement order is fixed (email -> ip -> phone -> digitrun) and
     every placeholder is digit-free, so an earlier replacement can
-    never manufacture a match for a later pattern; both engines apply
-    the identical cascade, making the full redacted text hash-stable
+    never manufacture a match for a later (digit-bearing) pattern;
+    single-pass replace means a '<EMAIL>' placeholder abutting a
+    leftover '@domain.tld' (adjacent emails in the source) can itself
+    still match the email pattern — both engines share that
+    single-pass semantics, so the redacted text stays hash-stable
     across regex engines (Java util.regex vs RE2) — exercised over the
     same deterministic artifact graft as the scan.
 

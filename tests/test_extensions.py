@@ -390,14 +390,28 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         rows = sorted(repr(r) for r in df.collect())
         return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
+    def fresh():
+        # memoized frames (shingles, unigram model/per-doc, LSH
+        # buckets) persist across calls keyed only on (appId, sf_dir):
+        # without clearing, the second partition-count run would read
+        # the FIRST run's materialized frames and the comparison is
+        # vacuous for any memoized query
+        from pandas_redshift_spark.session import _PERSIST_MEMO
+
+        _PERSIST_MEMO.clear()
+        spark.catalog.clearCache()
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        fresh()
         h32 = {n: result_hash(n) for n in names}
         spark.conf.set("spark.sql.shuffle.partitions", "7")
+        fresh()
         h7 = {n: result_hash(n) for n in names}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        fresh()
     diff = [n for n in names if h32[n] != h7[n]]
     assert not diff, f"partition-count-dependent results: {diff}"
 
@@ -785,10 +799,13 @@ def test_pii_counts_match_python_re_on_random_strings(spark):
 
 def test_pii_redact_leaves_no_residual_matches(spark, sf_dir):
     """After the redaction cascade, re-running the detector on the
-    redacted text must find ZERO matches in every category (the
-    placeholders are digit-free by construction, so no replacement can
-    manufacture a later-pattern match), and redaction count equals the
-    scan's per-doc hit total."""
+    redacted text must find ZERO ipv4/phone/digitrun matches — those
+    are guaranteed by construction (every placeholder is digit-free,
+    so no replacement can manufacture a digit-bearing match).  The
+    email category is asserted on THIS corpus but is not a structural
+    guarantee: '<EMAIL>' abutting a leftover '@domain.tld' (input like
+    'a@b.cc@d.ee') re-forms a valid email, a single-pass
+    regexp_replace semantics both engines share."""
     from pandas_redshift_spark.operators.textstats import (
         PII_PATTERNS,
         pii_hit_counts,
@@ -898,9 +915,16 @@ def test_dup_ngram_coverage_bounds_and_identical_docs(spark, sf_dir):
 
 
 def test_semantic_ivf_dedup_matches_numpy_reference(spark):
-    """Differential check of dedup_semantic_ivf against a pure
-    numpy/python replay (centroid assignment + parallel min-id drop
-    rule) at sf0.001."""
+    """Differential check of dedup_semantic_ivf against a pure-Python
+    replay (centroid assignment + parallel min-id drop rule) at
+    sf0.001.  Dot products use an explicit LEFT-TO-RIGHT fold over
+    element products — the same order as Spark's ``aggregate`` — so
+    the reference is bit-identical to the engine; BLAS matmul
+    (blocked/FMA/pairwise) can differ in the last ulps, which would
+    make threshold/argmax decisions at a boundary a data-dependent
+    flake."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -916,19 +940,29 @@ def test_semantic_ivf_dedup_matches_numpy_reference(spark):
     ids = emb["vec_id"].to_numpy()
     order = np.argsort(ids)
     V, ids = V[order], ids[order]
-    nrm = np.linalg.norm(V, axis=1)
-    cents = V[ids < 16]
-    cnrm = nrm[ids < 16]
-    sims = (V @ cents.T) / np.outer(nrm, cnrm)
-    # nearest cell, ties to the lowest cell id (matches the window's
-    # (c_sim desc, cell asc) ordering)
-    cell = np.argmax(sims, axis=1)
-    cos = (V @ V.T) / np.outer(nrm, nrm)
+
+    def dot_seq(a, b):
+        # element products are exact per-element in both engines;
+        # accumulate strictly left-to-right like Spark's fold
+        acc = 0.0
+        for p in (a * b).tolist():
+            acc += p
+        return acc
+
+    nrm = np.array([math.sqrt(dot_seq(v, v)) for v in V])
+    cents, cnrm = V[ids < 16], nrm[ids < 16]
+    cell = []
+    for i, v in enumerate(V):
+        sims = [dot_seq(v, c) / (nrm[i] * cn) for c, cn in zip(cents, cnrm)]
+        best = max(range(len(sims)), key=lambda k: (sims[k], -k))
+        cell.append(best)
     for i, vid in enumerate(ids):
         mates = [
             j
             for j in range(len(ids))
-            if cell[j] == cell[i] and ids[j] < vid and cos[j, i] >= 0.3
+            if cell[j] == cell[i]
+            and ids[j] < vid
+            and dot_seq(V[j], V[i]) / (nrm[j] * nrm[i]) >= 0.3
         ]
         expect_kept = not mates
         assert got[vid] == (cell[i], expect_kept), (vid, got[vid], cell[i], expect_kept)
