@@ -28,10 +28,10 @@ from pandas_redshift_spark.session import Tables
         round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
         round(avg(l_quantity), 4)                                        AS avg_qty,
-        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
-              / count(*), 4)                                             AS avg_price,
-        round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
-              / count(*), 6)                                             AS avg_disc,
+        round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+              / (100 * count(*)), 4)                                     AS avg_price,
+        round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+              / (100 * count(*)), 6)                                     AS avg_disc,
         count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -44,18 +44,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash aggregate -> sort.  One shuffle (on the two
     low-cardinality group keys), so it scales linearly with input.
 
-    The avgs of decimal-quantized columns (price 2dp, discount 0.01
-    steps) aggregate as DECIMAL — exact and summation-order-
-    independent in both engines — then cast to double once for the
-    scalar divide; a float avg can land exactly on a rounding tie
-    where partition count flips the last digit (the agg_global
-    incident, r4).  avg_qty needs no guard: integer sums are exact in
-    doubles below 2^53.
+    The avgs of decimal-quantized columns (price and discount are
+    both on a 0.01 grid) aggregate as SCALED INTEGERS — round(x*100)
+    per row, exact LONG sums, one cast to double, scalar divide — so
+    the result is summation-order-independent in both engines; a
+    float avg can land exactly on a rounding tie where partition
+    count flips the last digit (the agg_global incident, r4).
+    Integer scaling costs ~nothing where DECIMAL aggregation measured
+    +77% on the agg; long sums stay exact to 2^63 (ANSI mode throws
+    on overflow rather than wrapping).  avg_qty needs no guard:
+    integer sums are exact in doubles below 2^53.
     """
     li = Tables(spark, sf_dir).lineitem
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
+
+    def cents(col: str):
+        return F.sum(F.round(F.col(col) * 100, 0).cast("long")).cast("double")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -65,12 +72,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(24,2)")).cast("double") / n, 4
-            ).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n, 6
-            ).alias("avg_disc"),
+            F.round(cents("l_extendedprice") / (100 * n), 4).alias("avg_price"),
+            F.round(cents("l_discount") / (100 * n), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
