@@ -850,3 +850,64 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(dup, F.col("vec_id") == F.col("dup_id"), "left")
         .select("vec_id", "cell", F.col("dup_id").isNull().alias("kept"))
     )
+
+
+@query(
+    "pipe_decontaminate_semantic",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    bench AS (SELECT * FROM e WHERE vec_id % 53 = 0),
+    corpus AS (SELECT * FROM e WHERE vec_id % 53 <> 0),
+    flagged AS (
+        SELECT c.vec_id,
+               max(list_inner_product(c.emb, b.emb) / (c.nrm * b.nrm))
+                   AS max_bench_sim
+        FROM corpus c CROSS JOIN bench b
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(max_bench_sim, 6) AS max_bench_sim,
+           max_bench_sim >= 0.25 AS contaminated
+    FROM flagged
+    """,
+)
+def pipe_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space twin of
+    pipe_decontaminate: flag training vectors whose cosine to ANY
+    benchmark vector (vec_id % 53 stands in for the eval set) reaches
+    the threshold, catching paraphrased/translated eval leakage that
+    n-gram overlap can't see (the modern eval-hygiene step next to the
+    13-gram check).
+
+    Scale design: identical to the n-gram variant — the benchmark set
+    is tiny, so it BROADCASTS against the streamed corpus (one pass,
+    zero corpus shuffles beyond the per-vector rollup, which AQE
+    coalesces); per-pair work is one dot product on precomputed norms.
+    Dot-product folds are bit-exact across engines, so max + threshold
+    compare need no tolerance; the max is rounded only for display.
+    Reference delegates relational work via pandas_redshift/core.py:84
+    and has no vector surface at all."""
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t).select("vec_id", "emb", "nrm")
+    is_bench = F.col("vec_id") % 53 == 0
+    bench = broadcast(
+        emb.filter(is_bench).select(
+            F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm")
+        )
+    )
+    sim = cosine_pre(F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm"))
+    return (
+        emb.filter(~is_bench)
+        .join(bench, how="cross")
+        .groupBy("vec_id")
+        .agg(F.max(sim).alias("max_bench_sim"))
+        .select(
+            "vec_id",
+            F.round("max_bench_sim", 6).alias("max_bench_sim"),
+            (F.col("max_bench_sim") >= 0.25).alias("contaminated"),
+        )
+    )

@@ -286,6 +286,7 @@ _AUDIT_WAIVERS = {
     "sim_knn_classify": {"bnlj": "10 broadcast query vectors"},
     "sim_ivf_topk": {"bnlj": "10 broadcast query vectors vs centroid table"},
     "dedup_semantic_ivf": {"bnlj": "16 broadcast centroids fan over the corpus — the IVF assignment pass, not an all-pairs join"},
+    "pipe_decontaminate_semantic": {"bnlj": "tiny benchmark vector set broadcast against the streamed corpus — the decontamination shape, corpus never shuffles"},
     # -- deliberately-quadratic oracle baselines (LSH twins are the defaults) --
     "dedup_embedding_cosine_exact": {"bnlj": "O(n^2) ORACLE BASELINE; registered default is the LSH-bucketed twin"},
     "sim_pairs_threshold_exact": {"bnlj": "O(n^2) ORACLE BASELINE; registered default is the LSH-bucketed twin"},
