@@ -76,6 +76,7 @@ def _load_all() -> None:
         "multimodal",
         "pipeline",
         "profiling",
+        "streaming_exec",
     ):
         importlib.import_module(f"pandas_redshift_spark.operators.{mod}")
 

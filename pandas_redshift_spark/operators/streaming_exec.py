@@ -1,0 +1,122 @@
+"""Driver-verifiable Structured Streaming executions (SURVEY §2.C
+streaming extension, promoted from pytest-only to oracle-checked in
+round 4).
+
+Each query here runs a REAL streaming job — ``readStream`` over the
+events parquet, Trigger.AvailableNow, in-memory sink, block until the
+stream drains — and returns the sink table, so the external driver
+hash-compares an actual Structured Streaming execution against batch
+ANSI SQL in DuckDB.  AvailableNow processes exactly the data present
+at start and then stops (the batch-parity trigger); ``complete``
+output mode emits every window at the final micro-batch, so watermark
+eviction cannot drop rows from the comparison (late-data semantics are
+covered separately by the differential tests in
+tests/test_streaming.py, which drive multi-batch timelines through the
+same plans).
+
+Scale note: these plans are the production streaming shapes — the
+memory sink and AvailableNow trigger are the test harness, swapped for
+Kafka + a real sink in production without touching the aggregation
+plan.  Reference has no streaming surface at all (psycopg2 batch SQL
+only, core.py:82-87).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+def _run(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drain ``stream_df`` into a uniquely-named memory sink and return
+    the materialized table (unique name per call: repeated invocations
+    — driver retry, bench best-of-3 — must not collide on the sink)."""
+    name = f"prs_stream_{uuid.uuid4().hex[:12]}"
+    q = run_to_memory(stream_df, name, output_mode=mode)
+    spark = stream_df.sparkSession
+    out = spark.table(name)
+    # the query has terminated (AvailableNow) — stop() releases the
+    # listener bookkeeping; the memory sink table stays readable
+    q.stop()
+    return out
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts computed by an actual streaming
+    job (streaming/windows.tumbling_counts plan: watermark + window
+    aggregate), drained with AvailableNow into a memory sink — the
+    driver's hash check therefore certifies the STREAMING execution
+    path, not a batch twin."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run(tumbling_counts(ev), "complete")
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH shifted AS (
+        SELECT ts, value, 0 AS shift FROM events
+        UNION ALL
+        SELECT ts, value, 1 FROM events
+    )
+    SELECT strftime(
+               date_trunc('hour', ts - INTERVAL 30 MINUTE * shift)
+                   + INTERVAL 30 MINUTE * shift,
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM shifted
+    GROUP BY 1
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes, computed by the real
+    streaming plan (each event lands in exactly 2 overlapping
+    windows); the oracle replays the slide as a 2-way shift-union —
+    window k for shift s starts at trunc(ts - 30m*s) + 30m*s."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run(sliding_counts(ev), "complete")
+
+
+@query(
+    "streaming_dedup_user_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type)) drained to the sink, then rolled up to
+    per-type distinct-user counts — the count is survivor-independent,
+    so the comparison is deterministic even though WHICH duplicate row
+    survives depends on arrival order within the micro-batch."""
+    ev = read_events_stream(spark, sf_dir)
+    sunk = _run(stream_dedup(ev), "append")
+    return sunk.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_unique_users")
+    )
