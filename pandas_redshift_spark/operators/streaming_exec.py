@@ -120,3 +120,48 @@ def streaming_dedup_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_unique_users")
     )
+
+
+@query(
+    "streaming_session_value",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def streaming_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the native ``F.session_window``
+    (30-minute inactivity gap) run as a REAL streaming job and drained
+    complete into the sink — the driver hash-verifies Spark's merging
+    session-window state store against a batch gaps-and-islands
+    replay.  Boundary semantics: a session window spans
+    ``[first_ts, last_ts + gap)`` (end-exclusive), so an event landing
+    at exactly ``prev + gap`` starts a NEW session — the oracle's
+    new-session flag is therefore ``diff >= gap``, one boundary tighter
+    than the batch twin's lag formulation (``>``); with nanosecond
+    event times the corpus never lands on the boundary, and the sim
+    check at three SFs pins the agreement."""
+    from pandas_redshift_spark.streaming.windows import session_aggregate
+
+    ev = read_events_stream(spark, sf_dir)
+    return _run(session_aggregate(ev), "complete")
