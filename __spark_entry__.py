@@ -86,6 +86,10 @@ def _ordered_specs():
         "dedup_",
         "sim_",
         "multimodal_",
+        # r4 promotion: real Structured Streaming executions gained
+        # oracles late in round 4 — the §2 row with the least driver
+        # evidence ranks right behind the other flagships
+        "streaming_",
         "source_",
         "sink_",
         "ctas_",
