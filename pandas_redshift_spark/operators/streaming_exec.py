@@ -165,3 +165,31 @@ def streaming_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     return _run(session_aggregate(ev), "complete")
+
+
+@query(
+    "streaming_user_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM Python stateful streaming operator
+    (applyInPandasWithState: per-user running totals in a GroupState,
+    streaming/stateful.py) run for real and drained with AvailableNow
+    — this is the one driver-verified query that exercises the
+    Arrow-batched executor-side Python path end to end (function
+    pickled by value to workers, update-mode state store, memory
+    sink).  One micro-batch under AvailableNow means the sink's final
+    row per user equals the full batch aggregate, which is exactly
+    what the oracle states; multi-batch incremental semantics stay
+    covered by the differential test in tests/test_streaming.py."""
+    from pandas_redshift_spark.streaming.stateful import user_running_totals
+
+    ev = read_events_stream(spark, sf_dir)
+    return _run(user_running_totals(ev), "update")
