@@ -73,22 +73,26 @@ def _ordered_specs():
     # driver's per-round budget may not reach all pending entries), and
     # within a family put oracle-backed queries before rows-only ones —
     # a hash-matched row is the hard signal, a rows-only check is weak.
-    # Round-4 order (VERDICT r3 "Next round" item 1): flagship LLM ops
-    # first — dedup (cluster-components pair that ERR'd in r2 + the two
-    # re-oracled rows-only sketches), sim (re-oracled ANN pair),
-    # multimodal (never driver-touched) — then the §2.A roundtrip
-    # cluster (source/sink/ctas/ddl/dml/sql_text_interface), text,
-    # scalars, and the §2.B stragglers (as-of join, setop _all twins,
-    # window extras, banded/blocked/DPP joins, pivot/unpivot,
-    # percentiles/listagg).  The ~17-row overflow (agg extras, skew,
-    # bucketed, mv, recursive/lateral/sample) stays ordered for r5.
+    # Round-5 order (VERDICT r4 "Next round" items 1-4): the 42-query
+    # drain.  The r4-added families (embed_/profile_/pipe_/events_)
+    # had no prefix in the r4 tuple and ranked dead last — they lead
+    # now, together with the as-of join pair (the only §2.B row with
+    # zero driver evidence across four rounds).  Then the remaining
+    # §2.B stragglers (setop _all twins, window extras,
+    # banded/blocked/DPP joins, pivot/unpivot, percentiles/listagg,
+    # recursive/lateral, sample, agg extras, skew, bucketed, mv).
+    # With 42 pending < ~50 budget the whole tail should drain this
+    # round regardless of order; the order only matters if the budget
+    # shrinks.
     prio = (
+        "asof_",
+        "embed_",
+        "profile_",
+        "pipe_",
+        "events_",
         "dedup_",
         "sim_",
         "multimodal_",
-        # r4 promotion: real Structured Streaming executions gained
-        # oracles late in round 4 — the §2 row with the least driver
-        # evidence ranks right behind the other flagships
         "streaming_",
         "source_",
         "sink_",
@@ -98,7 +102,6 @@ def _ordered_specs():
         "sql_",
         "text_",
         "scalar_",
-        "asof_",
         "setop_",
         "window_",
         "join_",

@@ -48,6 +48,13 @@ HEADLINE = (
     "pipe_decontaminate",
     "sim_bruteforce_topk",
     "text_word_freq",
+    # r5 additions (VERDICT r4 item 6): the r4 flagships the engine now
+    # claims as first-class — appended, not replacing, so the original
+    # 22 stay round-over-round comparable
+    "dedup_semantic_ivf",
+    "pipe_decontaminate_semantic",
+    "streaming_session_value",
+    "profile_table_summary",
 )
 
 

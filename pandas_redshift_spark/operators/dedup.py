@@ -551,12 +551,30 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star formulation (same join shape, provably
     O(log n) rounds); the driver loop and checkpointing are identical.
 
-    Checked three ways: the driver's value-hash oracle (a DuckDB
+    Checked four ways: the driver's value-hash oracle (a DuckDB
     recursive-CTE transitive closure — see ``_CLUSTER_ORACLE``),
     tests/test_extensions.py's union-find ground truth on the same
-    pairs, and the large-star/small-star twin below.
+    pairs, the large-star/small-star twin below, and the adversarial
+    chain-graph round-count fixture (tests/test_extensions.py) that
+    measures the O(diameter)-vs-O(log n) trade the docstrings claim.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = propagate_components(pairs)
+    return _components_output(labels)
+
+
+def propagate_components(
+    pairs: DataFrame, max_rounds: int = 10
+) -> tuple[DataFrame, int]:
+    """Min-label-propagation connected components over an undirected
+    pair graph given as (doc_a, doc_b) rows.  Returns ``(labels,
+    rounds)`` — a (node, label) frame at (or nearest to) the fixpoint
+    and the number of MATERIALIZED rounds consumed, so callers (and
+    the adversarial-skew test) can observe the O(diameter) round
+    complexity directly.  See :func:`dedup_cluster_components` for the
+    algorithm walkthrough; this helper is the exact loop that query
+    runs, lifted so a synthetic worst-case graph can be pushed through
+    it without re-deriving Jaccard pairs."""
     # undirected: propagate labels both ways
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -570,6 +588,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
         .localCheckpoint()
     )
+
     def hop(lbl):
         neighbor = edges.join(lbl, edges.doc_a == lbl.node).select(
             F.col("doc_b").alias("node"), "label"
@@ -582,19 +601,21 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(10):  # diameter bound; near-dup cliques close in 1-2
+    rounds = 0
+    for _ in range(max_rounds):  # diameter bound; near-dup cliques close in 1-2
         # TWO hops per materialized round: the driver-side costs
         # (convergence collect + localCheckpoint job) dominate at small
         # graph sizes, and label propagation is monotone, so doubling
         # the per-round reach halves the materializations without
         # changing the fixpoint.
         labels = hop(hop(labels)).localCheckpoint()
+        rounds += 1
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     edges.unpersist()
-    return _components_output(labels)
+    return labels, rounds
 
 
 @query(
@@ -687,6 +708,20 @@ def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFra
     union-find-verified baseline); tests assert they agree
     component-for-component.  Iterative => rows-only driver check."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = lsstar_components(pairs)
+    return _components_output(labels)
+
+
+def lsstar_components(
+    pairs: DataFrame, max_rounds: int = 15
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components over an undirected
+    pair graph given as (doc_a, doc_b) rows.  Returns ``(labels,
+    rounds)`` — a (node, label) frame and the number of materialized
+    double-rounds consumed, so the adversarial-skew test can verify
+    the O(log n) bound against :func:`propagate_components`'s
+    O(diameter) on the same worst-case graph.  This is the exact loop
+    :func:`dedup_cluster_components_lsstar` runs."""
     # canonical hi -> lo direction
     e = (
         pairs.select(
@@ -722,8 +757,10 @@ def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFra
         return relink.union(selfe).filter(F.col("u") != F.col("v")).distinct()
 
     sig = edge_sig(e)
-    for _ in range(15):  # O(log n) bound; near-dup graphs close in 2-3
+    rounds = 0
+    for _ in range(max_rounds):  # O(log n) bound; near-dup graphs close in 2-3
         e = small_star(large_star(e)).localCheckpoint()
+        rounds += 1
         new_sig = edge_sig(e)
         if new_sig == sig:
             break
@@ -733,7 +770,7 @@ def dedup_cluster_components_lsstar(spark: SparkSession, sf_dir: str) -> DataFra
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("label")).union(
         e.select(F.col("v").alias("node"), F.col("v").alias("label"))
     ).groupBy("node").agg(F.min("label").alias("label"))
-    return _components_output(labels)
+    return labels, rounds
 
 
 @query(

@@ -990,7 +990,7 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored GROUP BY doc_id
     ),
     cut AS (
-        SELECT avg(avg_neglogp) + 0.5 * stddev_pop(avg_neglogp) AS tail_cut
+        SELECT round(avg(avg_neglogp) + 0.5 * stddev_pop(avg_neglogp), 6) AS tail_cut
         FROM per_doc
     )
     SELECT doc_id, n_tokens, avg_neglogp,
@@ -1043,8 +1043,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_doc = memoized_persist(spark, ("unigram_perdoc", sf_dir), build)
+    # tail_cut is rounded to the same 6dp precision as avg_neglogp on
+    # BOTH sides (Spark here, DuckDB in the oracle): the strict >
+    # against an unrounded float could flip between engines for a doc
+    # whose score lands within ulps of the cut
     cut = per_doc.agg(
-        (F.avg("avg_neglogp") + 0.5 * F.stddev_pop("avg_neglogp")).alias("tail_cut")
+        F.round(
+            F.avg("avg_neglogp") + 0.5 * F.stddev_pop("avg_neglogp"), 6
+        ).alias("tail_cut")
     )
     return per_doc.crossJoin(broadcast(cut)).select(
         "doc_id",

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Scale-up generator: builds sf1 (10x sf0.1) under
+/root/repo/.scaledata/sf1/ for the scale-sample bench (VERDICT r4
+item 5).  /root/testdata is read-only and the driver ships no
+generator, so sf1 is derived from sf0.1 by K-fold replication with
+per-replica key shifts — the standard scale-up construction:
+
+* every BIGINT entity key gets ``+ k*STRIDE`` in replica k, applied
+  consistently on both sides of each FK (orders.o_custkey moves with
+  customer.c_custkey, lineitem.l_*key with orders/part/supplier), so
+  referential integrity and join fan-outs are preserved exactly;
+* region/nation stay single-copy (fixed-size dimensions, as in
+  TPC-H's own scaling rules);
+* documents: replica k>0 rewrites every 3rd word to ``word_k`` — a
+  bijection on the replica's vocabulary, so ALL intra-replica shingle
+  relations (jaccard, minhash, simhash, clusters) are preserved
+  verbatim while every 3-gram shingle crosses replicas with jaccard
+  ~0 (each window contains a rewritten word).  The sf1 near-dup pair
+  graph is therefore exactly 10 disjoint copies of sf0.1's — linear
+  scaling semantics by construction, no artificial cross-replica
+  explosion;
+* embeddings: replica k rotates each vector by k positions (np.roll)
+  — an orthogonal transform per replica, so intra-replica cosine
+  geometry is preserved exactly while replicas land in different
+  orientations;
+* dates/timestamps/measures are untouched (10x rows in the same
+  domain, as TPC-H scaling does).
+
+Deterministic (pure function of sf0.1 + k), no RNG.  Output is
+~170 MB parquet and lives under .scaledata/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+OUT = os.environ.get(
+    "SCALE_OUT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaledata", "sf1"),
+)
+K = int(os.environ.get("SCALE_K", "10"))
+STRIDE = 10_000_000
+
+#: bigint key columns that shift by k*STRIDE per replica (FK-consistent)
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def perturb_text(text: str, k: int) -> str:
+    if k == 0 or not isinstance(text, str):
+        return text
+    words = text.split(" ")
+    suffix = f"_{k}"
+    return " ".join(
+        w + suffix if i % 3 == 0 else w for i, w in enumerate(words)
+    )
+
+
+def replicate(name: str, df: pd.DataFrame, k: int) -> pd.DataFrame:
+    out = df.copy()
+    for col in KEYED.get(name, []):
+        out[col] = out[col] + k * STRIDE
+    if name == "documents" and k > 0:
+        out["text"] = [perturb_text(t, k) for t in out["text"]]
+        out["n_chars"] = [len(t) for t in out["text"]]
+    if name == "embeddings" and k > 0:
+        out["embedding"] = [
+            np.roll(np.asarray(v, dtype=np.float32), k).tolist()
+            for v in out["embedding"]
+        ]
+    return out
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    tables = (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split()
+    for name in tables:
+        src_path = os.path.join(SRC, f"{name}.parquet")
+        schema = pq.read_schema(src_path)
+        df = pd.read_parquet(src_path)
+        if name in ("region", "nation"):
+            reps = [df]  # fixed-size dimensions: single copy
+        else:
+            reps = [replicate(name, df, k) for k in range(K)]
+        big = pd.concat(reps, ignore_index=True)
+        # preserve the source arrow schema bit-for-bit (float[] lists,
+        # int32 vs int64, timestamp units) so reads behave identically
+        table = pa.Table.from_pandas(big, schema=schema, preserve_index=False)
+        pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
+        print(f"{name}: {len(df)} -> {len(big)} rows", file=sys.stderr)
+    print(OUT)
+
+
+if __name__ == "__main__":
+    main()
