@@ -38,7 +38,9 @@ _EMB_DOUBLE_DUCK = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 def _vec_sum(col: Column) -> Column:
     """Left-to-right component sum — folds exactly like DuckDB's
-    ``list_inner_product(v, ones)`` (1.0-products are exact)."""
+    ``list_inner_product(v, ones)`` (1.0-products are exact).  Kept
+    as a fold: the element_at unroll is the measured dead end
+    documented at :func:`~pandas_redshift_spark.operators.similarity.dot`."""
     return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v)
 
 

@@ -29,7 +29,19 @@ EMBEDDING_DIMS = 64
 def dot(x: Column, y: Column) -> Column:
     """Dot product of two array<double> columns using only JVM
     built-ins (zip_with product + aggregate sum) — stays JVM-side, no
-    Python round-trip."""
+    Python round-trip.
+
+    Measured dead end (r5): unrolling this into a 64-term
+    ``element_at`` multiply-add chain to get inside whole-stage
+    codegen ran ~4x SLOWER across the embedding suite
+    (dedup_embedding_cosine 5.0 -> 17.1 s, sim_lsh_topk 3.2 -> 13.5 s
+    at sf0.1) — each ``element_at`` re-evaluates a non-trivial child
+    (e.g. the ``transform`` float->double cast) without common
+    subexpression elimination in join/filter contexts, turning one
+    O(dims) pass into O(dims^2) re-casting, while the "interpreted"
+    fold actually walks the ArrayData once in a tight loop.  The
+    PLANS.md per-character-fold lesson stands at per-ELEMENT
+    granularity: a 64-element fold per pair is the fast shape."""
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q),
         F.lit(0.0),
@@ -766,8 +778,32 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semantic_ivf",
-    oracle=f"""
-    WITH {_IVF_ASSIGN_CTES},
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    kk AS (
+        SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT)) AS k
+        FROM e
+    ),
+    cents AS (
+        SELECT vec_id AS cell, emb AS c_emb, nrm AS c_nrm FROM e, kk
+        WHERE vec_id < kk.k
+    ),
+    cellsim AS (
+        SELECT e.vec_id, c.cell,
+               list_inner_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) AS c_sim
+        FROM e CROSS JOIN cents c
+    ),
+    ranked AS (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY c_sim DESC, cell
+        ) AS c_rn FROM cellsim
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE c_rn = 1),
     m AS (
         SELECT a.vec_id, a.cell, e.emb, e.nrm
         FROM assigned a JOIN e ON a.vec_id = e.vec_id
@@ -793,25 +829,37 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be inherently order-dependent and unshardable; the parallel
     rule is order-free, one join, and exactly SQL-replayable.)
 
-    Clustering reuses the deterministic IVF quantizer (first-16
-    centroids, nearest-cell assignment — sharing ``_IVF_ASSIGN_CTES``
-    with sim_ivf_topk so the two oracles can't diverge); the keep rule
-    is min-id-wins, making the result order-free and the DuckDB replay
-    exact (dot products are bit-identical across engines, so the
-    threshold compare needs no rounding guard).
+    Clustering uses the deterministic IVF quantizer (first-K
+    centroids by vec_id, nearest-cell assignment — the same scheme as
+    sim_ivf_topk); the keep rule is min-id-wins, making the result
+    order-free and the DuckDB replay exact (dot products are
+    bit-identical across engines, so the threshold compare needs no
+    rounding guard).
 
     Scale design: this IS the SemDeDup cost model — one broadcast
     centroid pass assigns cells (no corpus shuffle), and the pairwise
     stage is confined within cells, so the candidate space is
-    sum(|cell|^2) not |corpus|^2; K scales as N/target_cell_size
-    (here 16 cells stand in for the k-means codebook, which at 100 TB
-    comes from ML KMeans over a sample).  The assignment frame is
-    memoized-persisted because the self-join consumes it twice."""
+    sum(|cell|^2) not |corpus|^2.  **K scales with the corpus**:
+    K = max(16, ceil(N/125)) holds the target cell size at ~125, so
+    the within-cell pairwise work stays LINEAR in N (the r5 sf1 scale
+    sample measured the fixed-16 version at 19x on a 10x data step —
+    the quadratic sum(|cell|^2) blowup this formula removes; both
+    engines compute K from the same count, and at every driver SF
+    (<=0.1) the formula lands exactly on the original 16, so verified
+    hashes are unchanged).  At 100 TB the first-K-by-id codebook
+    becomes ML KMeans over a sample, same K schedule.  The assignment
+    frame is memoized-persisted because the self-join consumes it
+    twice."""
+    import math
+
     t = Tables(spark, sf_dir)
-    k_cells, tau = 16, 0.3
+    tau = 0.3
 
     def build() -> DataFrame:
         emb = _emb_double(t).select("vec_id", "emb", "nrm")
+        # cheap scalar count (parquet metadata scan) — the same
+        # driver-side scalar class as the CC convergence signals
+        k_cells = max(16, math.ceil(emb.count() / 125.0))
         cents = broadcast(
             emb.filter(F.col("vec_id") < k_cells).select(
                 F.col("vec_id").alias("cell"),

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Scale-sample analysis (VERDICT r4 item 5): compare two bench.py
+JSON outputs taken at different scale factors on the SAME machine and
+flag super-linear growth.
+
+A query whose runtime grows more than ``RATIO_FLAG`` times across a
+10x data step is running a plan that won't survive 100x — linear
+scaling on local[32] shows up as a ratio well under 10 (fixed
+overheads amortize), and even a clean shuffle-bound query stays near
+10.  Default flag threshold: 15 (the verdict's rule of thumb).
+
+Usage: python tools/scale_check.py /tmp/bench_sf01.json /tmp/bench_sf1.json [flag_ratio]
+Prints a markdown table plus a SUPERLINEAR line naming offenders.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    with open(sys.argv[1]) as f:
+        small = json.load(f)
+    with open(sys.argv[2]) as f:
+        big = json.load(f)
+    small = small.get("parsed", small)
+    big = big.get("parsed", big)
+    flag_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
+    step = big["sf"] / small["sf"] if small.get("sf") and big.get("sf") else float("nan")
+    sq, bq = small["queries"], big["queries"]
+    print(f"| query | sf{small['sf']} s | sf{big['sf']} s | ratio |")
+    print("|---|---|---|---|")
+    offenders = []
+    for name in sq:
+        a, b = sq.get(name), bq.get(name)
+        if b is None:
+            offenders.append(f"{name} (missing at sf{big['sf']})")
+            continue
+        ratio = b / a if a else float("inf")
+        mark = " **!**" if ratio > flag_ratio else ""
+        print(f"| {name} | {a:.3f} | {b:.3f} | {ratio:.1f}x{mark} |")
+        if ratio > flag_ratio:
+            offenders.append(f"{name} ({ratio:.1f}x)")
+    print(
+        f"| **total** | {small['value']:.3f} | {big['value']:.3f} | "
+        f"{big['value'] / small['value']:.1f}x |"
+    )
+    print()
+    print(f"data step: {step:.0f}x; flag threshold: {flag_ratio:.0f}x")
+    print("SUPERLINEAR:", ", ".join(offenders) if offenders else "none")
+    return 1 if offenders else 0
+
+
+if __name__ == "__main__":
+    main()
