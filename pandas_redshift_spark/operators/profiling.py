@@ -58,38 +58,67 @@ def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     union chain.  min/max cast to string so one frame profiles
     heterogeneous column types.
 
-    Multi-DISTINCT note: N single-column DISTINCT aggregates in one
-    agg plan through RewriteDistinctAggregates' Expand ((N+1)x narrow
-    rows pre-shuffle, waived in the audit) — the price of the single
-    scan.  The pre-round-4 union-of-selects variant showed no Expand
-    only because each union branch re-planned the aggregate and
-    column-pruned it to ONE distinct column — i.e. it silently
-    re-scanned orders once per profiled column, the far worse trade at
-    100 TB (the map-side distinct partials are vocab-sized either way;
-    the scans are not).  At warehouse scale the exact distinct counts
-    flip to approx_count_distinct (mergeable sketches, no second
-    shuffle) and this hash-exact twin stays for oracle checking."""
+    Plan note (round-5 rewrite): the r4 shape — N ``countDistinct``
+    columns plus ``min/max(string)`` in ONE agg — planned as an
+    all-SortAggregate cascade: RewriteDistinctAggregates expands to
+    (N+1)x rows grouped by a 6-column key, and the string min/max
+    buffers disqualify HashAggregate, so 900k wide rows got sorted
+    twice with 16 interpreted aggregate functions (~3.1 s at sf0.1).
+    This version computes the same answer as a two-level value
+    dedupe: one narrow ``inline`` Expand emits (column, typed value)
+    pairs, a HashAggregate on (column, value) collapses duplicates
+    map-side (partials are vocab-sized — the classic profile plan at
+    100 TB), and the per-column finishing agg runs over the deduped
+    ~|distinct values| rows only (its string min/max still plans as
+    SortAggregate, but sorting 5-way-keyed narrow rows is noise).
+    Typed slots (long/double/string) keep min/max native-type-correct
+    before the cast to string; exactly one slot is non-null per
+    column, so COALESCE picks it.  One scan either way; at warehouse
+    scale the exact distincts flip to approx_count_distinct sketches
+    and this hash-exact twin stays for oracle checking."""
     o = Tables(spark, sf_dir).orders
-    aggs = []
+    dtypes = dict(o.dtypes)
+    structs = []
     for col, _num in _ORDERS_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{col}__rows"),
-            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
-            F.countDistinct(col).alias(f"{col}__distinct"),
-            F.min(col).cast("string").alias(f"{col}__min"),
-            F.max(col).cast("string").alias(f"{col}__max"),
-        ]
-    one = o.agg(*aggs)
-    # unpivot the single 1-row frame with ONE stack() Expand (the
-    # pipe_dedup_cascade pattern) — not a per-column select+union loop
-    rows = ",\n            ".join(
-        f"'{col}', {col}__rows, {col}__nulls, {col}__distinct, {col}__min, {col}__max"
-        for col, _num in _ORDERS_COLS
+        slots = {"long_val": "CAST(NULL AS BIGINT)",
+                 "dbl_val": "CAST(NULL AS DOUBLE)",
+                 "str_val": "CAST(NULL AS STRING)"}
+        t = dtypes[col]
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            slots["long_val"] = f"CAST({col} AS BIGINT)"
+        elif t in ("float", "double") or t.startswith("decimal"):
+            slots["dbl_val"] = f"CAST({col} AS DOUBLE)"
+        else:
+            slots["str_val"] = f"CAST({col} AS STRING)"
+        structs.append(
+            f"named_struct('column_name', '{col}', "
+            f"'long_val', {slots['long_val']}, "
+            f"'dbl_val', {slots['dbl_val']}, "
+            f"'str_val', {slots['str_val']})"
+        )
+    pairs = o.selectExpr(f"inline(array({', '.join(structs)}))")
+    per_value = pairs.groupBy("column_name", "long_val", "dbl_val", "str_val").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    return one.selectExpr(
-        f"""stack({len(_ORDERS_COLS)},
-            {rows}
-        ) AS (column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"""
+    is_null = (
+        F.col("long_val").isNull()
+        & F.col("dbl_val").isNull()
+        & F.col("str_val").isNull()
+    )
+    return per_value.groupBy("column_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(is_null, F.col("cnt")).otherwise(F.lit(0))).alias("n_nulls"),
+        F.count(F.when(~is_null, F.lit(1))).alias("n_distinct"),
+        F.coalesce(
+            F.min("long_val").cast("string"),
+            F.min("dbl_val").cast("string"),
+            F.min("str_val"),
+        ).alias("min_str"),
+        F.coalesce(
+            F.max("long_val").cast("string"),
+            F.max("dbl_val").cast("string"),
+            F.max("str_val"),
+        ).alias("max_str"),
     )
 
 

@@ -237,10 +237,6 @@ _AUDIT_WAIVERS = {
         "single_part": "1-row corpus mean/std aggregate",
         "bnlj": "1-row stats frame broadcast cross join; corpus never reshuffles",
     },
-    "profile_table_summary": {
-        "single_part": "single-scan profile: 1-row all-columns aggregate, stack()-unpivoted into the report",
-        "expand": "RewriteDistinctAggregates over N distinct columns — the price of ONE scan (the no-Expand alternative re-scans the table per column)",
-    },
     "profile_fk_integrity": {
         "single_part": "per-edge 1-row orphan-count aggregates, unioned into the report"
     },
