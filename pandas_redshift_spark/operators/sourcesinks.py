@@ -21,7 +21,7 @@ import shutil
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
@@ -357,6 +357,66 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dml_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts, event_type FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS segment,
+           CAST(row_number() OVER w AS BIGINT) AS version_no,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def dml_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log — the
+    canonical warehouse DML pattern (Kimball SCD2) a Redshift user
+    runs as a staging MERGE cascade; here it is one declarative pass:
+    collapse consecutive duplicates per user (only real changes cut a
+    version), then derive valid_from/valid_to/is_current with
+    lead() over the change rows, and land the dimension with one
+    atomic overwrite like the other dml_ ops.
+
+    Scale design: both windows (the dedupe lag and the interval
+    lead) share the user_id partitioning, so the whole build is ONE
+    shuffle of the change log; version intervals are derived, never
+    updated in place — the immutable-lake rewrite of Redshift's
+    UPDATE ... SET valid_to.  At 100 TB the change log is
+    incremental: only users present in the new batch rewrite their
+    dimension partition."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    scd = changes.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.row_number().over(w).cast("bigint").alias("version_no"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    staged = _stage_dir("scd2_dimension")
+    scd.write.mode("overwrite").parquet(staged)
+    return spark.read.parquet(staged)
+
+
+@query(
     "source_json_roundtrip",
     oracle="""
     SELECT event_id, event_type, round(value, 4) AS value,
@@ -415,6 +475,42 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_quantity",
         F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source roundtrip via Spark 4's NATIVE xml data
+    source (spark-xml was folded into Spark in 4.0) — the
+    interchange format the reference's Redshift world meets in
+    legacy feeds; the reference itself has no XML path at all
+    (psycopg2/boto3 only, core.py:120-144), so this extends the
+    source surface the same way ORC/JSON do.  supplier is written as
+    one <row> element per record (entity escaping handled by the
+    writer) and read back with an explicit schema — like the CSV
+    twin, no inference drift.  Distributed: one XML part-file per
+    task; the reader splits by rowTag, so a directory of parts scans
+    in parallel exactly like the other text sources."""
+    s = Tables(spark, sf_dir).supplier
+    path = _stage_dir("xml_roundtrip")
+    s.write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    back = (
+        spark.read.option("rowTag", "row")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .format("xml")
+        .load(path)
+    )
+    return back.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
     )
 
 

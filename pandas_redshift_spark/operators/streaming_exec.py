@@ -209,3 +209,38 @@ def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max_by("total_value", "n_events").alias("total_value"),
         F.max_by("last_seen", "n_events").alias("last_seen"),
     )
+
+
+@query(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+           round(b.value, 2) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join run for real: clicks and purchases
+    (two filtered views of the event stream, each watermarked) join
+    per user on an event-time range (purchase within 1 hour of the
+    click), drained with AvailableNow into the sink — the driver
+    hash-verifies Spark's symmetric-hash-join state machine against a
+    plain batch time-range join.  The range condition plus the two
+    watermarks is what makes the state BOUNDED (each side's rows are
+    evicted one horizon after their event time) — without it a
+    stream-stream join must keep both streams forever; with a single
+    AvailableNow batch nothing is evicted mid-comparison, so the
+    equivalence to the batch join is exact.  In production the same
+    plan runs against Kafka with the memory sink swapped out;
+    reference has no streaming surface at all (core.py:82-87)."""
+    from pandas_redshift_spark.streaming.windows import attribution_join
+
+    ev = read_events_stream(spark, sf_dir)
+    return _run(attribution_join(ev), "append")
