@@ -16,7 +16,7 @@ from __future__ import annotations
 from functools import reduce
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.operators.textstats import langid_pred_cte_sql
@@ -309,4 +309,93 @@ def profile_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_langid_heuristic(spark, sf_dir)
     return pred.groupBy("actual_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "profile_drift_psi",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(least(floor(value / 25), 9) AS INT) AS bin,
+               ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+        FROM counts GROUP BY event_type
+    ),
+    props AS (
+        SELECT c.event_type,
+               (2 * c.n_ref + 1) / (2 * t.t_ref + 10) AS p,
+               (2 * c.n_cur + 1) / (2 * t.t_cur + 10) AS q,
+               t.t_ref, t.t_cur
+        FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           round(sum((p - q) * ln(p / q)), 6) AS psi,
+           round(0.5 * sum(abs(p - q)), 6) AS tvd,
+           CAST(max(t_ref) AS BIGINT) AS n_ref_total,
+           CAST(max(t_cur) AS BIGINT) AS n_cur_total
+    FROM props
+    GROUP BY event_type
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift monitor: per event type, the PSI
+    (population stability index) and total-variation distance between
+    the value distribution of the first half of the month (reference)
+    and the second half (current) — the train/serve drift check a
+    pipeline runs before trusting a new data batch against the
+    distribution its models were fit on (PSI > 0.2 is the classic
+    retrain trigger).
+
+    Semantics: fixed-width value bins (width 25, capped at bin 9 —
+    pure arithmetic, so binning is bit-identical across engines, no
+    quantile-cut boundary risk), Laplace-smoothed proportions
+    p=(2n+1)/(2N+10) so empty-on-one-side bins contribute finite PSI,
+    and only OBSERVED (type, bin) cells enter the sum — identically
+    on both engines because the cell set is the group-by result.
+
+    Scale design: one corpus scan -> (type, bin) counts (tiny key
+    space, map-side partials collapse everything), then all remaining
+    math runs on the |types| x |bins| report frame; the totals join
+    broadcasts.  The bin histogram is mergeable, so the reference
+    side's counts are computed once and reused across monitoring
+    runs at a real deployment."""
+    ev = Tables(spark, sf_dir).events
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25), F.lit(9)).cast("int").alias("bin"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")).alias(
+            "is_ref"
+        ),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    # per-type totals as a window over the tiny counts frame — NOT an
+    # aggregate joined back to its own source, which would re-scan
+    # events (ReuseExchange never dedups that shape, PLANS.md r4 rule)
+    wt = Window.partitionBy("event_type")
+    totaled = counts.withColumn("t_ref", F.sum("n_ref").over(wt)).withColumn(
+        "t_cur", F.sum("n_cur").over(wt)
+    )
+    p = (2 * F.col("n_ref") + 1) / (2 * F.col("t_ref") + 10)
+    q = (2 * F.col("n_cur") + 1) / (2 * F.col("t_cur") + 10)
+    props = totaled.select(
+        "event_type", p.alias("p"), q.alias("q"), "t_ref", "t_cur"
+    )
+    return props.groupBy("event_type").agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+        F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 6).alias("tvd"),
+        F.max("t_ref").cast("bigint").alias("n_ref_total"),
+        F.max("t_cur").cast("bigint").alias("n_cur_total"),
     )
