@@ -178,7 +178,7 @@ def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "append",
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ):
     """Execute a streaming plan against all currently-available input
     (Trigger.AvailableNow) into an in-memory sink and block until done.
@@ -191,13 +191,19 @@ def run_to_memory(
     state-store instance with per-batch commit I/O (a stream-stream
     join runs FOUR stores per partition).  On a vanilla 200-partition
     session the attribution join paid 800 store commits per batch for
-    ~150 join keys — measured 31.6s -> ~7s at sf0.01 with 8
-    partitions.  This is the streaming capacity knob a real deployment
-    sizes to key cardinality x throughput (thousands at a 100 TB
-    firehose, tiny here); the conf is set only for the stream's
-    planning window and restored before returning, so batch plans in
-    the same session keep their AQE-sized width."""
+    ~150 join keys — measured 31.6s -> ~7s at sf0.01 once sized to
+    core count.  The default (None) resolves to the session's core
+    count capped at 64: measured equal-or-better than a small fixed
+    count at every SF tried (local[32]: 32 parts = 2.0s vs 8 parts =
+    2.1s at sf0.1) while fixing the vanilla-200 pathology.  This is
+    the streaming capacity knob a real deployment sizes to key
+    cardinality x throughput (thousands at a 100 TB firehose); the
+    conf is set only for the stream's planning window and restored
+    before returning, so batch plans in the same session keep their
+    AQE-sized width."""
     spark = stream_df.sparkSession
+    if state_partitions is None:
+        state_partitions = min(spark.sparkContext.defaultParallelism, 64)
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
