@@ -382,6 +382,10 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         # keep one in the invariance net.
         "agg_global",
         "text_unigram_logprob",
+        # r5: PSI sums ln-terms over the (type, bin) frame — the sum
+        # order varies with partition count; keep it in the net.
+        "profile_drift_psi",
+        "dml_scd2_dimension",
     ]
     specs = all_queries()
 
