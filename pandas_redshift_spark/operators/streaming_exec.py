@@ -244,3 +244,46 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     return _run(attribution_join(ev), "append")
+
+
+@query(
+    "streaming_enrich_static",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join run for real — the third canonical
+    Structured Streaming join mode next to the windowed aggregates
+    and the stream-stream join: the event stream enriches against
+    the static customer dimension (broadcast, re-resolved per
+    micro-batch, NO watermark required — static rows never expire),
+    then rolls up per market segment in the same streaming query.
+    The complete-mode sink emits the final totals, which the driver
+    hash-compares against the batch join+aggregate.  This is the
+    dimension-enrichment plan a 100 TB event pipeline runs
+    continuously (Kafka in, slowly-refreshed dim snapshot broadcast
+    to every executor); reference has no streaming surface
+    (core.py:82-87)."""
+    from pandas_redshift_spark.session import Tables
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        Tables(spark, sf_dir).customer.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    enriched = ev.join(dim, "user_id")
+    # exact COUNT(DISTINCT) is not available inside a streaming agg
+    # (unbounded per-group state) — Spark offers approx_count_distinct
+    # there; distinct-user rollups belong after the sink (see
+    # streaming_dedup_user_counts for that pattern)
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _run(agg, "complete")
