@@ -1019,3 +1019,58 @@ def test_adversarial_chain_lsstar_beats_propagation(spark):
         "is not exercising the O(diameter) path"
     )
     assert prop_rounds > 2 * ls_rounds, (prop_rounds, ls_rounds)
+
+
+def test_scd2_versions_tile_per_user_timeline(spark, sf_dir):
+    """SCD2 semantic invariants (beyond the oracle hash): per user,
+    version numbers are 1..n dense, exactly one current version,
+    each valid_to equals the NEXT version's valid_from (intervals
+    tile with no gaps or overlaps), and consecutive versions never
+    carry the same segment (the collapse worked)."""
+    from pandas_redshift_spark.operators.sourcesinks import dml_scd2_dimension
+
+    rows = dml_scd2_dimension(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user, "SCD2 output is empty"
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for v in vs if v.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert a.segment != b.segment, f"uncollapsed duplicate: {user}"
+
+
+def test_attribution_pairs_within_horizon_and_complete(spark, sf_dir):
+    """Stream-stream join invariants: every emitted pair is a real
+    (click, purchase) edge for the same user inside the 1-hour
+    horizon, and the pair set is EXACTLY the batch time-range join
+    (no watermark loss under AvailableNow single-batch drain)."""
+    import datetime
+
+    from pandas_redshift_spark.operators.streaming_exec import (
+        streaming_attribution_join,
+    )
+    from pandas_redshift_spark.session import Tables
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in streaming_attribution_join(spark, sf_dir).collect()
+    }
+    ev = Tables(spark, sf_dir).events.select("event_id", "user_id", "event_type", "ts")
+    rows = ev.collect()
+    clicks = [r for r in rows if r.event_type == "click"]
+    purchases = [r for r in rows if r.event_type == "purchase"]
+    by_user: dict[int, list] = {}
+    for p in purchases:
+        by_user.setdefault(p.user_id, []).append(p)
+    want = set()
+    horizon = datetime.timedelta(hours=1)
+    for c in clicks:
+        for p in by_user.get(c.user_id, ()):
+            if c.ts <= p.ts <= c.ts + horizon:
+                want.add((c.event_id, p.event_id))
+    assert got == want
