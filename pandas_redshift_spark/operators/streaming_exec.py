@@ -287,3 +287,53 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _run(agg, "complete")
+
+
+@query(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           event_type AS last_type,
+           round(value, 2) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink via ``foreachBatch`` — the canonical
+    production stream-to-lake pattern (the bare-parquet equivalent of
+    Delta/Iceberg ``MERGE INTO`` from a stream): each micro-batch
+    reduces to its latest row per user, merges against the current
+    dimension snapshot (union + keep-latest), and lands atomically
+    via a staging-dir swap.  The final table is one row per user with
+    their latest event — correct for ANY micro-batch split of the
+    input (the merge is associative keep-latest), which is exactly
+    why foreachBatch upserts are multi-batch-safe where blind appends
+    are not.  In production the swap becomes a transactional-table
+    MERGE and the trigger a continuous one; the per-batch plan is
+    unchanged.  Reference can only drop+reload whole tables
+    (core.py:215-216) and has no streaming surface at all.
+
+    The merge core lives in streaming/windows.run_foreachbatch_upsert
+    so the batch-split invariance test can drive the SAME code through
+    a forced multi-batch timeline (maxFilesPerTrigger=1 over a split
+    events dir)."""
+    from pandas_redshift_spark.streaming.windows import run_foreachbatch_upsert
+
+    ev = read_events_stream(spark, sf_dir)
+    final = run_foreachbatch_upsert(ev)
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+    )

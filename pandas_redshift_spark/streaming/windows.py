@@ -17,7 +17,7 @@ dropped deterministically rather than growing state forever.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pandas_redshift_spark.session import configure_session
 
@@ -315,3 +315,67 @@ def write_foreach_batch_idempotent(stream_df: DataFrame, out_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def run_foreachbatch_upsert(events: DataFrame, stage_name: str = "fb_upsert") -> DataFrame:
+    """foreachBatch UPSERT sink: reduce each micro-batch to its latest
+    row per user, merge against the current snapshot (union +
+    keep-latest — associative, so ANY micro-batch split of the input
+    lands on the same final table), and swap the staging dir
+    atomically (never overwrite the dir being read).  Returns the
+    final merged snapshot, eagerly checkpointed so the staging dir
+    can be reclaimed.  The bare-parquet equivalent of a streaming
+    MERGE INTO; at a real deployment the swap is a transactional-table
+    commit and the trigger continuous — the per-batch plan is
+    unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = events.sparkSession
+    stage_root = os.path.join(
+        tempfile.gettempdir(), "pandas_redshift_spark_stage", stage_name
+    )
+    shutil.rmtree(stage_root, ignore_errors=True)
+    os.makedirs(stage_root, exist_ok=True)
+    cur_dir = os.path.join(stage_root, "current")
+    next_dir = os.path.join(stage_root, "next")
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        merged = latest_per_user(batch_df)
+        if os.path.isdir(cur_dir):
+            prev = batch_df.sparkSession.read.parquet(cur_dir)
+            merged = latest_per_user(prev.unionByName(merged))
+        merged.write.mode("overwrite").parquet(next_dir)
+        shutil.rmtree(cur_dir, ignore_errors=True)
+        os.rename(next_dir, cur_dir)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(spark.sparkContext.defaultParallelism, 64)),
+    )
+    try:
+        q = (
+            events.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(stage_root, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    final = spark.read.parquet(cur_dir).localCheckpoint(eager=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return final

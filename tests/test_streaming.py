@@ -276,3 +276,46 @@ def test_watermark_evicts_state_and_drops_late_data(spark, tmp_path):
     # late-row metric (the other may be cut by the upstream
     # event-time filter, which doesn't increment this counter)
     assert dropped >= 1, dropped
+
+
+def test_foreachbatch_upsert_invariant_under_batch_split(spark, tmp_path):
+    """The foreachBatch upsert must land on the SAME final table no
+    matter how the input splits into micro-batches (the associativity
+    claim in its docstring): drive the SAME merge core through a
+    3-file source with maxFilesPerTrigger=1 (3 micro-batches) and
+    compare against the batch argmax."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pandas_redshift_spark.session import Tables
+    from pandas_redshift_spark.streaming.windows import (
+        event_time_ltz,
+        run_foreachbatch_upsert,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = Tables(spark, sf_dir).events
+    # split by event_id mod 3 into three files, one per micro-batch
+    src = tmp_path / "events_split"
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = event_time_ltz(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = {
+        (r.user_id, r.event_id)
+        for r in run_foreachbatch_upsert(stream, stage_name="fb_upsert_test").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
