@@ -1074,3 +1074,43 @@ def test_attribution_pairs_within_horizon_and_complete(spark, sf_dir):
             if c.ts <= p.ts <= c.ts + horizon:
                 want.add((c.event_id, p.event_id))
     assert got == want
+
+
+def test_xml_roundtrip_escapes_special_characters(spark, tmp_path):
+    """The supplier fixture contains no XML-hostile characters, so the
+    registered roundtrip never exercises escaping — pin it here:
+    ampersands, angle brackets, quotes, and non-ASCII must survive a
+    write+read cycle byte-for-byte."""
+    rows = [
+        (1, 'a&b <tag> "quoted" \'single\''),
+        (2, "less<than & more>than"),
+        (3, "unicode: café — 中文"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "k INT, s STRING")
+    path = str(tmp_path / "xml_escape")
+    df.write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    back = (
+        spark.read.option("rowTag", "row")
+        .schema("k INT, s STRING")
+        .format("xml")
+        .load(path)
+    )
+    assert {(r.k, r.s) for r in back.collect()} == set(rows)
+
+
+def test_psi_drift_invariants(spark, sf_dir):
+    """PSI and TVD structural properties (beyond the oracle hash):
+    PSI >= 0 (each term (p-q)*ln(p/q) is non-negative), TVD in
+    [0, 1], and the population totals per type must sum to the
+    table's row count."""
+    from pandas_redshift_spark.operators.profiling import profile_drift_psi
+    from pandas_redshift_spark.session import Tables
+
+    rows = profile_drift_psi(spark, sf_dir).collect()
+    assert rows, "drift report is empty"
+    for r in rows:
+        assert r.psi >= 0, r
+        assert 0 <= r.tvd <= 1, r
+    total = sum(r.n_ref_total + r.n_cur_total for r in rows)
+    assert total == Tables(spark, sf_dir).events.count()
