@@ -23,6 +23,9 @@ only, core.py:82-87).
 
 from __future__ import annotations
 
+import os as _os
+import shutil as _shutil
+import tempfile as _tempfile
 import uuid
 
 import pyspark.sql.functions as F
@@ -37,27 +40,49 @@ from pandas_redshift_spark.streaming.windows import (
     tumbling_counts,
 )
 
+#: pid-scoped root for memory-sink parquet snapshots: uuid dirs per
+#: call, cleaned wholesale at import (never mid-session — returned
+#: frames read from their snapshot lazily)
+_SNAP_ROOT = _os.path.join(
+    _tempfile.gettempdir(),
+    "pandas_redshift_spark_stage",
+    f"stream_snaps_{_os.getpid()}",
+)
+_shutil.rmtree(_SNAP_ROOT, ignore_errors=True)
+
 
 def _run(stream_df: DataFrame, mode: str) -> DataFrame:
     """Drain ``stream_df`` into a uniquely-named memory sink, snapshot
-    the sink JVM-side, and DROP the sink's temp view before returning
-    — otherwise every invocation (driver retry, bench best-of-3)
-    leaks sink rows plus a catalog entry into driver memory for the
-    session lifetime.  The snapshot is an eager ``localCheckpoint``
-    (block-manager materialization, no Python round-trip — a collect
-    + createDataFrame measured ~2x the whole query at sf1 sink
-    sizes); the checkpointed blocks are freed by the ContextCleaner
-    once the returned frame is unreferenced, unlike catalog temp
-    views which live forever."""
+    the sink, and DROP the sink's temp view before returning —
+    otherwise every invocation (driver retry, bench best-of-3) leaks
+    sink rows plus a catalog entry into driver memory for the session
+    lifetime.
+
+    Snapshot mechanics (r5, twice-revised): collect +
+    createDataFrame measured ~2x the whole query at sf1 sink sizes
+    (Python round-trip); an eager ``localCheckpoint`` fixed that but
+    OOMed a DEFAULT-1g-driver session at sf1 (~95k session rows: the
+    block-manager unroll needs sink + checkpoint copies in heap
+    simultaneously).  A parquet write+read to process-scoped /tmp
+    staging measures the same as localCheckpoint at bench shape
+    (2.3s vs 2.2s, sf0.1) and is DISK-backed, so the snapshot
+    survives any driver heap size — the pattern that actually scales.
+    Snapshot dirs are uuid-named under a pid-scoped root (cleaned at
+    import; a few MB per call, same /tmp lifecycle as the Derby
+    staging note in operators/sourcesinks.py)."""
+    import os
+
     name = f"prs_stream_{uuid.uuid4().hex[:12]}"
     q = run_to_memory(stream_df, name, output_mode=mode)
     spark = stream_df.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
+    snap = os.path.join(_SNAP_ROOT, name)
+    spark.table(name).write.mode("overwrite").parquet(snap)
     # the query has terminated (AvailableNow) — stop() releases the
     # listener bookkeeping, dropTempView drops the sink's catalog entry
+    # (and with it the sink rows held in driver memory)
     q.stop()
     spark.catalog.dropTempView(name)
-    return out
+    return spark.read.parquet(snap)
 
 
 @query(
