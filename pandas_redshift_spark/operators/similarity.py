@@ -58,36 +58,75 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    """Cosine from a single dot product plus precomputed norms — the
-    pairwise-scoring fast path: norms are computed once per *row*
-    (O(n)) instead of once per *pair* (O(n^2))."""
+    """Cosine from a single dot product plus precomputed norms —
+    norms are computed once per *row* (O(n)) instead of once per
+    *pair* (O(n^2)).  Superseded in the pairwise hot paths by
+    prenormalized vectors (``emb_n`` from :func:`_emb_double`), where
+    the per-pair work collapses to a bare :func:`dot` with no division
+    at all (r6 refactor; measured +9% on the SemDeDup pair stage,
+    PLANS.md).  Kept for callers that hold raw vectors + norms."""
     return dot(a, b) / (norm_a * norm_b)
 
 
 def _emb_double(t: Tables) -> DataFrame:
+    """Corpus embeddings with per-row derived vector columns:
+
+    - ``emb``: array<double> cast of the raw float vector (signature
+      bits and centroid averages use this — raw values, no rescale);
+    - ``nrm``: L2 norm, computed once per row;
+    - ``emb_n``: the unit-normalized vector ``emb / nrm``.  Pairwise
+      cosine anywhere downstream is then ONE dot-product fold per pair
+      (``dot(a_n, b_n)``) with zero per-pair divisions — the O(n^2)
+      stage does strictly less work, and the normalization cost is
+      O(n).  DuckDB oracles mirror it with ``list_transform(emb,
+      x -> x / nrm)`` + ``list_inner_product``, so both engines run
+      the identical per-element divide-then-fold arithmetic and
+      threshold compares stay bit-exact.
+
+    Unused columns are pruned by Catalyst, so queries that never read
+    ``emb_n`` (signature-only, centroid averages) don't pay the
+    transform.
+    """
     # vector math is CPU-bound: spread the (often single-file) corpus
-    # across all slots before scoring; precompute the L2 norm once per
-    # vector so pairwise stages do one dot product per pair
+    # across all slots before scoring
     e = t.embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return ensure_parallelism(e).withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    return (
+        ensure_parallelism(e)
+        .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+        .withColumn("emb_n", F.transform(F.col("emb"), lambda x: x / F.col("nrm")))
+    )
+
+
+#: shared oracle prefix: embeddings cast to double + unit-normalized
+#: (the DuckDB twin of ``_emb_double``'s ``emb_n``) — per-element
+#: divide by the L2 norm, then every cosine downstream is ONE
+#: list_inner_product, the same arithmetic the Spark side folds.
+_EN_CTE = """e0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, label, emb,
+               list_transform(
+                   emb, x -> x / sqrt(list_inner_product(emb, emb))
+               ) AS en
+        FROM e0
+    )"""
 
 
 @query(
     "sim_bruteforce_topk",
-    oracle="""
-    WITH q AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id < 10
-    ),
-    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    oracle=f"""
+    WITH {_EN_CTE},
+    q AS (SELECT vec_id, en FROM e WHERE vec_id < 10),
     scored AS (
         SELECT
             q.vec_id AS query_id,
             c.vec_id AS neighbor_id,
-            round(list_cosine_similarity(q.emb, c.emb), 4) AS score
-        FROM q CROSS JOIN c
+            round(list_inner_product(q.en, c.en), 4) AS score
+        FROM q CROSS JOIN e c
         WHERE q.vec_id <> c.vec_id
     ),
     ranked AS (
@@ -112,8 +151,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = broadcast(
         emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+            F.col("emb_n").alias("q_en"),
         )
     )
     scored = (
@@ -121,51 +159,45 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
-            ).alias("score"),
+            F.round(dot(F.col("q_en"), F.col("emb_n")), 4).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
 
 
-_PAIRS_THRESHOLD_ORACLE = """
-    WITH sub AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id % 5 = 0
-    )
+_PAIRS_THRESHOLD_ORACLE = f"""
+    WITH {_EN_CTE},
+    sub AS (SELECT vec_id, label, en FROM e WHERE vec_id % 5 = 0)
     SELECT
         a.vec_id AS vec_a,
         b.vec_id AS vec_b,
         (a.label = b.label) AS same_label,
-        round(list_cosine_similarity(a.emb, b.emb), 4) AS score
+        round(list_inner_product(a.en, b.en), 4) AS score
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+    WHERE list_inner_product(a.en, b.en) >= 0.3
     """
 
 
 def _sample_sides(t: Tables):
     """(a, b) projections of the deterministic 1/5 sample with
-    precomputed norms, for pair scoring."""
+    prenormalized vectors, for pair scoring."""
     sub = _emb_double(t).filter(F.col("vec_id") % 5 == 0)
     a = sub.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("la"),
-        F.col("emb").alias("ea"),
-        F.col("nrm").alias("na"),
+        F.col("emb_n").alias("ean"),
     )
     b = sub.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("lb"),
-        F.col("emb").alias("eb"),
-        F.col("nrm").alias("nb"),
+        F.col("emb_n").alias("ebn"),
     )
     return sub, a, b
 
 
 def _pairs_threshold_select(cand: DataFrame) -> DataFrame:
-    score = cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    score = dot(F.col("ean"), F.col("ebn"))
     return cand.filter(score >= 0.3).select(
         "vec_a",
         "vec_b",
@@ -237,7 +269,7 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane (signed random projection) LSH bucketing —
     the shared candidate-generation machinery of every ANN operator
-    here.  Returns ``(vec_id, emb, nrm, bucket)`` with one exploded
+    here.  Returns the input columns plus ``bucket`` with one exploded
     row per band.
 
     Signatures: ``n_planes`` deterministic pseudo-random ±1
@@ -257,12 +289,19 @@ def hyperplane_buckets(
     planes = hyperplane_literals(n_planes, n_dims, seed)
 
     def plane_bit(p: int) -> Column:
-        # sign of <emb, h_p> with h_p a literal ±1 array
+        # sign of <emb, h_p> with h_p a literal ±1 array.  Bits come
+        # from the RAW vector on purpose: sign(<v,h>) == sign(<v/|v|,h>)
+        # mathematically, but the normalized fold could flip an
+        # ulp-scale near-zero projection, so both engines pin the raw
+        # form and stay bit-identical.
         h_p = F.array(*[F.lit(v) for v in planes[p]])
         return F.when(dot(F.col("emb"), h_p) > 0, F.lit(1)).otherwise(F.lit(0))
 
+    # passthrough: callers choose which vector columns ride along with
+    # the bucket (id-only for pair candidates, emb_n for re-score)
+    keep = list(emb.columns)
     sig = emb.select(
-        "vec_id", "emb", "nrm", *[plane_bit(p).alias(f"bit{p}") for p in range(n_planes)]
+        *keep, *[plane_bit(p).alias(f"bit{p}") for p in range(n_planes)]
     )
     n_bands = n_planes // band_bits
     bands = [
@@ -271,11 +310,9 @@ def hyperplane_buckets(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = sig.select("vec_id", "emb", "nrm", *bands)
+    banded = sig.select(*keep, *bands)
     return banded.select(
-        "vec_id",
-        "emb",
-        "nrm",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -332,12 +369,7 @@ def _lsh_topk_oracle(
         for b in range(n_bands)
     )
     return f"""
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
-    ),
+    WITH {_EN_CTE},
     sig AS (
         SELECT vec_id,
         {bits}
@@ -354,8 +386,7 @@ def _lsh_topk_oracle(
     ),
     scored AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round(list_inner_product(qe.emb, ne.emb) / (qe.nrm * ne.nrm), 4)
-                   AS score
+               round(list_inner_product(qe.en, ne.en), 4) AS score
         FROM cand
         JOIN e qe ON qe.vec_id = cand.query_id
         JOIN e ne ON ne.vec_id = cand.neighbor_id
@@ -385,15 +416,14 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute is 10 signature rows — not worth pinning a persist
     q = buckets.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+        F.col("emb_n").alias("q_en"),
         "bucket",
     )
     cand = (
         buckets.join(broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", "q_emb", "q_nrm", F.col("vec_id").alias("neighbor_id"), "emb", "nrm"
+            "query_id", "q_en", F.col("vec_id").alias("neighbor_id"), "emb_n"
         )
         # dedup multi-band collisions on the id pair only — a full-row
         # distinct would hash the 64-dim arrays themselves
@@ -402,20 +432,18 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
-        ).alias("score"),
+        F.round(dot(F.col("q_en"), F.col("emb_n")), 4).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
 
 
-_EMB_DEDUP_ORACLE = """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+_EMB_DEDUP_ORACLE = f"""
+    WITH {_EN_CTE},
     dups AS (
         SELECT DISTINCT b.vec_id AS dup_id
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.999
+        WHERE list_inner_product(a.en, b.en) >= 0.999
     )
     SELECT e.vec_id, (dups.dup_id IS NOT NULL) AS is_duplicate
     FROM e LEFT JOIN dups ON e.vec_id = dups.dup_id
@@ -443,7 +471,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the all-pairs twin dedup_embedding_cosine_exact, which is
     the formally-exact O(n^2) baseline)."""
     t = Tables(spark, sf_dir)
-    e = _emb_double(t).select("vec_id", "emb", "nrm")
+    e = _emb_double(t).select("vec_id", "emb", "emb_n")
     buckets = hyperplane_buckets(t, e, n_planes=16, band_bits=4)
     cand_ids = (
         buckets.alias("x")
@@ -455,16 +483,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
-    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb_n").alias("ean"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb_n").alias("ebn"))
     dups = (
         cand_ids.join(a, "id_a")
         .join(b, "id_b")
-        .filter(cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.999)
+        .filter(dot(F.col("ean"), F.col("ebn")) >= 0.999)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
@@ -477,16 +501,12 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     formally-exact O(n^2) baseline the bucketed default's recall is
     measured against.  Not the 100 TB path."""
     t = Tables(spark, sf_dir)
-    e = _emb_double(t).select("vec_id", "emb", "nrm")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
-    )
+    e = _emb_double(t).select("vec_id", "emb_n")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb_n").alias("ean"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb_n").alias("ebn"))
     dups = (
         a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.999)
+        .filter(dot(F.col("ean"), F.col("ebn")) >= 0.999)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
@@ -501,19 +521,14 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: quantization (normed vectors -> first-16 centroids -> nearest-cell
 #: assignment) — single source for sim_ivf_topk and dedup_semantic_ivf
 #: so the assignment rule can never diverge between the two oracles.
-_IVF_ASSIGN_CTES = """e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
-    ),
+_IVF_ASSIGN_CTES = f"""{_EN_CTE},
     cents AS (
-        SELECT vec_id AS cell, emb AS c_emb, nrm AS c_nrm FROM e
+        SELECT vec_id AS cell, en AS c_en FROM e
         WHERE vec_id < 16
     ),
     cellsim AS (
         SELECT e.vec_id, c.cell,
-               list_inner_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) AS c_sim
+               list_inner_product(e.en, c.c_en) AS c_sim
         FROM e CROSS JOIN cents c
     ),
     ranked AS (
@@ -531,8 +546,7 @@ _IVF_TOPK_ORACLE = f"""
     ),
     scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
-               round(list_inner_product(qe.emb, ne.emb) / (qe.nrm * ne.nrm), 4)
-                   AS score
+               round(list_inner_product(qe.en, ne.en), 4) AS score
         FROM assigned a
         JOIN probes p ON a.cell = p.cell
         JOIN e qe ON qe.vec_id = p.query_id
@@ -563,14 +577,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     searches only its nprobe=4 nearest cells, so the scored candidate
     set is ~nprobe/K of the corpus instead of all of it."""
     t = Tables(spark, sf_dir)
-    emb = _emb_double(t).select("vec_id", "emb", "nrm")
+    emb = _emb_double(t).select("vec_id", "emb_n")
     k_cells, nprobe = 16, 4
 
     cents = broadcast(
         emb.filter(F.col("vec_id") < k_cells).select(
             F.col("vec_id").alias("cell"),
-            F.col("emb").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
+            F.col("emb_n").alias("c_en"),
         )
     )
 
@@ -581,13 +594,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             df.join(cents, how="cross")
-            .withColumn(
-                "c_sim",
-                cosine_pre(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
-            )
+            .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
             .withColumn("c_rn", F.row_number().over(w))
             .filter(F.col("c_rn") <= n)
-            .drop("c_emb", "c_nrm", "c_sim", "c_rn")
+            .drop("c_en", "c_sim", "c_rn")
         )
 
     # corpus: each vector lives in exactly its nearest cell
@@ -597,8 +607,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = broadcast(
         nearest_cells(q, "vec_id", nprobe).select(
             F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+            F.col("emb_n").alias("q_en"),
             "cell",
         )
     )
@@ -608,9 +617,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
-            ).alias("score"),
+            F.round(dot(F.col("q_en"), F.col("emb_n")), 4).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -645,17 +652,16 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_knn_classify",
-    oracle="""
-    WITH q AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id < 10
+    oracle=f"""
+    WITH {_EN_CTE},
+    q AS (
+        SELECT vec_id, label, en FROM e WHERE vec_id < 10
     ),
-    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     scored AS (
         SELECT q.vec_id AS query_id, q.label AS true_label,
                c.vec_id AS neighbor_id, c.label AS n_label,
-               round(list_cosine_similarity(q.emb, c.emb), 4) AS score
-        FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+               round(list_inner_product(q.en, c.en), 4) AS score
+        FROM q CROSS JOIN e c WHERE q.vec_id <> c.vec_id
     ),
     topk AS (
         SELECT * FROM (
@@ -691,8 +697,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("true_label"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+            F.col("emb_n").alias("q_en"),
         )
     )
     scored = emb.join(q, F.col("vec_id") != F.col("query_id")).select(
@@ -700,9 +705,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
-        F.round(
-            cosine_pre(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 4
-        ).alias("score"),
+        F.round(dot(F.col("q_en"), F.col("emb_n")), 4).alias("score"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -778,24 +781,19 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semantic_ivf",
-    oracle="""
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
-    ),
+    oracle=f"""
+    WITH {_EN_CTE},
     kk AS (
         SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT)) AS k
         FROM e
     ),
     cents AS (
-        SELECT vec_id AS cell, emb AS c_emb, nrm AS c_nrm FROM e, kk
+        SELECT vec_id AS cell, en AS c_en FROM e, kk
         WHERE vec_id < kk.k
     ),
     cellsim AS (
         SELECT e.vec_id, c.cell,
-               list_inner_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) AS c_sim
+               list_inner_product(e.en, c.c_en) AS c_sim
         FROM e CROSS JOIN cents c
     ),
     ranked AS (
@@ -805,13 +803,13 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     assigned AS (SELECT vec_id, cell FROM ranked WHERE c_rn = 1),
     m AS (
-        SELECT a.vec_id, a.cell, e.emb, e.nrm
+        SELECT a.vec_id, a.cell, e.en
         FROM assigned a JOIN e ON a.vec_id = e.vec_id
     ),
     dup AS (
         SELECT DISTINCT b.vec_id
         FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.3
+        WHERE list_inner_product(a.en, b.en) >= 0.3
     )
     SELECT m.vec_id, m.cell, d.vec_id IS NULL AS kept
     FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
@@ -856,27 +854,28 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = 0.3
 
     def build() -> DataFrame:
-        emb = _emb_double(t).select("vec_id", "emb", "nrm")
-        # cheap scalar count (parquet metadata scan) — the same
-        # driver-side scalar class as the CC convergence signals
-        k_cells = max(16, math.ceil(emb.count() / 125.0))
+        emb = _emb_double(t).select("vec_id", "emb_n")
+        # scalar count for the K schedule — metadata-only on the RAW
+        # table (the ADVICE r5 fix: counting the transformed frame
+        # would force a full scan+compute on every cold build)
+        n_vecs = t.embeddings.count()
+        k_cells = max(16, math.ceil(n_vecs / 125.0))
         cents = broadcast(
             emb.filter(F.col("vec_id") < k_cells).select(
                 F.col("vec_id").alias("cell"),
-                F.col("emb").alias("c_emb"),
-                F.col("nrm").alias("c_nrm"),
+                F.col("emb_n").alias("c_en"),
             )
         )
         w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
         return (
             emb.join(cents, how="cross")
-            .withColumn(
-                "c_sim",
-                cosine_pre(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
-            )
+            .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
             .withColumn("c_rn", F.row_number().over(w))
             .filter(F.col("c_rn") == 1)
-            .select("vec_id", "cell", "emb", "nrm")
+            # persist the PRENORMALIZED vector only: the pair stage
+            # below then runs one dot fold per candidate pair — no
+            # per-pair divisions, and a ~half-size persisted frame
+            .select("vec_id", "cell", "emb_n")
         )
 
     assigned = memoized_persist(spark, ("semdedup_assigned", sf_dir), build)
@@ -887,10 +886,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(
-            cosine_pre(F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm"))
-            >= tau
-        )
+        .filter(dot(F.col("a.emb_n"), F.col("b.emb_n")) >= tau)
         .select(F.col("b.vec_id").alias("dup_id"))
         .distinct()
     )
@@ -902,19 +898,13 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_decontaminate_semantic",
-    oracle="""
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
-    ),
-    bench AS (SELECT * FROM e WHERE vec_id % 53 = 0),
-    corpus AS (SELECT * FROM e WHERE vec_id % 53 <> 0),
+    oracle=f"""
+    WITH {_EN_CTE},
+    bench AS (SELECT vec_id, en FROM e WHERE vec_id % 53 = 0),
+    corpus AS (SELECT vec_id, en FROM e WHERE vec_id % 53 <> 0),
     flagged AS (
         SELECT c.vec_id,
-               max(list_inner_product(c.emb, b.emb) / (c.nrm * b.nrm))
-                   AS max_bench_sim
+               max(list_inner_product(c.en, b.en)) AS max_bench_sim
         FROM corpus c CROSS JOIN bench b
         GROUP BY c.vec_id
     )
@@ -934,20 +924,19 @@ def pipe_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: identical to the n-gram variant — the benchmark set
     is tiny, so it BROADCASTS against the streamed corpus (one pass,
     zero corpus shuffles beyond the per-vector rollup, which AQE
-    coalesces); per-pair work is one dot product on precomputed norms.
+    coalesces); per-pair work is one dot fold over prenormalized
+    vectors — no per-pair division or norm reads at all.
     Dot-product folds are bit-exact across engines, so max + threshold
     compare need no tolerance; the max is rounded only for display.
     Reference delegates relational work via pandas_redshift/core.py:84
     and has no vector surface at all."""
     t = Tables(spark, sf_dir)
-    emb = _emb_double(t).select("vec_id", "emb", "nrm")
+    emb = _emb_double(t).select("vec_id", "emb_n")
     is_bench = F.col("vec_id") % 53 == 0
     bench = broadcast(
-        emb.filter(is_bench).select(
-            F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm")
-        )
+        emb.filter(is_bench).select(F.col("emb_n").alias("b_en"))
     )
-    sim = cosine_pre(F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm"))
+    sim = dot(F.col("emb_n"), F.col("b_en"))
     return (
         emb.filter(~is_bench)
         .join(bench, how="cross")
