@@ -127,7 +127,25 @@ def _ordered_specs():
         return (fam, 0 if spec.oracle is not None else 1)
 
     pending.sort(key=rank)  # stable: registration order within a tier
-    return pending + weak + checked
+
+    # Queries whose RESULTS changed this round (r6: the prenormalized
+    # embedding refactor + trained k-means centroids re-derived every
+    # embedding hash) — their prior green rows certify the OLD output,
+    # so they outrank untouched-verified entries for re-checking.
+    reverify_names = {
+        "sim_bruteforce_topk",
+        "sim_pairs_threshold_exact",
+        "sim_lsh_topk",
+        "sim_ivf_topk",
+        "sim_knn_classify",
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_exact",
+        "dedup_semantic_ivf",
+        "pipe_decontaminate_semantic",
+    }
+    reverify = [s for s in checked if s.name in reverify_names]
+    checked = [s for s in checked if s.name not in reverify_names]
+    return pending + reverify + weak + checked
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -226,6 +226,66 @@ def test_multimodal_byte_mean(spark, sf_dir):
         assert abs(got.byte_mean - round(sum(raw) / len(raw), 4)) < 1e-3
 
 
+def test_media_codec_parses_real_containers():
+    """The r6 decode seam must PARSE, not pattern-match: the BMP path
+    honors the pixel-array offset, row stride padding, and bottom-up
+    rows; the WAV path walks RIFF chunks (including a stranger chunk
+    before fmt/data) and decodes int16 samples.  Checked against an
+    independent stdlib ``wave`` reader plus hand-computed values."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from pandas_redshift_spark.operators.multimodal import (
+        decode_media_bytes,
+        encode_bmp,
+        encode_wav,
+    )
+
+    # 1px-wide BMP forces maximal row padding (3 bytes data + 1 pad)
+    blob = encode_bmp(10)  # w = 4 + 10 % 13 = 14 ... pick one with pad
+    f = decode_media_bytes(blob)
+    assert (f["width"], f["height"]) == (4 + 10 % 13, 3 + 10 % 7)
+    # stride != w*3 for this width, so a padding-naive decoder would
+    # fold pad zeros into later rows and shift every pixel
+    assert ((f["width"] * 3 + 3) & ~3) != f["width"] * 3
+    exp = sum(
+        (10 + 7 * x + 13 * y) % 256
+        + (30 + 5 * x + 11 * y) % 256
+        + (50 + 3 * x + 19 * y) % 256
+        for x in range(f["width"])
+        for y in range(f["height"])
+    )
+    assert f["content_sum"] == exp
+
+    # WAV: stdlib wave agrees on every header-derived feature
+    blob = encode_wav(7)
+    with wave.open(io.BytesIO(blob)) as w:
+        assert w.getframerate() == 8000 * (1 + 7 % 3)
+        assert w.getnframes() == 50 + 7 % 100
+        assert w.getsampwidth() == 2 and w.getnchannels() == 1
+    f = decode_media_bytes(blob)
+    assert f["sample_rate"] == 8000 * (1 + 7 % 3)
+    assert f["n_samples"] == 50 + 7 % 100
+    assert f["duration_ms"] == f["n_samples"] * 1000 // f["sample_rate"]
+
+    # chunk walk: a LIST chunk inserted before fmt must be skipped
+    body = blob[12:]
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    rebuilt = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(extra) + len(body), b"WAVE")
+        + extra
+        + body
+    )
+    assert decode_media_bytes(rebuilt) == f
+
+    # unknown containers refuse loudly (the PIL/librosa seam)
+    with pytest.raises(ValueError):
+        decode_media_bytes(b"\x89PNG\r\n\x1a\n....")
+
+
 def test_cluster_components_match_union_find(spark, sf_dir):
     """The iterative min-label propagation must produce exactly the
     components a driver-side union-find computes on the same pairs."""

@@ -287,9 +287,10 @@ _AUDIT_WAIVERS = {
     "dedup_embedding_cosine_exact": {"bnlj": "O(n^2) ORACLE BASELINE; registered default is the LSH-bucketed twin"},
     "sim_pairs_threshold_exact": {"bnlj": "O(n^2) ORACLE BASELINE; registered default is the LSH-bucketed twin"},
     # -- Python-eval surface: the documented multimodal/stateful seam --
-    "multimodal_features": {"python_eval": "mapInPandas decode seam — Arrow-batched, documented stub"},
+    "multimodal_features": {"python_eval": "mapInPandas byte-level featurizer — Arrow-batched"},
     "multimodal_frame_sample": {"python_eval": "mapInPandas frame fan-out — Arrow-batched"},
     "multimodal_resize": {"python_eval": "mapInPandas nearest-neighbor resize seam — Arrow-batched, oracle-checked"},
+    "multimodal_decode": {"python_eval": "mapInPandas REAL BMP/WAV encode+parse stages — Arrow-batched, closed-form oracle"},
 }
 
 
