@@ -55,6 +55,13 @@ HEADLINE = (
     "pipe_decontaminate_semantic",
     "streaming_session_value",
     "profile_table_summary",
+    # r6 additions (VERDICT r5 item 5): the r5 flagships promoted to
+    # the headline — appended, originals intact for continuity
+    "streaming_attribution_join",
+    "streaming_enrich_static",
+    "streaming_foreachbatch_upsert",
+    "profile_drift_psi",
+    "dml_scd2_dimension",
 )
 
 

@@ -23,6 +23,8 @@ only, core.py:82-87).
 
 from __future__ import annotations
 
+import atexit as _atexit
+import glob as _glob
 import os as _os
 import shutil as _shutil
 import tempfile as _tempfile
@@ -41,14 +43,24 @@ from pandas_redshift_spark.streaming.windows import (
 )
 
 #: pid-scoped root for memory-sink parquet snapshots: uuid dirs per
-#: call, cleaned wholesale at import (never mid-session — returned
-#: frames read from their snapshot lazily)
-_SNAP_ROOT = _os.path.join(
-    _tempfile.gettempdir(),
-    "pandas_redshift_spark_stage",
-    f"stream_snaps_{_os.getpid()}",
+#: call.  At import, reap snapshot dirs left by DEAD prior sessions
+#: (a pid-scoped rmtree of our own — nonexistent — dir would reclaim
+#: nothing, ADVICE r5); live processes' dirs are left alone by
+#: checking /proc, and our own dir is registered for atexit cleanup
+#: (never removed mid-session — returned frames read their snapshot
+#: lazily).
+_SNAP_PARENT = _os.path.join(
+    _tempfile.gettempdir(), "pandas_redshift_spark_stage"
 )
-_shutil.rmtree(_SNAP_ROOT, ignore_errors=True)
+_SNAP_ROOT = _os.path.join(_SNAP_PARENT, f"stream_snaps_{_os.getpid()}")
+for _old in _glob.glob(_os.path.join(_SNAP_PARENT, "stream_snaps_*")):
+    try:
+        _old_pid = int(_old.rsplit("_", 1)[-1])
+    except ValueError:
+        continue
+    if _old_pid != _os.getpid() and not _os.path.exists(f"/proc/{_old_pid}"):
+        _shutil.rmtree(_old, ignore_errors=True)
+_atexit.register(_shutil.rmtree, _SNAP_ROOT, ignore_errors=True)
 
 
 def _run(stream_df: DataFrame, mode: str) -> DataFrame:

@@ -109,6 +109,15 @@ def attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     event firehose runs exactly this plan against Kafka).  Self-joining
     one source stream is supported: the planner instantiates two
     scans."""
+    # Watermark delay is STRICTLY GREATER than the join horizon
+    # (ADVICE r5): with delay == horizon, a purchase arriving in a
+    # later micro-batch exactly `horizon` after the newest click would
+    # race state eviction — invisible under a single-batch AvailableNow
+    # drain, silently lossy under maxFilesPerTrigger or a multi-file
+    # source.  The slack buys boundary-late rows a full extra horizon;
+    # state stays bounded at 2x horizon per key.
+    amount, unit = horizon.split(None, 1)
+    delay = f"{2 * int(amount)} {unit}"  # e.g. "1 hour" -> "2 hour"
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -116,7 +125,7 @@ def attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", horizon)
+        .withWatermark("click_ts", delay)
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -126,7 +135,7 @@ def attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
             F.col("ts").alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
         )
-        .withWatermark("purchase_ts", horizon)
+        .withWatermark("purchase_ts", delay)
     )
     joined = clicks.join(
         purchases,
@@ -352,8 +361,13 @@ def run_foreachbatch_upsert(events: DataFrame, stage_name: str = "fb_upsert") ->
     import tempfile
 
     spark = events.sparkSession
+    # pid-scoped like _SNAP_ROOT (ADVICE r5): a fixed shared dir lets
+    # two concurrent sessions clobber each other's current/next dirs
+    # and checkpoint mid-run
     stage_root = os.path.join(
-        tempfile.gettempdir(), "pandas_redshift_spark_stage", stage_name
+        tempfile.gettempdir(),
+        "pandas_redshift_spark_stage",
+        f"{stage_name}_{os.getpid()}",
     )
     shutil.rmtree(stage_root, ignore_errors=True)
     os.makedirs(stage_root, exist_ok=True)

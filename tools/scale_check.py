@@ -35,8 +35,14 @@ def main() -> int:
     print(f"| query | sf{small['sf']} s | sf{big['sf']} s | ratio |")
     print("|---|---|---|---|")
     offenders = []
-    for name in sq:
+    # union of both runs' query sets (ADVICE r5): a query present only
+    # in the big-SF bench must be reported, not silently dropped —
+    # otherwise a new query that only regresses at scale never flags
+    for name in list(sq) + [n for n in bq if n not in sq]:
         a, b = sq.get(name), bq.get(name)
+        if a is None:
+            offenders.append(f"{name} (missing at sf{small['sf']})")
+            continue
         if b is None:
             offenders.append(f"{name} (missing at sf{big['sf']})")
             continue
