@@ -213,11 +213,45 @@ def listagg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_bernoulli")
+@query(
+    "sample_bernoulli",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE ('0x' || substr(md5('bern:' || CAST(l_orderkey AS VARCHAR) || ':'
+                               || CAST(l_linenumber AS VARCHAR)), 1, 3))::BIGINT
+          < 410
+    """,
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE analogue: seeded Bernoulli sample (10%).  RNG
+    """TABLESAMPLE analogue, DEFAULT = the deterministic arithmetic-
+    hash sampler (VERDICT r5 item 6): keep a row iff the first 12 bits
+    of md5 over its primary key land under 410/4096 (~10.01%) — a
+    uniform, seed-stable, ENGINE-PORTABLE Bernoulli draw, so the
+    DuckDB oracle hash-verifies the exact sample.  This is also the
+    sampler you actually want at 100 TB: resumable, shard-independent,
+    and re-runnable to the same rows (TABLESAMPLE's RNG stream is
+    partition-layout-dependent).  The engine-RNG TABLESAMPLE form
+    lives on as :func:`sample_bernoulli_rng` (rows-only by nature)."""
+    li = Tables(spark, sf_dir).lineitem
+    key = F.concat(
+        F.lit("bern:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bits = F.conv(F.substring(F.md5(key), 1, 3), 16, 10).cast("bigint")
+    return li.filter(bits < 410).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@query("sample_bernoulli_rng")
+def sample_bernoulli_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-RNG TABLESAMPLE variant (seeded 10% Bernoulli): RNG
     streams are engine-specific -> rows-only check; with a fixed seed
-    and stable partitioning the sample is reproducible within Spark."""
+    and stable partitioning the sample is reproducible within Spark.
+    The hash-verified default is :func:`sample_bernoulli`."""
     li = Tables(spark, sf_dir).lineitem
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_extendedprice"

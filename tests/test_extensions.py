@@ -598,30 +598,32 @@ def test_percentiles_approx_within_tolerance_of_exact(spark, sf_dir):
 
 
 def test_sample_bernoulli_fraction_subset_and_reproducible(spark, sf_dir):
-    """sample_bernoulli is rows-only at the driver (RNG streams are
-    engine-specific) — THIS test is its correctness check: the sample
-    is a subset of the source, the kept fraction concentrates around
-    10%, and a fixed seed reproduces the identical row set."""
-    from pandas_redshift_spark.operators.advanced import sample_bernoulli
+    """Both samplers — the hash-default (driver hash-verified) and the
+    engine-RNG TABLESAMPLE variant (rows-only at the driver; THIS test
+    is its correctness check) — must draw a subset of the source whose
+    kept fraction concentrates around 10% and reproduce the identical
+    row set on a second run."""
+    from pandas_redshift_spark.operators.advanced import (
+        sample_bernoulli,
+        sample_bernoulli_rng,
+    )
 
     li = Tables(spark, sf_dir).lineitem
     n_src = li.count()
-    s1 = sample_bernoulli(spark, sf_dir)
-    rows1 = {(r.l_orderkey, r.l_linenumber) for r in s1.collect()}
-    # fraction: binomial(n, 0.1) — 5 sigma bounds even at sf0.001
-    import math
-
-    sigma = math.sqrt(n_src * 0.1 * 0.9)
-    assert abs(len(rows1) - 0.1 * n_src) < 5 * sigma + 1
-    # subset of the source keys
     src_keys = {
         (r.l_orderkey, r.l_linenumber)
         for r in li.select("l_orderkey", "l_linenumber").collect()
     }
-    assert rows1 <= src_keys
-    # seeded reproducibility within Spark
-    rows2 = {(r.l_orderkey, r.l_linenumber) for r in sample_bernoulli(spark, sf_dir).collect()}
-    assert rows1 == rows2
+    import math
+
+    sigma = math.sqrt(n_src * 0.1 * 0.9)
+    for fn in (sample_bernoulli, sample_bernoulli_rng):
+        rows1 = {(r.l_orderkey, r.l_linenumber) for r in fn(spark, sf_dir).collect()}
+        # fraction: binomial(n, ~0.1) — 5 sigma bounds even at sf0.001
+        assert abs(len(rows1) - 0.1 * n_src) < 5 * sigma + 1, fn.__name__
+        assert rows1 <= src_keys, fn.__name__
+        rows2 = {(r.l_orderkey, r.l_linenumber) for r in fn(spark, sf_dir).collect()}
+        assert rows1 == rows2, fn.__name__
 
 
 def test_embedding_width_matches_pinned_constant(spark):
