@@ -56,6 +56,21 @@ def _driver_verified() -> tuple[set[str], set[str]]:
     return verified, rows_only
 
 
+#: Queries whose RESULTS change in the CURRENT round: their prior
+#: green CORRECTNESS rows certify the OLD output, so they outrank
+#: untouched-verified entries (but rank after never-checked ones) for
+#: driver re-checking.  PER-ROUND CONTRACT: derive this set fresh each
+#: round from the round's diff and EMPTY it once the driver re-verifies
+#: (tests/test_oracle_parity.py pins the pending <= reverify <=
+#: rows-only <= verified tier order and that every member is a live
+#: registered name, so a stale entry fails the suite).
+#: r7: dedup_semantic_ivf's cell assignment became two-level
+#: (super-cell then child) — cells and hence the output hash changed;
+#: every other r7 edit (seed-sort TakeOrdered, test/doc fixes) is
+#: output-identical.
+REVERIFY_NAMES: set[str] = {"dedup_semantic_ivf"}
+
+
 def _ordered_specs():
     specs = all_queries()
     verified, rows_only = _driver_verified()
@@ -128,23 +143,8 @@ def _ordered_specs():
 
     pending.sort(key=rank)  # stable: registration order within a tier
 
-    # Queries whose RESULTS changed this round (r6: the prenormalized
-    # embedding refactor + trained k-means centroids re-derived every
-    # embedding hash) — their prior green rows certify the OLD output,
-    # so they outrank untouched-verified entries for re-checking.
-    reverify_names = {
-        "sim_bruteforce_topk",
-        "sim_pairs_threshold_exact",
-        "sim_lsh_topk",
-        "sim_ivf_topk",
-        "sim_knn_classify",
-        "dedup_embedding_cosine",
-        "dedup_embedding_cosine_exact",
-        "dedup_semantic_ivf",
-        "pipe_decontaminate_semantic",
-    }
-    reverify = [s for s in checked if s.name in reverify_names]
-    checked = [s for s in checked if s.name not in reverify_names]
+    reverify = [s for s in checked if s.name in REVERIFY_NAMES]
+    checked = [s for s in checked if s.name not in REVERIFY_NAMES]
     return pending + reverify + weak + checked
 
 

@@ -71,9 +71,11 @@ def test_doc_counts_match_registry():
 def test_pending_queries_ordered_first():
     """The driver checks a bounded prefix of queries(): every name
     WITHOUT a passing CORRECTNESS_r*.json row must sort before every
-    hash-verified name.  Rows-only passes are the weak middle tier:
-    after pending (unless they since gained an oracle, which re-pends
-    them), before hash-verified."""
+    hash-verified name.  Two middle tiers between them: REVERIFY
+    (verified names whose output the current round's code changes —
+    their green rows certify the OLD output) directly after pending,
+    then rows-only passes (weak signal; they re-pend if they since
+    gained an oracle), then untouched hash-verified last."""
     import __spark_entry__ as e
     from pandas_redshift_spark.operators import all_queries
 
@@ -83,6 +85,9 @@ def test_pending_queries_ordered_first():
 
         pytest.skip("no CORRECTNESS artifacts on disk")
     specs = all_queries()
+    # the reverify set is a per-round contract: every member must be a
+    # LIVE registered name (a renamed/removed member is stale)
+    assert e.REVERIFY_NAMES <= set(specs), e.REVERIFY_NAMES - set(specs)
     # a rows-only name that now has an oracle is pending again; names
     # recorded in old rounds but since renamed/removed are ignored
     # (they can't appear in queries() either)
@@ -91,8 +96,9 @@ def test_pending_queries_ordered_first():
         for n in rows_only
         if n not in verified and n in specs and specs[n].oracle is not None
     }
-    tier = {n: 2 for n in verified}
-    tier.update({n: 1 for n in rows_only - verified - repend})
+    tier = {n: 3 for n in verified}
+    tier.update({n: 2 for n in rows_only - verified - repend})
+    tier.update({n: 1 for n in e.REVERIFY_NAMES if n in verified})
     last = 0
     for n in list(e.queries()):
         t = tier.get(n, 0)
