@@ -526,6 +526,19 @@ KMEANS_SAMPLE_MOD = 4
 _KMEANS_MEMO: dict[tuple, list] = {}
 
 
+def _seed_frame(samp: DataFrame, k_cells: int) -> DataFrame:
+    """The K smallest-id sample vectors — k-means seeds.  ``orderBy +
+    limit`` plans as TakeOrderedAndProject (per-partition top-K, tiny
+    merge on the driver); the r6 global-window ``row_number`` form was
+    a single-partition sort of the WHOLE sample — a straggler at scale
+    (VERDICT r6 item 3).  tests/test_plans.py pins this plan shape."""
+    return (
+        samp.orderBy("vec_id")
+        .limit(k_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("emb_n").alias("c_en"))
+    )
+
+
 def train_kmeans_centroids(
     spark: SparkSession,
     emb: DataFrame,
@@ -561,7 +574,31 @@ def train_kmeans_centroids(
 
     Returns a broadcast-ready ``(cell, c_en)`` DataFrame of LITERAL
     centroid values, so downstream assign/probe plans are shallow and
-    the training jobs run once per (session, cache_key)."""
+    the training jobs run once per (session, cache_key).  Callers that
+    need the literal VALUES (e.g. the two-level SemDeDup assignment,
+    which derives super-centroids from them driver-side) use
+    :func:`train_kmeans_centroid_values`."""
+    return broadcast(
+        spark.createDataFrame(
+            train_kmeans_centroid_values(
+                spark, emb, k_cells, cache_key, iters, sample_mod
+            ),
+            schema="cell long, c_en array<double>",
+        )
+    )
+
+
+def train_kmeans_centroid_values(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_cells: int,
+    cache_key: tuple,
+    iters: int = KMEANS_ITERS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+) -> list:
+    """The memoized ``[(cell, [centroid floats])]`` literals behind
+    :func:`train_kmeans_centroids` (see there for the algorithm and
+    the oracle-replay pins), in seed order (cell id ascending)."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _KMEANS_MEMO if k[0] != app_id]:
         del _KMEANS_MEMO[k]
@@ -571,13 +608,7 @@ def train_kmeans_centroids(
         samp = emb.filter(F.col("vec_id") % sample_mod == 0).select(
             "vec_id", "emb_n"
         )
-        w_seed = Window.orderBy("vec_id")
-        seed_rows = (
-            samp.withColumn("srn", F.row_number().over(w_seed))
-            .filter(F.col("srn") <= k_cells)
-            .select(F.col("vec_id").alias("cell"), F.col("emb_n").alias("c_en"))
-            .collect()
-        )
+        seed_rows = _seed_frame(samp, k_cells).collect()
         cents = [(r["cell"], list(r["c_en"])) for r in seed_rows]
         n_dims = len(cents[0][1])
         for _ in range(iters):
@@ -617,9 +648,7 @@ def train_kmeans_centroids(
                 nxt.append((cell, [v / nrm for v in raw]))
             cents = nxt
         _KMEANS_MEMO[key] = cents
-    return broadcast(
-        spark.createDataFrame(cents, schema="cell long, c_en array<double>")
-    )
+    return cents
 
 
 def _kmeans_ctes(
@@ -681,14 +710,228 @@ def _kmeans_ctes(
     return ",\n    ".join(parts)
 
 
+def _lip(a: list, b: list) -> float:
+    """Left-to-right dot-product fold over Python floats — the exact
+    arithmetic of Spark's ``aggregate(zip_with(...))`` fold and
+    DuckDB's ``list_inner_product`` (bit-exact across all three, see
+    tests/test_extensions.py::test_dot_product_cross_engine_parity)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def super_centroids(
+    cents: list, s_cells: int, iters: int = KMEANS_ITERS
+) -> tuple[list, dict]:
+    """Level-2 codebook for hierarchical (two-level) IVF assignment:
+    spherical k-means over the K CHILD centroids themselves, S =
+    ``s_cells`` cells — so a vector finds its cell by scoring S
+    super-centroids, then only the winning super-cell's children:
+    N x (S + K/S) ~ 2N*sqrt(K) dot products instead of the flat N x K
+    (the r6-verdict quadratic term: K grows with N under the SemDeDup
+    K = N/125 schedule, so flat assignment was N^2/125 at scale).
+
+    Runs DRIVER-SIDE over the literal child centroids (K x dims
+    rounded doubles — the same driver-scalar class the Lloyd updates
+    in :func:`train_kmeans_centroids` already collect per iteration,
+    so this adds no new scale class; at extreme K the identical
+    schedule lifts into the Spark trainer unchanged).  Every float op
+    is pinned to the engines' shared arithmetic so the DuckDB replay
+    (:func:`_super_ctes`) reproduces the values BIT-EXACTLY, with no
+    6dp rounding pin needed at this level:
+
+    - seeds: the S smallest-cell-id child centroids (cell-asc order);
+    - assignment: argmax of the left-fold dot (:func:`_lip` ==
+      ``list_inner_product``), strict-greater keeps the earlier
+      (smaller-id) super-cell — identical to ``row_number() OVER
+      (ORDER BY lip DESC, sup)``;
+    - per-dim mean: members in cell-asc order, summed left-to-right
+      via ``acc + v * 1.0`` == DuckDB ``list_inner_product(array_agg(v
+      ORDER BY cell), list_transform(vals, x -> 1.0))``, divided by
+      the double count — order-pinned, so no rounding is required
+      (this is the ADVICE-r6 deterministic-fold mean, applied to the
+      level it was invented for);
+    - renormalize: ``x / sqrt(lip(raw, raw))``; an empty super-cell
+      keeps its previous centroid.
+
+    Returns ``(sups, c2s)``: the final ``[(sup_id, [floats])]`` list
+    (seed order) and the child-cell -> super-cell dict assigned
+    against the FINAL centroids."""
+    cs = sorted((cell, list(vec)) for cell, vec in cents)
+
+    def nearest(vec: list, sups: list) -> int:
+        best_sim, best_id = float("-inf"), -1
+        for sid, sen in sups:
+            s = _lip(vec, sen)
+            if s > best_sim:
+                best_sim, best_id = s, sid
+        return best_id
+
+    sups = [(cell, list(vec)) for cell, vec in cs[:s_cells]]
+    for _ in range(iters):
+        members: dict[int, list] = {}
+        for cell, vec in cs:  # cell-asc: the mean's pinned fold order
+            members.setdefault(nearest(vec, sups), []).append(vec)
+        nxt = []
+        for sid, prev in sups:
+            vecs = members.get(sid)
+            if not vecs:
+                nxt.append((sid, prev))
+                continue
+            cnt = float(len(vecs))
+            raw = []
+            for dim in range(len(prev)):
+                acc = 0.0
+                for v in vecs:
+                    acc = acc + v[dim] * 1.0
+                raw.append(acc / cnt)
+            nrm = math.sqrt(_lip(raw, raw))
+            nxt.append((sid, [x / nrm for x in raw]))
+        sups = nxt
+    c2s = {cell: nearest(vec, sups) for cell, vec in cs}
+    return sups, c2s
+
+
+def _cand_struct(cand_id: int, vec: list) -> Column:
+    """``struct<id: long, cen: array<double>>`` literal candidate.
+    ``F.lit(list)`` builds the whole array literal in ONE py4j call —
+    per-element ``F.lit`` floats measured ~1 ms of driver round-trip
+    EACH, which at the sf1 scale sample's K=160 x 64 dims is ~10 s of
+    pure expression construction."""
+    return F.struct(
+        F.lit(int(cand_id)).cast("long").alias("id"),
+        F.lit([float(x) for x in vec]).alias("cen"),
+    )
+
+
+def argmax_dot(vec: Column, cands: Column) -> Column:
+    """Id of the candidate (array<struct<id, cen>>, id-ascending) with
+    the max dot product against ``vec`` — ties keep the smallest id,
+    exactly ``row_number() OVER (ORDER BY dot DESC, id)`` = 1.
+
+    A pure per-row fold over broadcast literals: nearest-centroid
+    assignment becomes a NARROW projection — no join, no shuffle, no
+    window — the plan you want when the corpus is 100 TB and the
+    codebook is kilobytes.  (At extreme K the same argmax runs as a
+    broadcast join + max(struct) partial agg; the fold form keeps the
+    bench plans one stage.)"""
+    init = F.struct(
+        F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("id")
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        s = dot(vec, c["cen"])
+        return F.when(
+            s > acc["sim"], F.struct(s.alias("sim"), c["id"].alias("id"))
+        ).otherwise(acc)
+
+    return F.aggregate(cands, init, step, lambda acc: acc["id"])
+
+
+def _super_ctes(iters: int = KMEANS_ITERS) -> str:
+    """CTE chain replaying :func:`super_centroids` + the two-level
+    vector assignment in DuckDB, BIT-exactly (all reductions are
+    ``list_inner_product`` folds; the per-dim means aggregate members
+    in cell-asc order and divide by the double count — no rounding).
+    Assumes ``e`` (vectors), ``cents`` (child centroids), ``kk(k)``
+    and ``kdims(dim)`` CTEs in scope; emits ``assigned(vec_id,
+    cell)``."""
+    parts = [
+        """skk AS (
+        SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS s FROM kk
+    ),
+    sup0 AS (
+        SELECT sup, s_en FROM (
+            SELECT cell AS sup, c_en AS s_en,
+                   row_number() OVER (ORDER BY cell) AS srn
+            FROM cents
+        ) WHERE srn <= (SELECT s FROM skk)
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"sup{i-1}"
+        parts.append(
+            f"""sup{i}_asg AS (
+        SELECT cell, sup FROM (
+            SELECT c.cell, s.sup, row_number() OVER (
+                PARTITION BY c.cell
+                ORDER BY list_inner_product(c.c_en, s.s_en) DESC, s.sup
+            ) AS rn
+            FROM cents c CROSS JOIN {prev} s
+        ) WHERE rn = 1
+    ),
+    sup{i}_vals AS (
+        SELECT a.sup, d.dim,
+               array_agg(c.c_en[d.dim] ORDER BY c.cell) AS vals,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM sup{i}_asg a JOIN cents c ON a.cell = c.cell
+        CROSS JOIN kdims d
+        GROUP BY a.sup, d.dim
+    ),
+    sup{i}_avg AS (
+        SELECT sup, dim,
+               list_inner_product(vals, list_transform(vals, x -> 1.0)) / cnt
+                   AS cv
+        FROM sup{i}_vals
+    ),
+    sup{i}_arr AS (
+        SELECT sup, array_agg(cv ORDER BY dim) AS s_raw
+        FROM sup{i}_avg GROUP BY sup
+    ),
+    sup{i} AS (
+        SELECT p.sup,
+               COALESCE(
+                   list_transform(w.s_raw,
+                       x -> x / sqrt(list_inner_product(w.s_raw, w.s_raw))),
+                   p.s_en
+               ) AS s_en
+        FROM {prev} p LEFT JOIN sup{i}_arr w ON p.sup = w.sup
+    )"""
+        )
+    parts.append(
+        f"""c2s AS (
+        SELECT cell, sup FROM (
+            SELECT c.cell, s.sup, row_number() OVER (
+                PARTITION BY c.cell
+                ORDER BY list_inner_product(c.c_en, s.s_en) DESC, s.sup
+            ) AS rn
+            FROM cents c CROSS JOIN sup{iters} s
+        ) WHERE rn = 1
+    ),
+    v2s AS (
+        SELECT vec_id, sup FROM (
+            SELECT e.vec_id, s.sup, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_inner_product(e.en, s.s_en) DESC, s.sup
+            ) AS rn
+            FROM e CROSS JOIN sup{iters} s
+            WHERE s.sup IN (SELECT DISTINCT sup FROM c2s)
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, m.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY list_inner_product(ev.en, c.c_en) DESC, m.cell
+            ) AS rn
+            FROM v2s v
+            JOIN e ev ON ev.vec_id = v.vec_id
+            JOIN c2s m ON m.sup = v.sup
+            JOIN cents c ON c.cell = m.cell
+        ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
 #: DuckDB twin of sim_ivf_topk: trained k-means centroids, nearest-1
 #: cell assignment for the corpus, nearest-4 probes for the queries,
 #: exact re-score in probed cells, top-5 — all deterministic (ties
 #: broken by cell/neighbor id; dot products bit-exact across engines).
-#: shared oracle CTE prefix replaying the deterministic IVF coarse
-#: quantization (normed vectors -> trained centroids -> nearest-cell
-#: assignment) — single source for sim_ivf_topk and dedup_semantic_ivf
-#: so the assignment rule can never diverge between the two oracles.
+#: (sim_ivf_topk keeps FLAT assignment: its K=16 is fixed, so the
+#: N x K term is linear here; dedup_semantic_ivf, whose K grows with
+#: N, routes through the two-level :func:`_super_ctes` replay.)
 _IVF_ASSIGN_CTES = f"""{_EN_CTE},
     {_kmeans_ctes("16")},
     cellsim AS (
@@ -746,8 +989,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(t).select("vec_id", "emb_n")
     k_cells, nprobe = 16, 4
 
+    # cache_key carries no operator name: training is a pure function
+    # of (corpus, K, iters, sample_mod) — all already in the memo key —
+    # so any operator needing the same codebook shares ONE training
+    # (dedup_semantic_ivf reuses this K=16 codebook whenever its
+    # N/125 schedule also lands on 16, e.g. at every test SF).
     cents = train_kmeans_centroids(
-        spark, emb, k_cells, cache_key=("ivf_topk", sf_dir)
+        spark, emb, k_cells, cache_key=("kmeans", sf_dir)
     )
 
     def nearest_cells(df: DataFrame, id_col: str, n: int) -> DataFrame:
@@ -951,17 +1199,7 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e
     ),
     {_kmeans_ctes("(SELECT k FROM kk)")},
-    cellsim AS (
-        SELECT e.vec_id, c.cell,
-               list_inner_product(e.en, c.c_en) AS c_sim
-        FROM e CROSS JOIN cents c
-    ),
-    ranked AS (
-        SELECT vec_id, cell, row_number() OVER (
-            PARTITION BY vec_id ORDER BY c_sim DESC, cell
-        ) AS c_rn FROM cellsim
-    ),
-    assigned AS (SELECT vec_id, cell FROM ranked WHERE c_rn = 1),
+    {_super_ctes()},
     m AS (
         SELECT a.vec_id, a.cell, e.en
         FROM assigned a JOIN e ON a.vec_id = e.vec_id
@@ -989,21 +1227,30 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Clustering uses TRAINED centroids (deterministic sampled spherical
     k-means, :func:`train_kmeans_centroids` — same trainer as
-    sim_ivf_topk) with nearest-cell assignment; the keep rule is
-    min-id-wins, making the result order-free and the DuckDB replay
-    exact (dot products are bit-identical across engines, so the
-    threshold compare needs no rounding guard).
+    sim_ivf_topk) with TWO-LEVEL nearest-cell assignment (r6-verdict
+    item 2): S = ceil(sqrt(K)) super-centroids are derived from the
+    child codebook (:func:`super_centroids`), each vector scores the S
+    supers, then only its winning super-cell's children — N x (S +
+    K/S) ~ 2N*sqrt(K) dot products where flat assignment was N x K =
+    N^2/125 under the K schedule below, the term that made the r6
+    pipeline quadratic at scale.  The keep rule is min-id-wins, making
+    the result order-free and the DuckDB replay exact (dot products
+    are bit-identical across engines, so the threshold compare needs
+    no rounding guard; the super-trainer's means are order-pinned
+    folds, bit-exact with no rounding at all).
 
-    Scale design: this IS the SemDeDup cost model — one broadcast
-    centroid pass assigns cells (no corpus shuffle), and the pairwise
-    stage is confined within cells, so the candidate space is
-    sum(|cell|^2) not |corpus|^2.  **K scales with the corpus**:
-    K = max(16, ceil(N/125)) holds the target cell size at ~125, so
-    the within-cell pairwise work stays LINEAR in N (the r5 sf1 scale
-    sample measured the fixed-16 version at 19x on a 10x data step —
-    the quadratic sum(|cell|^2) blowup this formula removes; both
-    engines compute K from the same count).  The assignment frame is
-    memoized-persisted because the self-join consumes it twice."""
+    Scale design: this IS the SemDeDup cost model, now linear
+    end-to-end — the assignment is a NARROW projection (argmax folds
+    over broadcast codebook literals: no join, no shuffle, no window),
+    and the pairwise stage is confined within cells, so the candidate
+    space is sum(|cell|^2) not |corpus|^2.  **K scales with the
+    corpus**: K = max(16, ceil(N/125)) holds the target cell size at
+    ~125, so the within-cell pairwise work stays LINEAR in N (the r5
+    sf1 scale sample measured the fixed-16 version at 19x on a 10x
+    data step — the quadratic sum(|cell|^2) blowup this formula
+    removes; both engines compute K from the same count).  The
+    assignment frame is memoized-persisted because the self-join
+    consumes it twice."""
     t = Tables(spark, sf_dir)
     tau = 0.3
 
@@ -1014,20 +1261,34 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would force a full scan+compute on every cold build)
         n_vecs = t.embeddings.count()
         k_cells = max(16, math.ceil(n_vecs / 125.0))
-        cents = train_kmeans_centroids(
-            spark, emb, k_cells, cache_key=("semdedup", sf_dir)
+        cents = train_kmeans_centroid_values(
+            spark, emb, k_cells, cache_key=("kmeans", sf_dir)
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
-        return (
-            emb.join(cents, how="cross")
-            .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
-            .withColumn("c_rn", F.row_number().over(w))
-            .filter(F.col("c_rn") == 1)
-            # persist the PRENORMALIZED vector only: the pair stage
-            # below then runs one dot fold per candidate pair — no
-            # per-pair divisions, and a ~half-size persisted frame
-            .select("vec_id", "cell", "emb_n")
+        sups, c2s = super_centroids(cents, math.ceil(math.sqrt(k_cells)))
+        # only super-cells that won at least one child are scoreable
+        # (a vector routed to a childless super would have no cell)
+        live = {s for s in c2s.values()}
+        sup_arr = F.array(
+            *[_cand_struct(sid, sen) for sid, sen in sorted(sups) if sid in live]
         )
+        kids: dict[int, list] = {}
+        for cell, vec in sorted(cents):
+            kids.setdefault(c2s[cell], []).append(_cand_struct(cell, vec))
+        child_map = F.create_map(
+            *[
+                x
+                for sup, arr in kids.items()
+                for x in (F.lit(int(sup)).cast("long"), F.array(*arr))
+            ]
+        )
+        cell = argmax_dot(
+            F.col("emb_n"),
+            F.element_at(child_map, argmax_dot(F.col("emb_n"), sup_arr)),
+        )
+        # persist the PRENORMALIZED vector only: the pair stage below
+        # then runs one dot fold per candidate pair — no per-pair
+        # divisions, and a ~half-size persisted frame
+        return emb.select("vec_id", cell.alias("cell"), "emb_n")
 
     assigned = memoized_persist(spark, ("semdedup_assigned", sf_dir), build)
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+import pyspark.sql.functions as F
+
 from pandas_redshift_spark.operators import all_queries
 
 
@@ -281,7 +283,9 @@ _AUDIT_WAIVERS = {
     "sim_bruteforce_topk": {"bnlj": "10 broadcast query vectors; corpus streams one pass (exact baseline by design)"},
     "sim_knn_classify": {"bnlj": "10 broadcast query vectors"},
     "sim_ivf_topk": {"bnlj": "10 broadcast query vectors vs centroid table"},
-    "dedup_semantic_ivf": {"bnlj": "16 broadcast centroids fan over the corpus — the IVF assignment pass, not an all-pairs join"},
+    # dedup_semantic_ivf lost its bnlj waiver in r7: the two-level
+    # assignment is a narrow literal-fold projection (no join at all),
+    # and the pair stage self-joins on the equi cell key.
     "pipe_decontaminate_semantic": {"bnlj": "tiny benchmark vector set broadcast against the streamed corpus — the decontamination shape, corpus never shuffles"},
     # -- deliberately-quadratic oracle baselines (LSH twins are the defaults) --
     "dedup_embedding_cosine_exact": {"bnlj": "O(n^2) ORACLE BASELINE; registered default is the LSH-bucketed twin"},
@@ -292,6 +296,33 @@ _AUDIT_WAIVERS = {
     "multimodal_resize": {"python_eval": "mapInPandas nearest-neighbor resize seam — Arrow-batched, oracle-checked"},
     "multimodal_decode": {"python_eval": "mapInPandas REAL BMP/WAV encode+parse stages — Arrow-batched, closed-form oracle"},
 }
+
+
+def test_kmeans_seed_selection_has_no_single_partition_sort(spark, sf_dir):
+    """The k-means trainer's seed draw must plan as
+    TakeOrderedAndProject (per-partition top-K + driver merge), not
+    the r6 global-window row_number — an Exchange SinglePartition of
+    the whole training sample (VERDICT r6 item 3).  Audited here on
+    the trainer's REAL seed frame so the shape can't regress."""
+    from pandas_redshift_spark.operators.similarity import (
+        KMEANS_SAMPLE_MOD,
+        _emb_double,
+        _seed_frame,
+    )
+    from pandas_redshift_spark.plans.audit import audit_plan
+    from pandas_redshift_spark.session import Tables
+
+    samp = (
+        _emb_double(Tables(spark, sf_dir))
+        .select("vec_id", "emb_n")
+        .filter(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
+    )
+    seeds = _seed_frame(samp, 16)
+    assert not [f for f in audit_plan(seeds) if f.rule == "single_part"]
+    plan = seeds._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_every_registered_plan_passes_audit(spark, sf_dir):
