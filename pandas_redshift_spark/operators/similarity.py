@@ -559,15 +559,19 @@ def train_kmeans_centroids(
     - seeds: the K smallest-id sample vectors' unit-normalized
       embeddings; ``cell`` keeps the seed's vec_id;
     - per iteration: assign each sample vector to its max-dot centroid
-      (ties -> smaller cell id), re-average per (cell, dim), round the
-      averages at 6dp — the one spot where engine summation order
-      could differ, pinned the same way sim_centroid_by_label pins its
-      centroids — then renormalize with a left-to-right
-      sum-of-squares fold (bit-exact in Spark/DuckDB/Python);
+      (ties -> smaller cell id), re-average per (cell, dim) with an
+      ORDER-PINNED mean — members summed left-to-right in vec_id-asc
+      order (Spark: fold over ``array_sort(collect_list(struct(vec_id,
+      val)))``; DuckDB: ``list_inner_product(array_agg(val ORDER BY
+      vec_id), ones)``), divided by the double count — bit-exact
+      across engines with NO rounding pin (the r6 ``round(avg(), 6)``
+      pin was itself a flake source: the three engines round 6dp
+      boundary values differently, ADVICE r6) — then renormalize with
+      a left-to-right sum-of-squares fold;
     - a cell that captured no vectors keeps its previous centroid.
 
     Scale design: this is the ML-KMeans pattern — the sample stages
-    run distributed, and only K x dims rounded doubles ever reach the
+    run distributed, and only K x dims doubles ever reach the
     driver (the same driver-side scalar class as the CC convergence
     signals).  At 100 TB the sample predicate becomes a fixed-size
     draw; the schedule and replay stay identical.
@@ -623,12 +627,30 @@ def train_kmeans_centroid_values(
                 .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
                 .withColumn("c_rn", F.row_number().over(w_asg))
                 .filter(F.col("c_rn") == 1)
-                .select("cell", "emb_n")
+                .select("vec_id", "cell", "emb_n")
             )
+            # order-pinned mean: members folded left-to-right in
+            # vec_id-asc order, so the sum (and thus the centroid) is
+            # bit-identical to the DuckDB/Python replays with no
+            # rounding pin.  Member lists are ~(sample/K) elements
+            # (the ~125/sample_mod cell-size target), constant under
+            # the K = N/125 schedule — collect_list stays bounded.
             avg_rows = (
-                assigned.select("cell", F.posexplode("emb_n").alias("dim", "val"))
+                assigned.select(
+                    "vec_id", "cell", F.posexplode("emb_n").alias("dim", "val")
+                )
                 .groupBy("cell", "dim")
-                .agg(F.round(F.avg("val"), 6).alias("cv"))
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["val"],
+                    ).alias("sv"),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
+                .select(
+                    "cell", "dim", (F.col("sv") / F.col("cnt")).alias("cv")
+                )
                 .collect()
             )
             by_cell: dict[int, dict[int, float]] = {}
@@ -658,8 +680,10 @@ def _kmeans_ctes(
     n_dims: int = EMBEDDING_DIMS,
 ) -> str:
     """CTE chain replaying :func:`train_kmeans_centroids` in DuckDB —
-    same sample, seeds, assignment rule, 6dp-rounded per-dim averages,
-    and left-fold renormalization (``en[dim]`` is 1-indexed here and
+    same sample, seeds, assignment rule, order-pinned per-dim means
+    (members summed vec_id-asc via ``list_inner_product(array_agg(val
+    ORDER BY vec_id), ones)`` — bit-exact with Spark's sorted
+    collect_list fold, no rounding), and left-fold renormalization (``en[dim]`` is 1-indexed here and
     0-indexed in Spark's posexplode; the packed arrays line up
     element-for-element).  Assumes the ``e`` CTE from ``_EN_CTE`` is in
     scope; ``k_expr`` may be a literal or a scalar subquery.  Emits a
@@ -686,11 +710,19 @@ def _kmeans_ctes(
             FROM samp s CROSS JOIN {prev} c
         ) WHERE c_rn = 1
     ),
-    it{i}_avg AS (
-        SELECT a.cell, d.dim, round(avg(s.en[d.dim]), 6) AS cv
+    it{i}_vals AS (
+        SELECT a.cell, d.dim,
+               array_agg(s.en[d.dim] ORDER BY s.vec_id) AS vals,
+               CAST(count(*) AS DOUBLE) AS cnt
         FROM it{i}_asg a JOIN samp s ON a.vec_id = s.vec_id
         CROSS JOIN kdims d
         GROUP BY a.cell, d.dim
+    ),
+    it{i}_avg AS (
+        SELECT cell, dim,
+               list_inner_product(vals, list_transform(vals, x -> 1.0)) / cnt
+                   AS cv
+        FROM it{i}_vals
     ),
     it{i}_arr AS (
         SELECT cell, array_agg(cv ORDER BY dim) AS c_raw
@@ -733,7 +765,7 @@ def super_centroids(
     K = N/125 schedule, so flat assignment was N^2/125 at scale).
 
     Runs DRIVER-SIDE over the literal child centroids (K x dims
-    rounded doubles — the same driver-scalar class the Lloyd updates
+    doubles — the same driver-scalar class the Lloyd updates
     in :func:`train_kmeans_centroids` already collect per iteration,
     so this adds no new scale class; at extreme K the identical
     schedule lifts into the Spark trainer unchanged).  Every float op

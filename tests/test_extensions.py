@@ -1115,17 +1115,18 @@ def test_semantic_ivf_dedup_matches_numpy_reference(spark):
     """Differential check of dedup_semantic_ivf against a pure-Python
     replay of the FULL pipeline at sf0.001 — prenormalization, the
     deterministic sampled k-means training (seeds, per-iteration
-    assignment, 6dp-rounded per-dim means, left-fold renorm,
-    empty-cell carryover), the r7 TWO-LEVEL assignment (super-centroid
-    k-means over the child codebook with order-pinned unrounded means,
-    then nearest-child-within-super), and the parallel min-id drop
-    rule.  Dot products use an explicit LEFT-TO-RIGHT
+    assignment, order-pinned unrounded per-dim means, left-fold
+    renorm, empty-cell carryover), the r7 TWO-LEVEL assignment
+    (super-centroid k-means over the child codebook with the same
+    pinned means, then nearest-child-within-super), and the parallel
+    min-id drop rule.  Dot products use an explicit LEFT-TO-RIGHT
     fold over element products — the same order as Spark's
     ``aggregate`` — so the reference is bit-identical to the engine;
     BLAS matmul (blocked/FMA/pairwise) can differ in the last ulps,
     which would make threshold/argmax decisions at a boundary a
-    data-dependent flake.  (The per-dim means are rounded at 6dp in
-    both, which is what absorbs summation-order drift there.)"""
+    data-dependent flake.  (The per-dim means accumulate members in
+    vec_id-asc order — the pinned fold all three replays share — so
+    no rounding is needed anywhere in the trainer.)"""
     import math
 
     import numpy as np
@@ -1184,10 +1185,14 @@ def test_semantic_ivf_dedup_matches_numpy_reference(spark):
             if not rows:
                 nxt.append((cell, prev))
                 continue
-            raw = [
-                round(sum(en[i][d] for i in rows) / len(rows), 6)
-                for d in range(len(en[0]))
-            ]
+            # pinned mean: members summed left-to-right in vec_id-asc
+            # order (rows IS vec_id-asc), divided by the double count
+            raw = []
+            for d in range(len(en[0])):
+                acc = 0.0
+                for i in rows:
+                    acc = acc + en[i][d] * 1.0
+                raw.append(acc / float(len(rows)))
             acc = 0.0
             for v in raw:
                 acc = acc + v * v
