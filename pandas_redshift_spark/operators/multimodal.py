@@ -137,6 +137,13 @@ def _build_media_codec():
             bpp = struct.unpack_from("<H", payload, 28)[0]
             if bpp != 24:
                 raise ValueError(f"unsupported BMP bpp={bpp}")
+            # BITMAPINFOHEADER compression dword: only BI_RGB (0) is an
+            # uncompressed pixel grid; RLE/BI_BITFIELDS payloads must
+            # refuse loudly (same contract as the WAV PCM check below),
+            # not be mis-summed as raw rows.
+            compression = struct.unpack_from("<I", payload, 30)[0]
+            if compression != 0:
+                raise ValueError(f"unsupported BMP compression={compression}")
             stride = (w * 3 + 3) & ~3
             pix_sum = 0
             for y in range(abs(h)):
@@ -302,9 +309,17 @@ def make_media_decoder():
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
 
+        cols = (
+            "modality", "width", "height", "sample_rate", "n_samples",
+            "duration_ms", "content_sum",
+        )
         for pdf in batches:
+            if pdf.empty:
+                # pd.DataFrame([]) is column-less; the astype loop
+                # below would KeyError on a rare empty Arrow batch
+                continue
             rows = [dec(p) for p in pdf["payload"]]
-            out = pd.DataFrame(rows)
+            out = pd.DataFrame(rows, columns=cols)
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
             for c in ("width", "height", "sample_rate", "n_samples", "duration_ms", "content_sum"):
                 out[c] = out[c].astype("Int64")

@@ -53,7 +53,11 @@ _SNAP_PARENT = _os.path.join(
     _tempfile.gettempdir(), "pandas_redshift_spark_stage"
 )
 _SNAP_ROOT = _os.path.join(_SNAP_PARENT, f"stream_snaps_{_os.getpid()}")
-for _old in _glob.glob(_os.path.join(_SNAP_PARENT, "stream_snaps_*")):
+# the sweep covers EVERY pid-suffixed child of the stage parent, not
+# just stream_snaps_* — run_foreachbatch_upsert's fb_upsert_<pid>
+# staging dirs (streaming/windows.py) are pid-scoped the same way and
+# would otherwise accumulate from dead sessions (ADVICE r6)
+for _old in _glob.glob(_os.path.join(_SNAP_PARENT, "*_*")):
     try:
         _old_pid = int(_old.rsplit("_", 1)[-1])
     except ValueError:
