@@ -64,11 +64,15 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: (tests/test_oracle_parity.py pins the pending <= reverify <=
 #: rows-only <= verified tier order and that every member is a live
 #: registered name, so a stale entry fails the suite).
-#: r7: dedup_semantic_ivf's cell assignment became two-level
-#: (super-cell then child) — cells and hence the output hash changed;
-#: every other r7 edit (seed-sort TakeOrdered, test/doc fixes) is
-#: output-identical.
-REVERIFY_NAMES: set[str] = {"dedup_semantic_ivf"}
+#: r8: EMPTY — the driver re-hashed r7's one output-changing query
+#: (dedup_semantic_ivf) green in CORRECTNESS_r07, and every r8 edit is
+#: output-identical at driver SFs: the broadcast-codebook assignment
+#: path only engages above the K threshold (sf0.01 trains K=16, far
+#: below it; the forced-threshold equivalence test pins hash-identity
+#: anyway), the zero-norm embedding guard filters rows that don't
+#: exist in any fixture (and the oracle CTE applies the same filter),
+#: and the horizon parser / temp-sweep changes are non-output code.
+REVERIFY_NAMES: set[str] = set()
 
 
 def _ordered_specs():

@@ -9,14 +9,35 @@ ONE JSON line:
 Execution is forced with a noop-format write (full pipeline runs,
 nothing is collected to the driver), matching how a cluster job would
 be bounded by compute+shuffle rather than driver materialization.
+
+Env knobs:
+- ``SPARK_GRAFT_BENCH_QUERIES`` — comma-separated query names that
+  REPLACE the headline list (ad-hoc runs, e.g. the sf1 scale sweep).
+- ``SPARK_GRAFT_BENCH_NO_BASELINE=1`` — skip the contemporaneous
+  baseline (below).
+
+Contemporaneous baseline (VERDICT r6 item 4 / r7 item 3): unless
+skipped, after the headline timings this harness checks out the
+ROUND-1 snapshot (commit d6d7ad4) into a git worktree at
+``.baseline_r1/`` (created once, gitignored) and runs THAT bench.py
+as a subprocess on the same machine in the same session, then emits
+both numbers side by side under ``"baseline"``.  The driver-recorded
+r1 number (16.40 s) predates ~1.5x of ambient machine drift
+(ROUND6.md measured it by this exact method), so the 2x gate is only
+meaningful against a baseline measured under today's machine state.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+#: round-1 end-of-round snapshot — the code the driver's BASELINE-era
+#: BENCH_r01.json (16.40 s / 22 queries / sf0.1) was recorded against
+R1_COMMIT = "d6d7ad4"
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -65,9 +86,49 @@ HEADLINE = (
 )
 
 
+def _baseline_r1(repo: str, sf_dir: str) -> dict | None:
+    """Run the ROUND-1 snapshot's own bench.py in a ``.baseline_r1/``
+    worktree (created on first use) and return its parsed JSON plus
+    era metadata — the same-machine same-session number the 2x gate
+    should compare against.  Any failure degrades to None (the main
+    bench result must never be lost to baseline plumbing)."""
+    wt = os.path.join(repo, ".baseline_r1")
+    try:
+        if not os.path.exists(os.path.join(wt, "bench.py")):
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, R1_COMMIT],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        # the r1 bench knows no knobs; it runs its fixed 22-query set
+        out = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            cwd=wt,
+        )
+        line = out.stdout.strip().rsplit("\n", 1)[-1]
+        parsed = json.loads(line)
+        return {
+            "commit": R1_COMMIT,
+            "total_sec": parsed["value"],
+            "queries": parsed["queries"],
+            "driver_recorded_r1_sec": 16.399,
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostic, not fatal
+        print(f"baseline_r1 skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = tuple(override.split(",")) if override else HEADLINE
     spark = build_session("pandas_redshift_spark-bench")
     specs = all_queries()
 
@@ -77,7 +138,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = specs[name].fn
         best = float("inf")
         for _ in range(3):  # best-of-3: damp JIT/GC/scheduler jitter
@@ -87,18 +148,30 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
     spark.stop()
+
+    result = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # contemporaneous r1 baseline (VERDICT r7 item 3): skipped for
+    # ad-hoc query-override runs (scale sweeps time OUR code only)
+    if not override and os.environ.get("SPARK_GRAFT_BENCH_NO_BASELINE") != "1":
+        base = _baseline_r1(os.path.dirname(os.path.abspath(__file__)), sf_dir)
+        if base is not None:
+            shared = [n for n in base["queries"] if n in timings]
+            base["shared_query_count"] = len(shared)
+            base["current_shared_sec"] = round(sum(timings[n] for n in shared), 3)
+            base["ratio_current_over_baseline"] = (
+                round(base["current_shared_sec"] / base["total_sec"], 3)
+                if base["total_sec"]
+                else None
+            )
+            result["baseline"] = base
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

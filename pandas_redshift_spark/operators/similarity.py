@@ -10,6 +10,7 @@ near-linear instead of |queries| x |corpus|.
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -88,6 +89,17 @@ def _emb_double(t: Tables) -> DataFrame:
     Unused columns are pruned by Catalyst, so queries that never read
     ``emb_n`` (signature-only, centroid averages) don't pay the
     transform.
+
+    Zero-norm vectors are FILTERED (ADVICE r7): ``emb / 0`` would make
+    ``emb_n`` all-NaN, and NaN similarities silently diverge between
+    the engines — Spark's strict-greater argmax folds never update on
+    NaN (the vector would land in no cell), while DuckDB's
+    ``row_number() OVER (ORDER BY lip DESC)`` sorts NaN first.  A
+    norm-zero embedding carries no direction, so no similarity op can
+    use it; dropping it is the only semantics both engines agree on,
+    and ``_EN_CTE`` applies the identical predicate so the oracles see
+    the same corpus.  (QC/profiling ops read the RAW table and still
+    surface such rows as outliers.)
     """
     # vector math is CPU-bound: spread the (often single-file) corpus
     # across all slots before scoring
@@ -97,6 +109,7 @@ def _emb_double(t: Tables) -> DataFrame:
     return (
         ensure_parallelism(e)
         .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+        .filter(F.col("nrm") > 0)
         .withColumn("emb_n", F.transform(F.col("emb"), lambda x: x / F.col("nrm")))
     )
 
@@ -105,6 +118,8 @@ def _emb_double(t: Tables) -> DataFrame:
 #: (the DuckDB twin of ``_emb_double``'s ``emb_n``) — per-element
 #: divide by the L2 norm, then every cosine downstream is ONE
 #: list_inner_product, the same arithmetic the Spark side folds.
+#: The WHERE mirrors ``_emb_double``'s zero-norm filter exactly
+#: (``sqrt(lip) > 0`` == ``lip > 0`` for non-negative lip).
 _EN_CTE = """e0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings
@@ -115,6 +130,7 @@ _EN_CTE = """e0 AS (
                    emb, x -> x / sqrt(list_inner_product(emb, emb))
                ) AS en
         FROM e0
+        WHERE list_inner_product(emb, emb) > 0
     )"""
 
 
@@ -520,6 +536,24 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 2
 KMEANS_SAMPLE_MOD = 4
 
+#: Above this K, dedup_semantic_ivf's two-level assignment stops
+#: embedding the codebook as plan LITERALS (O(K*d) expression tree —
+#: fine at bench K, a driver/plan-serialization bottleneck when the
+#: K = N/125 schedule tracks a 100 TB corpus) and switches to the
+#: broadcast-DataFrame argmax-join path (VERDICT r7 item 2): same
+#: floats, same strict-greater/smallest-id argmax, O(1) plan size.
+#: Env-overridable so the scale sweep and the equivalence test can
+#: force either path at any SF.
+CODEBOOK_LITERAL_MAX_K = int(os.environ.get("PRS_CODEBOOK_LITERAL_MAX_K", "1024"))
+
+#: Hard ceiling for the DRIVER-side super-centroid trainer
+#: (:func:`super_centroids` is O(iters * K * sqrt(K) * dims) pure
+#: Python — ~1e8 float ops at this bound, seconds; past it the
+#: identical schedule must lift into the Spark trainer).  ADVICE r7:
+#: extreme-K runs fail LOUDLY here instead of silently burning the
+#: driver for hours.
+SUPER_TRAIN_MAX_K = 16384
+
 #: trained-centroid memo keyed (applicationId, *caller key): training
 #: runs a couple of tiny sample jobs; bench best-of-3 and the probe +
 #: assign stages of one query should reuse one training run.
@@ -790,6 +824,14 @@ def super_centroids(
     Returns ``(sups, c2s)``: the final ``[(sup_id, [floats])]`` list
     (seed order) and the child-cell -> super-cell dict assigned
     against the FINAL centroids."""
+    if len(cents) > SUPER_TRAIN_MAX_K:
+        raise ValueError(
+            f"super_centroids: K={len(cents)} child centroids exceeds "
+            f"SUPER_TRAIN_MAX_K={SUPER_TRAIN_MAX_K} — the driver-side "
+            "Lloyd loop is O(iters*K*sqrt(K)*dims); lift this schedule "
+            "into train_kmeans_centroids' Spark trainer (identical "
+            "steps, distributed sample jobs) before raising the bound"
+        )
     cs = sorted((cell, list(vec)) for cell, vec in cents)
 
     def nearest(vec: list, sups: list) -> int:
@@ -859,6 +901,112 @@ def argmax_dot(vec: Column, cands: Column) -> Column:
         ).otherwise(acc)
 
     return F.aggregate(cands, init, step, lambda acc: acc["id"])
+
+
+def _assign_two_level_literal(
+    emb: DataFrame, sups: list, c2s: dict, cents: list, live: set
+) -> DataFrame:
+    """Two-level nearest-cell assignment with the codebook embedded as
+    PLAN LITERALS — a narrow projection (argmax folds over literal
+    arrays: no join, no shuffle, no window), the one-stage plan the
+    bench runs.  Plan size is O(K*d) literals, so this path is gated
+    at ``CODEBOOK_LITERAL_MAX_K``; past that the broadcast twin
+    (:func:`_assign_two_level_broadcast`) computes the identical
+    result with an O(1) plan.  Returns ``(vec_id, cell, emb_n)``."""
+    sup_arr = F.array(
+        *[_cand_struct(sid, sen) for sid, sen in sorted(sups) if sid in live]
+    )
+    kids: dict[int, list] = {}
+    for cell, vec in sorted(cents):
+        kids.setdefault(c2s[cell], []).append(_cand_struct(cell, vec))
+    child_map = F.create_map(
+        *[
+            x
+            for sup, arr in kids.items()
+            for x in (F.lit(int(sup)).cast("long"), F.array(*arr))
+        ]
+    )
+    cell = argmax_dot(
+        F.col("emb_n"),
+        F.element_at(child_map, argmax_dot(F.col("emb_n"), sup_arr)),
+    )
+    # persist the PRENORMALIZED vector only: the pair stage downstream
+    # then runs one dot fold per candidate pair — no per-pair
+    # divisions, and a ~half-size persisted frame
+    return emb.select("vec_id", cell.alias("cell"), "emb_n")
+
+
+def _assign_two_level_broadcast(
+    spark: SparkSession, emb: DataFrame, sups: list, c2s: dict, cents: list, live: set
+) -> DataFrame:
+    """Two-level nearest-cell assignment via BROADCAST codebook frames
+    (VERDICT r7 item 2 — the big-K lift path): the same floats as
+    :func:`_assign_two_level_literal` travel as broadcast relation
+    DATA instead of expression-tree literals, so plan size is O(1) in
+    K and whole-stage codegen never sees the codebook.
+
+    Math/determinism identical to the literal fold, pinned two ways:
+
+    - the dot is the same :func:`dot` fold per candidate row;
+    - the argmax is ``max(struct(sim, -id))`` — lexicographic struct
+      max keeps the greatest sim and, on exact float ties, the
+      greatest ``-id`` = SMALLEST id, exactly the strict-greater fold
+      (and DuckDB's ``row_number() OVER (ORDER BY lip DESC, id)``).
+      NaN sims can't arise: ``_emb_double`` filters zero-norm vectors
+      and centroids are unit vectors.
+
+    Shuffle shape at 100 TB: two broadcast joins (S-row and K-row
+    codebooks — kilobytes to low MB) each followed by a partial-agg
+    max, so the corpus crosses the wire twice keyed by vec_id with
+    map-side combine shrinking N*S / N*(K/S) candidate rows to N
+    before each exchange.  Returns ``(vec_id, cell, emb_n)``."""
+    sup_rows = [
+        (int(sid), [float(x) for x in sen])
+        for sid, sen in sorted(sups)
+        if sid in live
+    ]
+    child_rows = [
+        (int(c2s[cell]), int(cell), [float(x) for x in vec])
+        for cell, vec in sorted(cents)
+    ]
+    sup_df = broadcast(
+        spark.createDataFrame(sup_rows, schema="sup long, s_en array<double>")
+    )
+    child_df = broadcast(
+        spark.createDataFrame(
+            child_rows, schema="sup long, cell long, c_en array<double>"
+        )
+    )
+
+    def neg(col: str) -> Column:
+        return (-F.col(col)).cast("long")
+
+    v2s = (
+        emb.join(sup_df, how="cross")
+        .withColumn("s_sim", dot(F.col("emb_n"), F.col("s_en")))
+        .groupBy("vec_id")
+        .agg(
+            # emb_n is constant per vec_id, so first() is
+            # order-insensitive here (value-deterministic)
+            F.first("emb_n").alias("emb_n"),
+            F.max(
+                F.struct(F.col("s_sim").alias("sim"), neg("sup").alias("nid"))
+            ).alias("m"),
+        )
+        .select("vec_id", "emb_n", (-F.col("m.nid")).cast("long").alias("sup"))
+    )
+    return (
+        v2s.join(child_df, "sup")
+        .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
+        .groupBy("vec_id")
+        .agg(
+            F.first("emb_n").alias("emb_n"),
+            F.max(
+                F.struct(F.col("c_sim").alias("sim"), neg("cell").alias("nid"))
+            ).alias("m"),
+        )
+        .select("vec_id", (-F.col("m.nid")).cast("long").alias("cell"), "emb_n")
+    )
 
 
 def _super_ctes(iters: int = KMEANS_ITERS) -> str:
@@ -1227,8 +1375,10 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_EN_CTE},
     kk AS (
+        -- RAW count, matching the Spark side's metadata-only
+        -- t.embeddings.count() (not the zero-norm-filtered e)
         SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT)) AS k
-        FROM e
+        FROM embeddings
     ),
     {_kmeans_ctes("(SELECT k FROM kk)")},
     {_super_ctes()},
@@ -1272,10 +1422,18 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds, bit-exact with no rounding at all).
 
     Scale design: this IS the SemDeDup cost model, now linear
-    end-to-end — the assignment is a NARROW projection (argmax folds
-    over broadcast codebook literals: no join, no shuffle, no window),
-    and the pairwise stage is confined within cells, so the candidate
-    space is sum(|cell|^2) not |corpus|^2.  **K scales with the
+    end-to-end — at bench K the assignment is a NARROW projection
+    (argmax folds over plan-literal codebooks: no join, no shuffle,
+    no window, :func:`_assign_two_level_literal`); above
+    ``CODEBOOK_LITERAL_MAX_K`` the identical math runs as two
+    broadcast-join argmaxes (:func:`_assign_two_level_broadcast`) so
+    plan size stays O(1) while the K = N/125 schedule grows — the
+    r7-verdict plan-serialization ceiling is gone (the two paths are
+    pinned hash-identical by tests/test_extensions.py's forced-
+    threshold equivalence test; sf0.1->sf1 measured 2.0x/10x data in
+    BENCH_scale_r08.md, broadcast path 1.9x).  The pairwise stage is
+    confined within cells, so the candidate space is sum(|cell|^2)
+    not |corpus|^2.  **K scales with the
     corpus**: K = max(16, ceil(N/125)) holds the target cell size at
     ~125, so the within-cell pairwise work stays LINEAR in N (the r5
     sf1 scale sample measured the fixed-16 version at 19x on a 10x
@@ -1300,29 +1458,17 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only super-cells that won at least one child are scoreable
         # (a vector routed to a childless super would have no cell)
         live = {s for s in c2s.values()}
-        sup_arr = F.array(
-            *[_cand_struct(sid, sen) for sid, sen in sorted(sups) if sid in live]
-        )
-        kids: dict[int, list] = {}
-        for cell, vec in sorted(cents):
-            kids.setdefault(c2s[cell], []).append(_cand_struct(cell, vec))
-        child_map = F.create_map(
-            *[
-                x
-                for sup, arr in kids.items()
-                for x in (F.lit(int(sup)).cast("long"), F.array(*arr))
-            ]
-        )
-        cell = argmax_dot(
-            F.col("emb_n"),
-            F.element_at(child_map, argmax_dot(F.col("emb_n"), sup_arr)),
-        )
-        # persist the PRENORMALIZED vector only: the pair stage below
-        # then runs one dot fold per candidate pair — no per-pair
-        # divisions, and a ~half-size persisted frame
-        return emb.select("vec_id", cell.alias("cell"), "emb_n")
+        if k_cells <= CODEBOOK_LITERAL_MAX_K:
+            return _assign_two_level_literal(emb, sups, c2s, cents, live)
+        return _assign_two_level_broadcast(spark, emb, sups, c2s, cents, live)
 
-    assigned = memoized_persist(spark, ("semdedup_assigned", sf_dir), build)
+    # the threshold is part of the memo key: the assignment PATH
+    # (literal vs broadcast) is a function of it, and the equivalence
+    # test flips it mid-session — a keyless memo would replay the
+    # other path's persisted frame
+    assigned = memoized_persist(
+        spark, ("semdedup_assigned", sf_dir, CODEBOOK_LITERAL_MAX_K), build
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     dup = (
         a.join(

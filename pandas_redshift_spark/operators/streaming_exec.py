@@ -53,11 +53,21 @@ _SNAP_PARENT = _os.path.join(
     _tempfile.gettempdir(), "pandas_redshift_spark_stage"
 )
 _SNAP_ROOT = _os.path.join(_SNAP_PARENT, f"stream_snaps_{_os.getpid()}")
-# the sweep covers EVERY pid-suffixed child of the stage parent, not
-# just stream_snaps_* — run_foreachbatch_upsert's fb_upsert_<pid>
-# staging dirs (streaming/windows.py) are pid-scoped the same way and
-# would otherwise accumulate from dead sessions (ADVICE r6)
-for _old in _glob.glob(_os.path.join(_SNAP_PARENT, "*_*")):
+# the sweep covers BOTH pid-suffixed dir families under the stage
+# parent: stream_snaps_<pid> (ours) and fb_upsert_<pid>
+# (run_foreachbatch_upsert's staging dirs, streaming/windows.py),
+# which would otherwise accumulate from dead sessions (ADVICE r6).
+# The glob names the two known prefixes EXPLICITLY (ADVICE r7): a
+# bare *_* would rmtree any future stage dir whose trailing token
+# happens to be a dead pid's integer (e.g. part_0).  Any new writer
+# under _SNAP_PARENT must use a <prefix>_<owning-pid> name and add
+# its prefix here.
+_SWEEP_PREFIXES = ("stream_snaps_", "fb_upsert_")
+for _old in (
+    p
+    for pre in _SWEEP_PREFIXES
+    for p in _glob.glob(_os.path.join(_SNAP_PARENT, pre + "*"))
+):
     try:
         _old_pid = int(_old.rsplit("_", 1)[-1])
     except ValueError:

@@ -99,6 +99,36 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def _double_interval(horizon: str) -> str:
+    """Double a calendar-interval string, component-wise: ``"1 hour"``
+    -> ``"2 hour"``, ``"1 hour 30 minutes"`` -> ``"2 hour 60 minutes"``
+    (2x each amount doubles the total, whatever the units).  The
+    accepted grammar is Spark's multi-unit interval literal restricted
+    to INTEGER amounts — ``"<int> <unit> [<int> <unit> ...]"`` — and
+    anything else (fractional amounts like ``"1.5 hours"``, dangling
+    units) raises ValueError naming the offending token, instead of
+    silently mangling the watermark delay (ADVICE r6: the old
+    leading-token string surgery only handled the single-unit form)."""
+    toks = horizon.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"horizon {horizon!r}: expected '<int> <unit>' pairs "
+            "(e.g. '1 hour', '1 hour 30 minutes')"
+        )
+    parts = []
+    for amt, unit in zip(toks[::2], toks[1::2]):
+        try:
+            n = int(amt)
+        except ValueError:
+            raise ValueError(
+                f"horizon {horizon!r}: amount {amt!r} is not an integer "
+                "— use integer multi-unit form ('1 hour 30 minutes', "
+                "not '1.5 hours')"
+            ) from None
+        parts.append(f"{2 * n} {unit}")
+    return " ".join(parts)
+
+
 def attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Stream-stream inner join with event-time range condition: each
     click joins every purchase by the same user landing within
@@ -116,8 +146,7 @@ def attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     # drain, silently lossy under maxFilesPerTrigger or a multi-file
     # source.  The slack buys boundary-late rows a full extra horizon;
     # state stays bounded at 2x horizon per key.
-    amount, unit = horizon.split(None, 1)
-    delay = f"{2 * int(amount)} {unit}"  # e.g. "1 hour" -> "2 hour"
+    delay = _double_interval(horizon)  # "1 hour 30 minutes" -> "2 hour 60 minutes"
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(

@@ -1401,3 +1401,115 @@ def test_psi_drift_invariants(spark, sf_dir):
         assert 0 <= r.tvd <= 1, r
     total = sum(r.n_ref_total + r.n_cur_total for r in rows)
     assert total == Tables(spark, sf_dir).events.count()
+
+
+def test_semdedup_broadcast_assignment_matches_literal(spark, sf_dir, monkeypatch):
+    """The big-K broadcast-codebook assignment path (VERDICT r7 item 2)
+    must be HASH-IDENTICAL to the plan-literal path it replaces above
+    CODEBOOK_LITERAL_MAX_K: same floats, same strict-greater/smallest-
+    id argmax, so flipping the threshold may not move a single row.
+    Exercised end-to-end through dedup_semantic_ivf (the memo key
+    carries the threshold, so both paths really build)."""
+    import pandas_redshift_spark.operators.similarity as sim
+
+    lit = sorted(map(tuple, sim.dedup_semantic_ivf(spark, sf_dir).collect()))
+    monkeypatch.setattr(sim, "CODEBOOK_LITERAL_MAX_K", 0)
+    bc = sorted(map(tuple, sim.dedup_semantic_ivf(spark, sf_dir).collect()))
+    assert lit == bc
+    assert len(lit) > 0
+
+
+def test_semdedup_broadcast_plan_carries_no_codebook_literals(spark, sf_dir):
+    """The whole point of the broadcast path: plan SIZE is O(1) in K.
+    The literal path embeds every centroid as a named_struct literal
+    (O(K) occurrences); the broadcast path's plan must stay free of
+    that expansion — the codebook travels as broadcast relation data,
+    and the only struct constructors left are the two argmax
+    max(struct(sim, nid)) aggregates."""
+    import pandas_redshift_spark.operators.similarity as sim
+    from pandas_redshift_spark.session import Tables
+
+    t = Tables(spark, sf_dir)
+    emb = sim._emb_double(t).select("vec_id", "emb_n")
+    cents = sim.train_kmeans_centroid_values(
+        spark, emb, 16, cache_key=("kmeans", sf_dir)
+    )
+    sups, c2s = sim.super_centroids(cents, 4)
+    live = set(c2s.values())
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+
+    lit_plan = (
+        sim._assign_two_level_literal(emb, sups, c2s, cents, live)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    bc_plan = (
+        sim._assign_two_level_broadcast(spark, emb, sups, c2s, cents, live)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    # the literal path's struct constructors constant-fold into plain
+    # literal arrays, so the tell is the centroid DOUBLES themselves:
+    # every dim of the first child centroid is printed verbatim in the
+    # literal plan and absent from the broadcast plan (measured at
+    # K=16/d=64: ~29.6k chars literal vs ~3.6k broadcast)
+    sentinel = str(cents[0][1][0])
+    assert sentinel in lit_plan, lit_plan[:2000]
+    assert sentinel not in bc_plan, bc_plan
+    assert "BroadcastHashJoin" in bc_plan or "BroadcastNestedLoopJoin" in bc_plan
+    # and the broadcast plan must not be the one paying O(K*d) text
+    assert len(bc_plan) < len(lit_plan) / 4
+
+
+def test_super_trainer_rejects_extreme_k(spark):
+    """ADVICE r7: past SUPER_TRAIN_MAX_K the driver-side super-trainer
+    must fail LOUDLY (naming the Spark-trainer lift path) instead of
+    silently burning O(K^1.5) Python float ops."""
+    import pytest
+
+    import pandas_redshift_spark.operators.similarity as sim
+
+    cents = [(i, [1.0]) for i in range(sim.SUPER_TRAIN_MAX_K + 1)]
+    with pytest.raises(ValueError, match="SUPER_TRAIN_MAX_K"):
+        sim.super_centroids(cents, 4)
+
+
+def test_zero_norm_embeddings_filtered_both_engines(spark, tmp_path):
+    """ADVICE r7: a zero-norm embedding would make emb_n all-NaN and
+    the engines disagree on NaN ordering (Spark's strict-greater fold
+    never updates; DuckDB sorts NaN first).  _emb_double FILTERS such
+    rows and _EN_CTE applies the identical predicate, so both engines
+    see the same (directional) corpus."""
+    import duckdb
+    import pandas as pd
+
+    import pandas_redshift_spark.operators.similarity as sim
+    from pandas_redshift_spark.session import Tables
+
+    df = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "label": ["a", "b", "c"],
+            "embedding": [[1.0, 0.0], [0.0, 0.0], [0.6, 0.8]],
+        }
+    )
+    df.to_parquet(tmp_path / "embeddings.parquet")
+    got = (
+        sim._emb_double(Tables(spark, str(tmp_path)))
+        .select("vec_id")
+        .collect()
+    )
+    spark_ids = sorted(r.vec_id for r in got)
+    assert spark_ids == [0, 2]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    oracle_ids = [
+        r[0]
+        for r in con.execute(
+            f"WITH {sim._EN_CTE} SELECT vec_id FROM e ORDER BY vec_id"
+        ).fetchall()
+    ]
+    assert oracle_ids == spark_ids

@@ -319,3 +319,31 @@ def test_foreachbatch_upsert_invariant_under_batch_split(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_double_interval_compound_and_errors():
+    """The attribution-join watermark delay is 2x the horizon,
+    component-wise over Spark's multi-unit interval grammar (ADVICE
+    r6 / VERDICT r7 item 5): compound horizons double correctly, and
+    non-integer amounts fail loudly instead of mangling the delay."""
+    from pandas_redshift_spark.streaming.windows import _double_interval
+
+    assert _double_interval("1 hour") == "2 hour"
+    assert _double_interval("1 hour 30 minutes") == "2 hour 60 minutes"
+    assert _double_interval("45 seconds") == "90 seconds"
+    assert _double_interval("2 days 3 hours 5 minutes") == "4 days 6 hours 10 minutes"
+    with pytest.raises(ValueError, match="not an integer"):
+        _double_interval("1.5 hours")
+    with pytest.raises(ValueError, match="pairs"):
+        _double_interval("1 hour 30")
+    with pytest.raises(ValueError, match="pairs"):
+        _double_interval("")
+
+
+def test_attribution_join_accepts_compound_horizon(spark, sf_dir, events_stream):
+    """A compound horizon must build a valid plan end-to-end (the
+    doubled watermark string has to parse as a Spark interval)."""
+    from pandas_redshift_spark.streaming.windows import attribution_join
+
+    df = attribution_join(events_stream, "1 hour 30 minutes")
+    assert df.schema["purchase_value"].dataType.typeName() in ("double", "decimal")
