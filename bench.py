@@ -39,6 +39,18 @@ import time
 #: BENCH_r01.json (16.40 s / 22 queries / sf0.1) was recorded against
 R1_COMMIT = "d6d7ad4"
 
+#: Environment-era shim for the r1 worktree: r1 ran under a Spark
+#: whose parquet reader needed ``nanosAsLong`` (events.ts arrived as
+#: BIGINT, rewritten via ``ts DIV 1000``); the current Spark 4.x reads
+#: TIMESTAMP(NANOS) natively and removed the conf, so the unpatched
+#: r1 code crashes on events queries.  The shim makes the rewrite
+#: conditional on the loaded dtype — a pure compatibility branch, no
+#: perf change, so the baseline number stays honest.
+_R1_COMPAT_OLD = """            if name == "events":
+"""
+_R1_COMPAT_NEW = """            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+"""
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pandas_redshift_spark.operators import all_queries  # noqa: E402
@@ -101,6 +113,13 @@ def _baseline_r1(repo: str, sf_dir: str) -> dict | None:
                 capture_output=True,
                 timeout=120,
             )
+        # idempotent era shim (see _R1_COMPAT_* above)
+        sess_py = os.path.join(wt, "pandas_redshift_spark", "session.py")
+        with open(sess_py) as f:
+            src = f.read()
+        if _R1_COMPAT_OLD in src:
+            with open(sess_py, "w") as f:
+                f.write(src.replace(_R1_COMPAT_OLD, _R1_COMPAT_NEW, 1))
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         # the r1 bench knows no knobs; it runs its fixed 22-query set
         out = subprocess.run(
