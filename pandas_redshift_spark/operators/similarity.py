@@ -543,8 +543,11 @@ KMEANS_SAMPLE_MOD = 4
 #: broadcast-DataFrame argmax-join path (VERDICT r7 item 2): same
 #: floats, same strict-greater/smallest-id argmax, O(1) plan size.
 #: Env-overridable so the scale sweep and the equivalence test can
-#: force either path at any SF.
-CODEBOOK_LITERAL_MAX_K = int(os.environ.get("PRS_CODEBOOK_LITERAL_MAX_K", "1024"))
+#: force either path at any SF.  Default 128: the r8 sf1 A/B measured
+#: the crossover below K=160 (literal 4.00 s vs broadcast 2.11 s at
+#: sf1, BENCH_scale_r08.md) — codegen/plan cost of the literal tree
+#: overtakes the two broadcast exchanges well before the 1024 guess.
+CODEBOOK_LITERAL_MAX_K = int(os.environ.get("PRS_CODEBOOK_LITERAL_MAX_K", "128"))
 
 #: Hard ceiling for the DRIVER-side super-centroid trainer
 #: (:func:`super_centroids` is O(iters * K * sqrt(K) * dims) pure
@@ -1430,8 +1433,12 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan size stays O(1) while the K = N/125 schedule grows — the
     r7-verdict plan-serialization ceiling is gone (the two paths are
     pinned hash-identical by tests/test_extensions.py's forced-
-    threshold equivalence test; sf0.1->sf1 measured 2.0x/10x data in
-    BENCH_scale_r08.md, broadcast path 1.9x).  The pairwise stage is
+    threshold equivalence test).  Measured on the 10x sf0.1->sf1 step
+    (BENCH_scale_r08.md, same-session A/B): literal path 1.12->4.00 s
+    (3.6x — codegen/plan cost growing with K=16->160), broadcast path
+    1.79->2.11 s (1.2x); as shipped (threshold 128) the operator runs
+    literal below the crossover and broadcast above it, 1.12->2.11 s
+    = 1.9x per 10x data.  The pairwise stage is
     confined within cells, so the candidate space is sum(|cell|^2)
     not |corpus|^2.  **K scales with the
     corpus**: K = max(16, ceil(N/125)) holds the target cell size at
