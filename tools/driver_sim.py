@@ -34,6 +34,10 @@ TABLES = (
 ).split()
 LIMIT = int(os.environ.get("SIM_LIMIT", "0"))  # 0 = all
 ONLY_PREFIX = os.environ.get("SIM_ONLY", "")
+#: comma-separated name SUBSTRINGS to skip — e.g. SIM_SKIP=_exact for
+#: sf1 full-registry certs, where the quadratic oracle twins' DuckDB
+#: all-pairs replay (20k vectors) stalls while the Spark side is fine
+SKIP_SUBSTRS = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
 
 
 def canon_hash(df: pd.DataFrame) -> str:
@@ -76,8 +80,12 @@ def main():
     items = [
         (name, fn)
         for name, fn in qs.items()
-        if not ONLY_PREFIX or name.startswith(ONLY_PREFIX)
+        if (not ONLY_PREFIX or name.startswith(ONLY_PREFIX))
+        and not any(s in name for s in SKIP_SUBSTRS)
     ]
+    if SKIP_SUBSTRS:
+        skipped = [n for n in qs if any(s in n for s in SKIP_SUBSTRS)]
+        print(f"SKIPPED ({len(skipped)} by SIM_SKIP): {', '.join(skipped)}")
     if LIMIT:
         items = items[:LIMIT]
     for i, (name, fn) in enumerate(items):
