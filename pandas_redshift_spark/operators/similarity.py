@@ -715,6 +715,8 @@ def _kmeans_ctes(
     iters: int = KMEANS_ITERS,
     sample_mod: int = KMEANS_SAMPLE_MOD,
     n_dims: int = EMBEDDING_DIMS,
+    suffix: str = "",
+    src: str = "e",
 ) -> str:
     """CTE chain replaying :func:`train_kmeans_centroids` in DuckDB —
     same sample, seeds, assignment rule, order-pinned per-dim means
@@ -724,58 +726,67 @@ def _kmeans_ctes(
     0-indexed in Spark's posexplode; the packed arrays line up
     element-for-element).  Assumes the ``e`` CTE from ``_EN_CTE`` is in
     scope; ``k_expr`` may be a literal or a scalar subquery.  Emits a
-    final ``cents(cell, c_en)`` CTE."""
+    final ``cents{suffix}(cell, c_en)`` CTE.
+
+    ``suffix``/``src`` exist for multi-codebook replays (the PQ oracle
+    trains one codebook PER SUBSPACE): every internal CTE name gets
+    ``suffix`` appended so chains don't collide, and the training rows
+    come from ``src`` — either a CTE name or a parenthesized subquery
+    producing ``(vec_id, en)`` (e.g. a ``list_slice`` of ``e.en``).
+    Defaults reproduce the original single-chain text byte-for-byte,
+    so the pre-existing oracle strings are unchanged."""
+    x = suffix
     parts = [
-        f"""samp AS (
+        f"""samp{x} AS (
         SELECT vec_id, en, row_number() OVER (ORDER BY vec_id) AS srn
-        FROM e WHERE vec_id % {sample_mod} = 0
+        FROM {src} WHERE vec_id % {sample_mod} = 0
     ),
-    kdims AS (SELECT unnest(range(1, {n_dims} + 1)) AS dim),
-    it0_c AS (
-        SELECT vec_id AS cell, en AS c_en FROM samp WHERE srn <= {k_expr}
+    kdims{x} AS (SELECT unnest(range(1, {n_dims} + 1)) AS dim),
+    it0_c{x} AS (
+        SELECT vec_id AS cell, en AS c_en FROM samp{x} WHERE srn <= {k_expr}
     )"""
     ]
     for i in range(1, iters + 1):
-        prev = f"it{i-1}_c"
+        prev = f"it{i-1}_c{x}"
         parts.append(
-            f"""it{i}_asg AS (
+            f"""it{i}_asg{x} AS (
         SELECT vec_id, cell FROM (
             SELECT s.vec_id, c.cell, row_number() OVER (
                 PARTITION BY s.vec_id
                 ORDER BY list_inner_product(s.en, c.c_en) DESC, c.cell
             ) AS c_rn
-            FROM samp s CROSS JOIN {prev} c
+            FROM samp{x} s CROSS JOIN {prev} c
         ) WHERE c_rn = 1
     ),
-    it{i}_vals AS (
+    it{i}_vals{x} AS (
         SELECT a.cell, d.dim,
                array_agg(s.en[d.dim] ORDER BY s.vec_id) AS vals,
                CAST(count(*) AS DOUBLE) AS cnt
-        FROM it{i}_asg a JOIN samp s ON a.vec_id = s.vec_id
-        CROSS JOIN kdims d
+        FROM it{i}_asg{x} a JOIN samp{x} s ON a.vec_id = s.vec_id
+        CROSS JOIN kdims{x} d
         GROUP BY a.cell, d.dim
     ),
-    it{i}_avg AS (
+    it{i}_avg{x} AS (
         SELECT cell, dim,
                list_inner_product(vals, list_transform(vals, x -> 1.0)) / cnt
                    AS cv
-        FROM it{i}_vals
+        FROM it{i}_vals{x}
     ),
-    it{i}_arr AS (
+    it{i}_arr{x} AS (
         SELECT cell, array_agg(cv ORDER BY dim) AS c_raw
-        FROM it{i}_avg GROUP BY cell
+        FROM it{i}_avg{x} GROUP BY cell
     ),
-    it{i}_c AS (
+    it{i}_c{x} AS (
         SELECT p.cell,
                COALESCE(
                    list_transform(w.c_raw,
                        x -> x / sqrt(list_inner_product(w.c_raw, w.c_raw))),
                    p.c_en
                ) AS c_en
-        FROM {prev} p LEFT JOIN it{i}_arr w ON p.cell = w.cell
+        FROM {prev} p LEFT JOIN it{i}_arr{x} w ON p.cell = w.cell
     )"""
         )
-    parts.append(f"cents AS (SELECT cell, c_en FROM it{iters}_c)")
+    parts.append(f"cents{x} AS (SELECT cell, c_en FROM it{iters}_c{x})")
     return ",\n    ".join(parts)
 
 
@@ -1216,6 +1227,367 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
+
+
+#: Product-quantization geometry: EMBEDDING_DIMS is split into PQ_M
+#: contiguous subspaces of PQ_SUB dims, each with its own trained
+#: PQ_CODES-centroid codebook — a vector compresses to PQ_M small code
+#: ids (8 subspaces x 32 codes: 5 bits each, one byte each when
+#: byte-aligned — the classic M=8 PQ layout at this corpus's 64
+#: dims).  PQ_SHORTLIST is the ADC candidate pool re-ranked exactly.
+#: Settings are the r8 measured sweet spot on this corpus: recall@5
+#: vs sim_bruteforce_topk 0.78 (sf0.001) / 0.84 (sf0.01) — above the
+#: trained-IVF operator's 0.64-0.66 — while 16 codes/shortlist 32
+#: sat at 0.46/0.56.
+PQ_M = 8
+PQ_SUB = EMBEDDING_DIMS // PQ_M
+PQ_CODES = 32
+PQ_SHORTLIST = 64
+
+
+def _pq_adc_oracle() -> str:
+    """DuckDB twin of :func:`sim_pq_adc_topk`: per-subspace trainer
+    replays (suffixed :func:`_kmeans_ctes` chains over ``list_slice``
+    sub-vectors), nearest-code corpus encoding, ADC scoring as the
+    m-ascending sum of per-subspace inner products (left-associated
+    ``+`` chain == Spark's m-ascending ``aggregate`` fold), shortlist,
+    exact re-rank — deterministic end to end, ties by code/neighbor
+    id."""
+    parts = [_EN_CTE]
+    for m in range(PQ_M):
+        a, b = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        src = f"(SELECT vec_id, list_slice(en, {a}, {b}) AS en FROM e)"
+        parts.append(
+            _kmeans_ctes(
+                str(PQ_CODES), n_dims=PQ_SUB, suffix=f"_p{m}", src=src
+            )
+        )
+        parts.append(
+            f"""code_p{m} AS (
+        SELECT vec_id, cell FROM (
+            SELECT s.vec_id, c.cell, row_number() OVER (
+                PARTITION BY s.vec_id
+                ORDER BY list_inner_product(
+                    list_slice(s.en, {a}, {b}), c.c_en) DESC, c.cell
+            ) AS rn
+            FROM e s CROSS JOIN cents_p{m} c
+        ) WHERE rn = 1
+    )"""
+        )
+    adc_terms = " + ".join(
+        f"list_inner_product(list_slice(q.en, {m * PQ_SUB + 1}, "
+        f"{(m + 1) * PQ_SUB}), c{m}.c_en)"
+        for m in range(PQ_M)
+    )
+    code_joins = "\n        ".join(
+        f"JOIN code_p{m} k{m} ON k{m}.vec_id = x.vec_id "
+        f"JOIN cents_p{m} c{m} ON c{m}.cell = k{m}.cell"
+        for m in range(PQ_M)
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body},
+    q AS (SELECT vec_id, en FROM e WHERE vec_id < 10),
+    adc AS (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               {adc_terms} AS adc
+        FROM e x
+        {code_joins}
+        CROSS JOIN q
+        WHERE x.vec_id <> q.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc DESC, neighbor_id
+            ) AS srn FROM adc
+        ) WHERE srn <= {PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, score, rn FROM (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_inner_product(qe.en, ne.en), 4) AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY round(list_inner_product(qe.en, ne.en), 4) DESC,
+                            s.neighbor_id
+               ) AS BIGINT) AS rn
+        FROM short s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ne ON ne.vec_id = s.neighbor_id
+    ) WHERE rn <= 5
+    """
+
+
+def train_pq_books(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_sub: int,
+    sub_dims: int,
+    k_codes: int,
+    cache_key: tuple,
+    iters: int = KMEANS_ITERS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+) -> list[list]:
+    """All ``n_sub`` product-quantization sub-codebooks trained in ONE
+    batched pipeline — the same deterministic sampled spherical
+    k-means schedule as :func:`train_kmeans_centroid_values`, run for
+    every subspace simultaneously by carrying ``m`` through each stage
+    and grouping on ``(m, cell)`` instead of ``cell``.  Per subspace
+    the arithmetic is IDENTICAL to the per-m sequential calls (same
+    sample, same smallest-id seeds, same argmax ties, same
+    order-pinned means and left-fold renorms), so the per-m
+    :func:`_kmeans_ctes` oracle replays still match bit for bit; the
+    win is job count: 1 seed collect + ``iters`` mean collects TOTAL,
+    instead of ``n_sub x (1 + iters)`` (the sequential form burned
+    ~25 s of cold-start at sf0.1 on 24 tiny-job round-trips; batched
+    runs the same floats in 3).
+
+    Returns ``books`` — for each ``m``, the ``[(cell, [floats])]``
+    list in seed order, exactly what the sequential calls return."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _KMEANS_MEMO if k[0] != app_id]:
+        del _KMEANS_MEMO[k]
+    key = (app_id, "pq_batch", *cache_key, n_sub, sub_dims, k_codes, iters, sample_mod)
+    books = _KMEANS_MEMO.get(key)
+    if books is not None:
+        return books
+
+    # the sample, exploded once per subspace: (vec_id, m, sub_en)
+    samp = emb.filter(F.col("vec_id") % sample_mod == 0).select("vec_id", "emb_n")
+    exploded = samp.select(
+        "vec_id",
+        "emb_n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(
+            F.col("emb_n"), F.col("m") * sub_dims + 1, F.lit(sub_dims)
+        ).alias("sub_en"),
+    )
+    # seeds: the K smallest-id sample vectors (same ids for every m) —
+    # TakeOrdered shape, one collect of K x n_sub x sub_dims doubles
+    seed_rows = (
+        exploded.orderBy("vec_id", "m")
+        .limit(k_codes * n_sub)
+        .collect()
+    )
+    cents = {
+        (r["m"], r["vec_id"]): list(r["sub_en"]) for r in seed_rows
+    }  # (m, cell) -> centroid
+    for _ in range(iters):
+        cents_df = broadcast(
+            spark.createDataFrame(
+                [(m, c, v) for (m, c), v in sorted(cents.items())],
+                schema="m int, cell long, c_en array<double>",
+            )
+        )
+        w_asg = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("c_sim").desc(), F.col("cell")
+        )
+        assigned = (
+            exploded.join(cents_df, "m")
+            .withColumn("c_sim", dot(F.col("sub_en"), F.col("c_en")))
+            .withColumn("c_rn", F.row_number().over(w_asg))
+            .filter(F.col("c_rn") == 1)
+            .select("vec_id", "m", "cell", "sub_en")
+        )
+        # order-pinned mean per (m, cell, dim): members folded
+        # left-to-right in vec_id-asc order — bit-identical to the
+        # sequential trainer's fold and the DuckDB replay
+        avg_rows = (
+            assigned.select(
+                "vec_id", "m", "cell", F.posexplode("sub_en").alias("dim", "val")
+            )
+            .groupBy("m", "cell", "dim")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["val"],
+                ).alias("sv"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select("m", "cell", "dim", (F.col("sv") / F.col("cnt")).alias("cv"))
+            .collect()
+        )
+        by_cell: dict[tuple, dict[int, float]] = {}
+        for r in avg_rows:
+            by_cell.setdefault((r["m"], r["cell"]), {})[r["dim"]] = r["cv"]
+        nxt = {}
+        for mc, prev in cents.items():
+            vals = by_cell.get(mc)
+            if vals is None:
+                nxt[mc] = prev
+                continue
+            raw = [vals[i] for i in range(sub_dims)]
+            acc = 0.0
+            for v in raw:  # left-to-right fold == both engines' fold
+                acc = acc + v * v
+            nrm = math.sqrt(acc)
+            nxt[mc] = [v / nrm for v in raw]
+        cents = nxt
+    books = [
+        sorted((c, v) for (m, c), v in cents.items() if m == mm)
+        for mm in range(n_sub)
+    ]
+    _KMEANS_MEMO[key] = books
+    return books
+
+
+def _pq_lut(cen_lits: list, sub, m: int) -> Column:
+    """Positional LUT for subspace ``m``: one dot per code, in
+    position order.  A named closure, NOT an inline two-arg lambda —
+    ``F.transform`` passes the ELEMENT INDEX as a second lambda
+    parameter, so a ``lambda cen, m=m`` capture silently receives the
+    code index instead of the subspace (r8: every LUT sliced the
+    wrong dims and the shortlist went near-random)."""
+    return F.transform(cen_lits[m], lambda cen: dot(sub(F.col("emb_n"), m), cen))
+
+
+@query("sim_pq_adc_topk", oracle=_pq_adc_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via product quantization with
+    asymmetric-distance (ADC) scoring + exact re-rank — THE
+    compressed-vector ANN path for corpora whose raw embeddings don't
+    fit executor memory (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search"; reference analogue: the embeddings table
+    a pandas_redshift user would round-trip through Redshift,
+    core.py:82).
+
+    Build (all deterministic, replayed step for step by the DuckDB
+    oracle):
+
+    - split the 64-dim unit vector into PQ_M=8 contiguous 8-dim
+      subspaces; train an independent PQ_CODES=32-centroid codebook
+      per subspace with the SAME sampled spherical k-means schedule as
+      IVF (:func:`train_kmeans_centroid_values` on the sliced frame —
+      memoized per session, shared with nothing else via the ``pq``
+      cache key, which carries the slice width);
+    - encode: each corpus vector becomes 8 code ids (argmax dot vs the
+      32 sub-centroids, ties -> smaller id) — a NARROW literal-fold
+      projection (codebook is 8x32x8 = 2k doubles, far under
+      CODEBOOK_LITERAL_MAX_K concerns), after which the scoring scan
+      reads ~8 longs per vector instead of 64 doubles: that 8x scan
+      shrink is the entire point at 100 TB;
+    - ADC: each query precomputes a 32-entry lookup table per subspace
+      (dot of its sub-vector against every sub-centroid — 256 tiny
+      folds once per QUERY, not per pair); per (query, vector) the
+      score is then 8 map lookups + 8 adds, JVM-side via
+      ``zip_with(codes, luts) -> aggregate``;
+    - shortlist the PQ_SHORTLIST=64 best ADC candidates per query
+      (ties by neighbor id), then re-rank them EXACTLY (one broadcast
+      join back to the raw vectors — 64xQ rows, negligible) and emit
+      top-5 by true cosine.
+
+    Scale shape: the corpus is scanned once to encode (narrow), once
+    to score (narrow over the 100x-smaller codes frame, 10 broadcast
+    query LUTs); the only shuffle is the per-query top-k window over
+    Q=10 partitions — same waived shape as sim_bruteforce_topk — and
+    the exact re-rank touches 64xQ rows.  The unit test pins recall
+    vs sim_bruteforce_topk; the oracle pins every float."""
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t).select("vec_id", "emb_n")
+
+    def sub(col: Column, m: int) -> Column:
+        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+    # batched trainer: all 8 sub-codebooks in one 3-job pipeline,
+    # bit-identical per subspace to sequential
+    # train_kmeans_centroid_values calls on the sliced frames (the
+    # equality is test-pinned; the slice WIDTH rides in the memo key —
+    # a width-blind key would hand back stale wrong-width centroids
+    # whose truncated dot folds collapse recall to the ~random
+    # 0.02-0.10 band, measured in the r8 geometry sweep)
+    books = train_pq_books(
+        spark, emb, PQ_M, PQ_SUB, PQ_CODES, cache_key=(sf_dir,)
+    )
+    # RANK-COMPRESS cell ids to 1-based POSITIONS (id-ascending, so
+    # position order == cell-id order and every tie-break below stays
+    # aligned with the oracle's ORDER BY ... , cell).  Positions buy
+    # the one-py4j-call literal form: each sub-codebook ships as a
+    # single nested-array F.lit — the per-struct literal form burned
+    # ~8 s PER CALL of driver py4j round-trips building 2x256 cand
+    # structs + map entries (measured r8: build_codes 2.7 s +
+    # build_lut 5.7 s at sf0.1, vs ~ms for 8 nested lits).
+    cen_lits = [
+        F.lit([[float(v) for v in cen] for _, cen in sorted(books[m])])
+        for m in range(PQ_M)
+    ]
+
+    def cands(m: int) -> Column:
+        # arrays_zip names struct fields from the input aliases, so
+        # the argmax_dot fold sees the same (id, cen) shape as the
+        # per-struct literal form
+        return F.arrays_zip(
+            F.sequence(F.lit(1), F.lit(PQ_CODES)).cast("array<bigint>").alias("id"),
+            cen_lits[m].alias("cen"),
+        )
+
+    # corpus -> 8 code positions: one narrow projection of argmax
+    # folds over the literal sub-codebooks
+    codes = emb.select(
+        "vec_id",
+        F.array(*[argmax_dot(sub(F.col("emb_n"), m), cands(m)) for m in range(PQ_M)]).alias(
+            "codes"
+        ),
+    )
+
+    # queries -> per-subspace POSITIONAL LUTs (one dot per code, in
+    # position order), computed once per query row; m-ascending array
+    # order mirrors the codes array
+    qlut = broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb_n").alias("q_en"),
+            F.array(*[_pq_lut(cen_lits, sub, m) for m in range(PQ_M)]).alias(
+                "luts"
+            ),
+        )
+    )
+
+    # ADC score: zip the 8 code positions with the 8 LUTs, sum the
+    # lookups — the m-ascending left fold the oracle's `+` chain
+    # reproduces
+    adc = (
+        codes.join(qlut, how="cross")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("luts"),
+                    lambda c, l: F.element_at(l, c.cast("int")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "q_en", F.col("vec_id").alias("neighbor_id"))
+    )
+    exact = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb_n").alias("n_en")
+    ).join(broadcast(short), "neighbor_id")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("q_en"), F.col("n_en")), 4).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+    )
 
 
 @query(

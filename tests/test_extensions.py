@@ -21,6 +21,7 @@ from pandas_redshift_spark.operators.similarity import (
     sim_bruteforce_topk,
     sim_ivf_topk,
     sim_lsh_topk,
+    sim_pq_adc_topk,
 )
 from pandas_redshift_spark.operators.textstats import text_fingerprint
 from pandas_redshift_spark.session import Tables
@@ -149,6 +150,63 @@ def test_ivf_topk_scores_match_exact_and_recall(spark, sf_dir):
     all_ivf = {(r.query_id, r.neighbor_id) for r in approx}
     top5_recall = len(all_exact & all_ivf) / len(all_exact)
     assert top5_recall >= 0.5, f"IVF top-5 recall {top5_recall}"
+
+
+def test_pq_adc_topk_scores_exact_and_recall(spark, sf_dir):
+    """PQ/ADC results re-rank EXACTLY: every reported score must equal
+    the brute-force score for that pair (the rerank computes the same
+    prenormalized dot, rounded 4dp).  Recall@5 vs brute force must
+    clear 0.6 — the r8 geometry sweep measured 0.78 (sf0.001) / 0.84
+    (sf0.01) at M=8 x 32 codes x shortlist 64, while broken geometry
+    (wrong-width codebooks silently truncating the dot folds — the
+    memo-key hazard the ``pq`` cache key's width component guards)
+    collapses to the ~random 0.02-0.10 band and fails loudly here."""
+    approx = sim_pq_adc_topk(spark, sf_dir).collect()
+    assert approx, "PQ returned nothing"
+    exact_rows = sim_bruteforce_topk(spark, sf_dir).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact_rows}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.score) < 1e-6
+    all_exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    all_pq = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(all_exact & all_pq) / len(all_exact)
+    assert recall >= 0.6, f"PQ top-5 recall {recall}"
+
+
+def test_pq_batched_trainer_matches_sequential(spark, sf_dir):
+    """The batched multi-subspace trainer must return bit-identical
+    codebooks to PQ_M sequential train_kmeans_centroid_values calls on
+    the sliced frames — the per-m _kmeans_ctes oracle replay (and so
+    the driver hash gate) stands on this equality.  Any drift in the
+    batched pipeline's sample, seeds, argmax ties, order-pinned means
+    or renorm folds shows up here as a float diff."""
+    import pyspark.sql.functions as F2
+
+    from pandas_redshift_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_M,
+        PQ_SUB,
+        _emb_double,
+        train_kmeans_centroid_values,
+        train_pq_books,
+    )
+
+    emb = _emb_double(Tables(spark, sf_dir)).select("vec_id", "emb_n")
+    batched = train_pq_books(
+        spark, emb, PQ_M, PQ_SUB, PQ_CODES, cache_key=(sf_dir,)
+    )
+    for m in range(PQ_M):
+        seq = train_kmeans_centroid_values(
+            spark,
+            emb.select(
+                "vec_id",
+                F2.slice(F2.col("emb_n"), m * PQ_SUB + 1, PQ_SUB).alias("emb_n"),
+            ),
+            PQ_CODES,
+            cache_key=("pq_seq_twin", sf_dir, m, PQ_SUB),
+        )
+        assert batched[m] == seq, f"subspace {m} codebook drifted"
 
 
 def test_trained_centroids_tighten_cells_vs_id_codebook(spark, sf_dir):

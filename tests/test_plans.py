@@ -283,6 +283,7 @@ _AUDIT_WAIVERS = {
     "sim_bruteforce_topk": {"bnlj": "10 broadcast query vectors; corpus streams one pass (exact baseline by design)"},
     "sim_knn_classify": {"bnlj": "10 broadcast query vectors"},
     "sim_ivf_topk": {"bnlj": "10 broadcast query vectors vs centroid table"},
+    "sim_pq_adc_topk": {"bnlj": "10 broadcast query LUTs vs the 8x-smaller codes frame; 64xQ-row shortlist broadcast back for exact re-rank"},
     # dedup_semantic_ivf lost its bnlj waiver in r7: the two-level
     # assignment is a narrow literal-fold projection (no join at all),
     # and the pair stage self-joins on the equi cell key.

@@ -59,6 +59,18 @@ def main():
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
+        # sf1 certs collect results that scale WITH the data (e.g.
+        # unpivot of the fact table -> 18M rows): the default ~1g
+        # local-mode heap dies serializing task results back to the
+        # driver (TaskResultLost -> JVM OOM, observed r8).  The
+        # compare harness inherently collects, so give it headroom.
+        .config(
+            "spark.driver.memory", os.environ.get("SIM_DRIVER_MEM", "8g")
+        )
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SIM_MAX_RESULT", "4g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
