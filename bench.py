@@ -95,6 +95,9 @@ HEADLINE = (
     "streaming_foreachbatch_upsert",
     "profile_drift_psi",
     "dml_scd2_dimension",
+    # r8 addition: the compressed-vector ANN flagship — appended,
+    # originals intact for continuity
+    "sim_pq_adc_topk",
 )
 
 

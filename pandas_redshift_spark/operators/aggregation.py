@@ -198,7 +198,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         CAST(count(*) AS BIGINT) AS n_rows,
         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-        round(sum(l_extendedprice), 2) AS total_price,
+        round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+              / 100, 2) AS total_price,
         round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
               / (100 * count(*)), 6) AS avg_discount
     FROM lineitem
@@ -208,21 +209,32 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (no-key) aggregate: partials reduce to a single row —
     the only single-task stage is over ~#partitions rows, not data.
 
-    avg_discount aggregates as SCALED INTEGERS, not double: discounts
-    are decimal multiples of 0.01, so a float avg can land EXACTLY on
-    a rounding tie (sf0.01: 0.0499185000... at 6dp), where summation
-    order — a function of partition count — flips the last digit
-    between engines/sessions (caught by the odd-partition sim sweep,
-    r4).  round(x*100) per row then an exact LONG sum is
-    order-independent in both engines and costs ~nothing (DECIMAL
-    aggregation measured +77% on the agg); one cast to double + a
-    scalar divide gives the identical 6dp value under any
-    partitioning."""
+    avg_discount AND total_price aggregate as SCALED INTEGERS, not
+    double: both columns are decimal multiples of 0.01.  A float avg
+    can land EXACTLY on a rounding tie (sf0.01: 0.0499185000... at
+    6dp), where summation order — a function of partition count —
+    flips the last digit between engines/sessions (caught by the
+    odd-partition sim sweep, r4).  And a whole-table float SUM
+    outgrows its own rounding grain: at sf1 the price total is
+    ~2.3e11, where a double ulp is ~0.03 > the 0.005 tie threshold,
+    so Spark's parallel order vs DuckDB's scan order GUARANTEES 2dp
+    jitter (caught by the r8 sf1 certification).  round(x*100) per
+    row then an exact LONG sum is order-independent in both engines
+    and costs ~nothing (DECIMAL aggregation measured +77% on the
+    agg); one cast to double + a scalar divide gives the identical
+    rounded value under any partitioning, at any corpus size up to
+    ~9e16 cents."""
     li = Tables(spark, sf_dir).lineitem
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100,
+            2,
+        ).alias("total_price"),
         F.round(
             F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")).cast("double")
             / (100 * F.count(F.lit(1))),

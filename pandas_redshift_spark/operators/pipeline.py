@@ -957,3 +957,90 @@ def pipe_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_param.alias("id_param"),
         canonical.alias("canonical_url"),
     )
+
+
+#: Overlapping-chunk geometry: CHUNK_W-token windows every CHUNK_S
+#: tokens (overlap = W - S).  Sized to the fixture corpus (docs run
+#: ~40-100 tokens) so the fan-out path is actually exercised; real
+#: RAG/context-window pipelines run the identical plan at W=512+.
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+@query(
+    "pipe_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(
+                   0,
+                   CAST(greatest(ceil((len(toks) - {CHUNK_W}) / {CHUNK_S}.0),
+                                 0) AS BIGINT) * {CHUNK_S} + 1,
+                   {CHUNK_S})) AS st
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(st // {CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, st + 1, st + {CHUNK_W})) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(list_slice(toks, st + 1, st + {CHUNK_W}), ' '))
+               AS chunk_digest
+    FROM s
+    """,
+)
+def pipe_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize overlapping token-window chunks per document — the
+    RAG / context-window preprocessing stage (every retrieval corpus
+    and long-document training pipeline runs one; the reference's
+    Redshift backend has no array fan-out to express it,
+    pandas_redshift/core.py:84).
+
+    Chunking rule (minimal cover with overlap, deterministic):
+    windows of CHUNK_W tokens starting every CHUNK_S, with the LAST
+    start being the smallest stride multiple whose window reaches the
+    document end — ``max(0, ceil((n - W) / S)) * S`` — so short
+    documents yield exactly one chunk and no window is a strict
+    suffix of its predecessor.  Emits (doc_id, chunk_idx, start_tok,
+    n_tokens, chunk_digest); the digest (md5 — same algorithm both
+    engines) stands in for chunk text so downstream exact-dedup /
+    provenance joins shuffle 16-byte keys, never text.
+
+    Scale design: scan -> generate (explode of an arithmetic
+    ``sequence``, fan-out bounded by ~n/S per doc) -> narrow project;
+    NO shuffle, no window, no join — the whole operator is one
+    codegen'd map stage, embarrassingly parallel at any corpus size.
+    The per-chunk ``slice`` re-reads only its own window, so work is
+    O(total tokens x W/S), the inherent overlap cost."""
+    d = Tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    last = (
+        F.greatest(
+            F.ceil((n - F.lit(CHUNK_W)) / F.lit(float(CHUNK_S))), F.lit(0)
+        ).cast("long")
+        * CHUNK_S
+    )
+    chunk = F.slice(F.col("toks"), F.col("st") + 1, CHUNK_W)
+    return (
+        d.select("doc_id", toks.alias("toks"), n.alias("n_toks"), last.alias("last"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("last"), F.lit(CHUNK_S).cast("long")
+                )
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            (F.col("st") / CHUNK_S).cast("long").alias("chunk_idx"),
+            F.col("st").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+        )
+    )

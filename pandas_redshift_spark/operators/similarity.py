@@ -124,7 +124,7 @@ _EN_CTE = """e0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT vec_id, label, emb,
                list_transform(
                    emb, x -> x / sqrt(list_inner_product(emb, emb))
@@ -733,11 +733,16 @@ def _kmeans_ctes(
     ``suffix`` appended so chains don't collide, and the training rows
     come from ``src`` — either a CTE name or a parenthesized subquery
     producing ``(vec_id, en)`` (e.g. a ``list_slice`` of ``e.en``).
-    Defaults reproduce the original single-chain text byte-for-byte,
-    so the pre-existing oracle strings are unchanged."""
+    The re-referenced chain nodes (samp, it{i}_c, cents) are ``AS
+    MATERIALIZED``: DuckDB inlines plain CTEs PER REFERENCE, so a
+    chain whose level i references level i-1 twice re-executes an
+    exponentially growing subtree — the unhinted two-level SemDeDup
+    replay at sf1 spilled past 80 GB of disk before failing, vs 6 s
+    materialized (r8 sf1 certification).  Results are identical;
+    only the evaluation strategy is pinned."""
     x = suffix
     parts = [
-        f"""samp{x} AS (
+        f"""samp{x} AS MATERIALIZED (
         SELECT vec_id, en, row_number() OVER (ORDER BY vec_id) AS srn
         FROM {src} WHERE vec_id % {sample_mod} = 0
     ),
@@ -776,7 +781,7 @@ def _kmeans_ctes(
         SELECT cell, array_agg(cv ORDER BY dim) AS c_raw
         FROM it{i}_avg{x} GROUP BY cell
     ),
-    it{i}_c{x} AS (
+    it{i}_c{x} AS MATERIALIZED (
         SELECT p.cell,
                COALESCE(
                    list_transform(w.c_raw,
@@ -786,7 +791,9 @@ def _kmeans_ctes(
         FROM {prev} p LEFT JOIN it{i}_arr{x} w ON p.cell = w.cell
     )"""
         )
-    parts.append(f"cents{x} AS (SELECT cell, c_en FROM it{iters}_c{x})")
+    parts.append(
+        f"cents{x} AS MATERIALIZED (SELECT cell, c_en FROM it{iters}_c{x})"
+    )
     return ",\n    ".join(parts)
 
 
@@ -1035,7 +1042,7 @@ def _super_ctes(iters: int = KMEANS_ITERS) -> str:
         """skk AS (
         SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS s FROM kk
     ),
-    sup0 AS (
+    sup0 AS MATERIALIZED (
         SELECT sup, s_en FROM (
             SELECT cell AS sup, c_en AS s_en,
                    row_number() OVER (ORDER BY cell) AS srn
@@ -1073,7 +1080,7 @@ def _super_ctes(iters: int = KMEANS_ITERS) -> str:
         SELECT sup, array_agg(cv ORDER BY dim) AS s_raw
         FROM sup{i}_avg GROUP BY sup
     ),
-    sup{i} AS (
+    sup{i} AS MATERIALIZED (
         SELECT p.sup,
                COALESCE(
                    list_transform(w.s_raw,
@@ -1084,7 +1091,7 @@ def _super_ctes(iters: int = KMEANS_ITERS) -> str:
     )"""
         )
     parts.append(
-        f"""c2s AS (
+        f"""c2s AS MATERIALIZED (
         SELECT cell, sup FROM (
             SELECT c.cell, s.sup, row_number() OVER (
                 PARTITION BY c.cell
@@ -1093,7 +1100,7 @@ def _super_ctes(iters: int = KMEANS_ITERS) -> str:
             FROM cents c CROSS JOIN sup{iters} s
         ) WHERE rn = 1
     ),
-    v2s AS (
+    v2s AS MATERIALIZED (
         SELECT vec_id, sup FROM (
             SELECT e.vec_id, s.sup, row_number() OVER (
                 PARTITION BY e.vec_id

@@ -16,6 +16,7 @@ so CSV type inference can't drift.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -29,12 +30,23 @@ from pandas_redshift_spark.session import Tables
 
 _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "pandas_redshift_spark_stage")
 
+#: pid-scoped batch staging root, following the shared stage parent's
+#: naming contract (<prefix>_<owning-pid>, see streaming_exec's
+#: dead-pid sweep, which knows this prefix): r8's sf1 certification
+#: ran concurrently with a pytest sweep and the old FIXED per-name
+#: dirs let one process rmtree a directory the other was mid-read
+#: (three spurious UNABLE_TO_INFER_SCHEMA/IO errors).  Scoping by pid
+#: makes concurrent sessions on one machine independent; the sweeper
+#: reaps dirs whose owner died, and atexit reaps our own.
+_BATCH_STAGE = os.path.join(_STAGE_ROOT, f"batch_stage_{os.getpid()}")
+atexit.register(shutil.rmtree, _BATCH_STAGE, ignore_errors=True)
+
 
 def _stage_dir(name: str) -> str:
     """Fresh staging directory per operator run (the reference used a
     uuid4-suffixed CSV name per load, core.py:291; a cleaned fixed dir
-    keeps reruns deterministic)."""
-    path = os.path.join(_STAGE_ROOT, name)
+    — per process — keeps reruns deterministic)."""
+    path = os.path.join(_BATCH_STAGE, name)
     shutil.rmtree(path, ignore_errors=True)
     return path
 

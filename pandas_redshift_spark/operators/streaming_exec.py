@@ -57,12 +57,14 @@ _SNAP_ROOT = _os.path.join(_SNAP_PARENT, f"stream_snaps_{_os.getpid()}")
 # parent: stream_snaps_<pid> (ours) and fb_upsert_<pid>
 # (run_foreachbatch_upsert's staging dirs, streaming/windows.py),
 # which would otherwise accumulate from dead sessions (ADVICE r6).
-# The glob names the two known prefixes EXPLICITLY (ADVICE r7): a
+# The glob names the known prefixes EXPLICITLY (ADVICE r7): a
 # bare *_* would rmtree any future stage dir whose trailing token
 # happens to be a dead pid's integer (e.g. part_0).  Any new writer
 # under _SNAP_PARENT must use a <prefix>_<owning-pid> name and add
-# its prefix here.
-_SWEEP_PREFIXES = ("stream_snaps_", "fb_upsert_")
+# its prefix here.  batch_stage_<pid> is sourcesinks' pid-scoped
+# batch staging root (r8 — fixed per-name dirs let concurrent
+# sessions clobber each other mid-read).
+_SWEEP_PREFIXES = ("stream_snaps_", "fb_upsert_", "batch_stage_")
 for _old in (
     p
     for pre in _SWEEP_PREFIXES

@@ -1571,3 +1571,42 @@ def test_zero_norm_embeddings_filtered_both_engines(spark, tmp_path):
         ).fetchall()
     ]
     assert oracle_ids == spark_ids
+
+
+def test_chunk_overlap_covers_every_token_with_overlap(spark, sf_dir):
+    """Minimal-cover property of pipe_chunk_overlap: per document the
+    chunk windows cover token positions [0, n) with consecutive
+    chunks overlapping by exactly W-S (except a shorter tail), no
+    chunk is empty, and chunk_idx enumerates stride multiples."""
+    from pandas_redshift_spark.operators.pipeline import (
+        CHUNK_S,
+        CHUNK_W,
+        pipe_chunk_overlap,
+    )
+    from pandas_redshift_spark.session import Tables
+
+    rows = pipe_chunk_overlap(spark, sf_dir).collect()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in Tables(spark, sf_dir)
+        .documents.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        )
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_toks), "every document chunks"
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = n_toks[doc_id]
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i and c.start_tok == i * CHUNK_S
+            assert 1 <= c.n_tokens <= CHUNK_W
+            if i < len(chunks) - 1:
+                assert c.n_tokens == CHUNK_W  # only the tail may be short
+        last = chunks[-1]
+        assert last.start_tok + last.n_tokens == n, "tail reaches doc end"
+        if n > CHUNK_W:
+            assert len(chunks) >= 2, "long docs must fan out"
