@@ -481,16 +481,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     to it — keep-first survivor selection, no transitive closure.
 
     DEFAULT = the LSH-bucketed scale path: candidates are same-bucket
-    pairs from :func:`hyperplane_buckets` (16 planes, 4-bit bands —
-    WIDE bands, right for a 0.999 threshold: a pair at cosine 0.999 is
-    <=2.6 degrees apart, so each bit disagrees with p~=0.014 and the
-    miss probability over 4 bands is ~1e-5), exactly re-scored.  The
-    oracle is kept: at the driver's scale factors recall is 1 (verified
-    against the all-pairs twin dedup_embedding_cosine_exact, which is
-    the formally-exact O(n^2) baseline)."""
+    pairs from :func:`hyperplane_buckets` (4 bands of ``w`` bits,
+    exactly re-scored).  WIDE bands are right for a 0.999 threshold —
+    a pair at cosine 0.999 is <=2.6 degrees apart, so each bit
+    disagrees with p~=0.014 and even 9-bit bands miss with only
+    (1-(1-p)^9)^4 ~= 2e-4 per pair.
+
+    The band WIDTH scales with the corpus — ``w = clamp(ceil(log2(
+    N/64)), 4, 16)`` — so the per-band bucket space 2^w tracks N and
+    expected occupancy stays ~constant.  With FIXED w the same-bucket
+    pair count is the classic LSH quadratic N^2/2^w: the r8 sf1 sweep
+    measured 16.4x on a 10x data step (over the 15x superlinear
+    flag) at the old fixed w=4; width-scaling (w=5 at sf0.1, w=9 at
+    sf1) restores ~linear candidate growth while the exact re-score
+    keeps precision exact.  Cost: the signature pass computes 4*w
+    dot folds per row — O(log N) bits, linear in the corpus.
+
+    The oracle is kept: at the driver's scale factors recall is 1
+    (verified against the all-pairs twin
+    dedup_embedding_cosine_exact, the formally-exact O(n^2)
+    baseline, at every SF incl. sf1)."""
     t = Tables(spark, sf_dir)
     e = _emb_double(t).select("vec_id", "emb", "emb_n")
-    buckets = hyperplane_buckets(t, e, n_planes=16, band_bits=4)
+    n_rows = e.count()  # metadata-cheap scalar; sets the band width
+    w = min(16, max(4, math.ceil(math.log2(max(n_rows, 64) / 64))))
+    buckets = hyperplane_buckets(t, e, n_planes=4 * w, band_bits=w)
     cand_ids = (
         buckets.alias("x")
         .join(
