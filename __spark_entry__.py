@@ -72,6 +72,14 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: anyway), the zero-norm embedding guard filters rows that don't
 #: exist in any fixture (and the oracle CTE applies the same filter),
 #: and the horizon parser / temp-sweep changes are non-output code.
+#: r8 late edits stay output-identical at sf0.01 too: agg_global's
+#: scaled-cents total_price equals the old rounded double sum below
+#: the ulp-vs-grain crossover (hash re-verified), and
+#: dedup_embedding_cosine's width-scaled banding resolves to the old
+#: w=4 at N=500 (and is recall-1 == exact-twin-identical at every SF
+#: regardless).  The two NEW r8 queries (sim_pq_adc_topk,
+#: pipe_chunk_overlap) are never-checked and rank in the pending tier
+#: by themselves.
 REVERIFY_NAMES: set[str] = set()
 
 

@@ -239,9 +239,17 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1 at 0.999).  The low threshold here exercises the
     candidate/re-score SHAPE — sum-of-squares of bucket sizes, never
     |sample|^2 — which is what survives 100 TB once the threshold is
-    a production one.  Approximate by design, so no SQL oracle
-    (rows-only driver check); the unit test measures recall against
-    sim_pairs_threshold_exact."""
+    a production one.  (Fixed 3-bit bands mean per-band occupancy
+    still tracks the sample size — the candidate count is
+    sum-of-squares OVER 8 BUCKETS per band, ~|sample|^2/8 per band,
+    not truly linear; at a production threshold the width-scaled
+    banding dedup_embedding_cosine uses (w ∝ log N) is the scale
+    form, but at cosine 0.3 each extra bit costs ~0.6x per-band
+    recall, so width cannot scale without also scaling the band
+    COUNT — the honest statement is that near-orthogonal thresholds
+    have no sub-quadratic exact-recall scheme.)  Approximate by
+    design, so no SQL oracle (rows-only driver check); the unit test
+    measures recall against sim_pairs_threshold_exact."""
     t = Tables(spark, sf_dir)
     sub, a, b = _sample_sides(t)
     buckets = hyperplane_buckets(t, sub, n_planes=24, band_bits=3).select(
@@ -276,6 +284,18 @@ def sim_pairs_threshold_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub, a, b = _sample_sides(t)
     cand = a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
     return _pairs_threshold_select(cand)
+
+
+def lsh_band_width(n_rows: int, target_occupancy: int = 64) -> int:
+    """Corpus-scaled band width for high-threshold LSH:
+    ``clamp(ceil(log2(n / target_occupancy)), 4, 16)`` — the per-band
+    bucket space 2^w tracks the corpus so expected occupancy stays
+    ~constant and same-bucket candidate pairs grow ~linearly instead
+    of N^2/2^w (the r8 sf1 sweep measured the fixed-w form at 16.4x
+    on a 10x data step).  Only valid at high thresholds, where each
+    extra bit costs ~(1-p) with p small; near-orthogonal thresholds
+    cannot width-scale (see sim_pairs_threshold)."""
+    return min(16, max(4, math.ceil(math.log2(max(n_rows, target_occupancy) / target_occupancy))))
 
 
 def hyperplane_buckets(
@@ -504,7 +524,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     e = _emb_double(t).select("vec_id", "emb", "emb_n")
     n_rows = e.count()  # metadata-cheap scalar; sets the band width
-    w = min(16, max(4, math.ceil(math.log2(max(n_rows, 64) / 64))))
+    w = lsh_band_width(n_rows)
     buckets = hyperplane_buckets(t, e, n_planes=4 * w, band_bits=w)
     cand_ids = (
         buckets.alias("x")

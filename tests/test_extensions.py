@@ -1610,3 +1610,21 @@ def test_chunk_overlap_covers_every_token_with_overlap(spark, sf_dir):
         assert last.start_tok + last.n_tokens == n, "tail reaches doc end"
         if n > CHUNK_W:
             assert len(chunks) >= 2, "long docs must fan out"
+
+
+def test_lsh_band_width_schedule():
+    """Pin the corpus-scaled LSH band-width rule (the r8 fix for the
+    fixed-width quadratic): w doubles the bucket space every corpus
+    doubling past the 64-occupancy target, clamped to [4, 16].  A
+    silent revert to fixed w=4 re-opens the N^2/16 candidate blowup
+    (measured 16.4x on a 10x step at sf1)."""
+    from pandas_redshift_spark.operators.similarity import lsh_band_width
+
+    assert lsh_band_width(1) == 4        # degenerate corpora clamp low
+    assert lsh_band_width(500) == 4      # sf0.001 / sf0.01
+    assert lsh_band_width(2000) == 5     # sf0.1
+    assert lsh_band_width(20000) == 9    # sf1
+    assert lsh_band_width(10**9) == 16   # clamp high
+    # monotone non-decreasing across doublings
+    widths = [lsh_band_width(64 * 2**k) for k in range(20)]
+    assert widths == sorted(widths)
