@@ -579,3 +579,140 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Tables(spark, sf_dir).documents
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(make_resizer(), schema=RESIZE_SCHEMA)
+
+
+def make_phash_extractor():
+    """Arrow-batched perceptual average-hash (aHash) extractor over
+    REAL BMP payloads: parse the container (header offset/dims,
+    bottom-up padded BGR rows), integer-grayscale each pixel
+    ((r+g+b)//3), nearest-neighbor sample an 8x8 grid (the
+    multimodal_resize index rule, floor(i*n/8)), and threshold each
+    sample against the grid mean — compared INTEGER-EXACTLY as
+    ``gray*64 > sum(grays)``, so no float ever enters the hash and
+    the closed-form SQL oracle matches bit for bit.  Emits the 64-bit
+    hash as a '0'/'1' string in row-major (y-outer) order — the
+    engine-portable form (hex packing differs per engine; 64 chars
+    keyed by a shuffle is still a fixed-width key).
+
+    Closure form for cloudpickle by-value pickling (see
+    _build_media_codec)."""
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def one(payload: bytes) -> str:
+            magic, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+            if magic != b"BM":
+                raise ValueError("phash expects BMP payloads")
+            _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+            if bpp != 24:
+                raise ValueError(f"unsupported BMP bpp={bpp}")
+            stride = (w * 3 + 3) & ~3
+            # generation-coordinate gray lookup: file rows are
+            # bottom-up, so gen y lives at file row (h - 1 - y)
+            def gray(x: int, y: int) -> int:
+                base = offset + (h - 1 - y) * stride + 3 * x
+                b, g, r = payload[base], payload[base + 1], payload[base + 2]
+                return (r + g + b) // 3
+            samples = [
+                gray((i * w) // 8, (j * h) // 8)
+                for j in range(8)
+                for i in range(8)
+            ]
+            total = sum(samples)
+            return "".join("1" if s * 64 > total else "0" for s in samples)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": [one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return phash
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    cells AS (
+        SELECT a.i, b.j
+        FROM (SELECT unnest(range(0, 8)) AS i) a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) b
+    ),
+    grid AS (
+        SELECT m.doc_id, c.i, c.j,
+               (  (m.doc_id     + 7 * ((c.i * m.w) // 8) + 13 * ((c.j * m.h) // 8)) % 256
+                + (m.doc_id * 3 + 5 * ((c.i * m.w) // 8) + 11 * ((c.j * m.h) // 8)) % 256
+                + (m.doc_id * 5 + 3 * ((c.i * m.w) // 8) + 19 * ((c.j * m.h) // 8)) % 256
+               ) // 3 AS gray
+        FROM img m CROSS JOIN cells c
+    ),
+    tot AS (SELECT doc_id, sum(gray) AS s FROM grid GROUP BY doc_id),
+    hashes AS (
+        SELECT g.doc_id,
+               string_agg(CASE WHEN g.gray * 64 > t.s THEN '1' ELSE '0' END,
+                          '' ORDER BY g.j * 8 + g.i) AS ahash
+        FROM grid g JOIN tot t USING (doc_id)
+        GROUP BY g.doc_id
+    ),
+    grp AS (
+        SELECT ahash, count(*) AS n_same_hash, min(doc_id) AS keeper
+        FROM hashes GROUP BY ahash
+    )
+    SELECT h.doc_id, h.ahash,
+           CAST(g.n_same_hash AS BIGINT) AS n_same_hash,
+           (g.n_same_hash > 1 AND h.doc_id <> g.keeper) AS is_phash_dup
+    FROM hashes h JOIN grp g USING (ahash)
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over a binary media column — the
+    multimodal twin of the text dedup family (the LAION-style
+    pipeline: decode -> perceptual hash -> exact-hash grouping;
+    near-dup Hamming banding builds on the same key).  Stage 1 writes
+    genuine BMP containers (even doc_ids, make_media_synthesizer);
+    stage 2 PARSES them back and computes a 64-bit average-hash with
+    integer-exact thresholding (make_phash_extractor); stage 3 groups
+    by hash and marks keep-first survivors.
+
+    The DuckDB oracle recomputes the hash from the generation
+    formulas in closed form — header mis-parse, stride/bottom-up
+    mistakes, or any float sneaking into the threshold mismatches the
+    value hash immediately.  All hash arithmetic is integer, so the
+    engines agree exactly.
+
+    Scale: two narrow Arrow-batched map stages (payload bytes never
+    leave the executor), then ONE shuffle keyed by the 64-bit hash —
+    the dedup_exact_hash shape; Hamming-band near-dup would add the
+    banded-bucket join from the LSH family on the same key."""
+    d = Tables(spark, sf_dir).documents
+    payloads = (
+        d.select("doc_id")
+        .filter(F.col("doc_id") % 2 == 0)
+        .mapInPandas(
+            make_media_synthesizer(), schema="doc_id bigint, payload binary"
+        )
+    )
+    hashes = payloads.mapInPandas(
+        make_phash_extractor(), schema="doc_id bigint, ahash string"
+    )
+    grp = hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_same_hash"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return hashes.join(grp, "ahash").select(
+        "doc_id",
+        "ahash",
+        F.col("n_same_hash").cast("bigint").alias("n_same_hash"),
+        (
+            (F.col("n_same_hash") > 1) & (F.col("doc_id") != F.col("keeper"))
+        ).alias("is_phash_dup"),
+    )

@@ -296,6 +296,7 @@ _AUDIT_WAIVERS = {
     "multimodal_frame_sample": {"python_eval": "mapInPandas frame fan-out — Arrow-batched"},
     "multimodal_resize": {"python_eval": "mapInPandas nearest-neighbor resize seam — Arrow-batched, oracle-checked"},
     "multimodal_decode": {"python_eval": "mapInPandas REAL BMP/WAV encode+parse stages — Arrow-batched, closed-form oracle"},
+    "multimodal_phash_dedup": {"python_eval": "mapInPandas REAL BMP parse + integer aHash — Arrow-batched, closed-form oracle; hash grouping is JVM-side"},
 }
 
 
