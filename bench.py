@@ -95,9 +95,12 @@ HEADLINE = (
     "streaming_foreachbatch_upsert",
     "profile_drift_psi",
     "dml_scd2_dimension",
-    # r8 addition: the compressed-vector ANN flagship — appended,
+    # r8 additions: the compressed-vector ANN flagship, the
+    # RAG-chunker and the perceptual-hash media dedup — appended,
     # originals intact for continuity
     "sim_pq_adc_topk",
+    "pipe_chunk_overlap",
+    "multimodal_phash_dedup",
 )
 
 
