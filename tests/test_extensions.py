@@ -1628,3 +1628,52 @@ def test_lsh_band_width_schedule():
     # monotone non-decreasing across doublings
     widths = [lsh_band_width(64 * 2**k) for k in range(20)]
     assert widths == sorted(widths)
+
+
+def test_phash_near_dup_exhaustive_low_hamming_and_recall():
+    """The 4x16-bit banding must surface EVERY pair at Hamming <= 3
+    (pigeonhole: 3 flips touch at most 3 bands) and >= 0.9 of all
+    true hd<=6 pairs on this corpus (measured 0.959); emitted
+    distances must equal the ground-truth Hamming (precision 1)."""
+    import duckdb
+
+    from pandas_redshift_spark.operators import all_queries
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    banded = con.sql(all_queries()["multimodal_phash_near_dup"].oracle).df()
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.hamming) for r in banded.itertuples()}
+    truth_df = con.sql("""
+    WITH img AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                 FROM documents WHERE doc_id % 2 = 0),
+    cells AS (SELECT a.i, b.j FROM (SELECT unnest(range(0,8)) AS i) a
+              CROSS JOIN (SELECT unnest(range(0,8)) AS j) b),
+    grid AS (SELECT m.doc_id, c.i, c.j,
+        ( (m.doc_id + 7*((c.i*m.w)//8) + 13*((c.j*m.h)//8)) % 256
+        + (m.doc_id*3 + 5*((c.i*m.w)//8) + 11*((c.j*m.h)//8)) % 256
+        + (m.doc_id*5 + 3*((c.i*m.w)//8) + 19*((c.j*m.h)//8)) % 256) // 3 AS gray
+      FROM img m CROSS JOIN cells c),
+    tot AS (SELECT doc_id, sum(gray) AS s FROM grid GROUP BY doc_id),
+    hashes AS MATERIALIZED (
+        SELECT g.doc_id, string_agg(CASE WHEN g.gray*64 > t.s THEN '1' ELSE '0' END,
+               '' ORDER BY g.j*8+g.i) AS ahash
+        FROM grid g JOIN tot t USING (doc_id) GROUP BY g.doc_id),
+    pos AS (SELECT unnest(range(1,65)) AS p)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           sum(CASE WHEN substring(x.ahash,pos.p,1) <> substring(y.ahash,pos.p,1)
+                    THEN 1 ELSE 0 END) AS hd
+    FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id CROSS JOIN pos
+    GROUP BY x.doc_id, y.doc_id HAVING hd <= 6
+    """).df()
+    truth = {(int(r.a), int(r.b)): int(r.hd) for r in truth_df.itertuples()}
+    # precision 1 + exact distances
+    for pair, hd in got.items():
+        assert truth.get(pair) == hd, f"{pair}: banded {hd} vs truth {truth.get(pair)}"
+    # exhaustive at hd <= 3
+    low = {p for p, hd in truth.items() if hd <= 3}
+    assert low <= set(got), f"missed low-hamming pairs: {sorted(low - set(got))[:5]}"
+    # recall floor over hd <= 6
+    assert len(got) / len(truth) >= 0.9, f"recall {len(got)/len(truth)}"

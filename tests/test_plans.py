@@ -297,6 +297,7 @@ _AUDIT_WAIVERS = {
     "multimodal_resize": {"python_eval": "mapInPandas nearest-neighbor resize seam — Arrow-batched, oracle-checked"},
     "multimodal_decode": {"python_eval": "mapInPandas REAL BMP/WAV encode+parse stages — Arrow-batched, closed-form oracle"},
     "multimodal_phash_dedup": {"python_eval": "mapInPandas REAL BMP parse + integer aHash — Arrow-batched, closed-form oracle; hash grouping is JVM-side"},
+    "multimodal_phash_near_dup": {"python_eval": "same Arrow-batched hasher; banding, candidate join and Hamming fold are JVM-side"},
 }
 
 
