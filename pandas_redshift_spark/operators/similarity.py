@@ -331,8 +331,11 @@ def hyperplane_buckets(
         # from the RAW vector on purpose: sign(<v,h>) == sign(<v/|v|,h>)
         # mathematically, but the normalized fold could flip an
         # ulp-scale near-zero projection, so both engines pin the raw
-        # form and stay bit-identical.
-        h_p = F.array(*[F.lit(v) for v in planes[p]])
+        # form and stay bit-identical.  ONE F.lit per plane: the
+        # per-element form is ~1 ms of py4j round-trip per float
+        # (see _cand_struct / _PQ_EXPR_MEMO), which at 4w planes x 64
+        # dims was over a second of pure driver time per call.
+        h_p = F.lit([float(v) for v in planes[p]])
         return F.when(dot(F.col("emb"), h_p) > 0, F.lit(1)).otherwise(F.lit(0))
 
     # passthrough: callers choose which vector columns ride along with
