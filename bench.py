@@ -21,10 +21,22 @@ skipped, after the headline timings this harness checks out the
 ROUND-1 snapshot (commit d6d7ad4) into a git worktree at
 ``.baseline_r1/`` (created once, gitignored) and runs THAT bench.py
 as a subprocess on the same machine in the same session, then emits
-both numbers side by side under ``"baseline"``.  The driver-recorded
-r1 number (16.40 s) predates ~1.5x of ambient machine drift
-(ROUND6.md measured it by this exact method), so the 2x gate is only
-meaningful against a baseline measured under today's machine state.
+both numbers.  The driver-recorded r1 number (16.40 s) predates
+~1.5x of ambient machine drift (ROUND6.md measured it by this exact
+method), so the 2x gate is only meaningful against a baseline
+measured under today's machine state.
+
+Output discipline (VERDICT r8 item 1): the driver tail-captures only
+the last ~2.5 KB of stdout and parses the FINAL line.  r8 appended
+the full baseline blob (per-query r1 timings) to the headline line,
+which pushed it past the capture window and clipped the front —
+``BENCH_r08.json`` recorded ``"parsed": null``.  Now the full
+baseline blob is (a) written to ``bench_baseline_r1.json`` next to
+this file and (b) printed as its OWN stdout line before the final
+one; the final headline line carries only four short summary fields
+(``baseline_total_sec``, ``shared_query_count``,
+``current_shared_sec``, ``ratio_current_over_baseline``) so it stays
+well inside the capture window.
 """
 
 from __future__ import annotations
@@ -185,7 +197,8 @@ def main() -> None:
     # contemporaneous r1 baseline (VERDICT r7 item 3): skipped for
     # ad-hoc query-override runs (scale sweeps time OUR code only)
     if not override and os.environ.get("SPARK_GRAFT_BENCH_NO_BASELINE") != "1":
-        base = _baseline_r1(os.path.dirname(os.path.abspath(__file__)), sf_dir)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        base = _baseline_r1(repo, sf_dir)
         if base is not None:
             shared = [n for n in base["queries"] if n in timings]
             base["shared_query_count"] = len(shared)
@@ -195,7 +208,21 @@ def main() -> None:
                 if base["total_sec"]
                 else None
             )
-            result["baseline"] = base
+            # full blob: sibling file + its OWN stdout line (NOT the
+            # final line — the driver parses only the last line, and
+            # the per-query blob would blow the ~2.5 KB tail capture)
+            blob_path = os.path.join(repo, "bench_baseline_r1.json")
+            with open(blob_path, "w") as f:
+                json.dump({"baseline": base}, f)
+            print(json.dumps({"baseline": base}))
+            # final line gets only the short summary fields
+            result["baseline_total_sec"] = base["total_sec"]
+            result["shared_query_count"] = base["shared_query_count"]
+            result["current_shared_sec"] = base["current_shared_sec"]
+            result["ratio_current_over_baseline"] = base[
+                "ratio_current_over_baseline"
+            ]
+            result["baseline_blob"] = "bench_baseline_r1.json"
     print(json.dumps(result))
 
 

@@ -62,6 +62,7 @@ def _load_all() -> None:
         "windows",
         "setops",
         "scalars",
+        "udfs",
         "subqueries",
         "advanced",
         "tpch",

@@ -141,6 +141,30 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_ilike",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name ILIKE '%GoLd%' OR p_type ILIKE 'pRoMo%'
+    """,
+)
+def filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILIKE — case-insensitive LIKE (reserved word list :67; SURVEY
+    §2.B "LIKE / ILIKE / SIMILAR TO").
+
+    ``Column.ilike`` compiles to Catalyst's ILike expression (a LIKE
+    over lower()-folded operands), staying inside whole-stage codegen;
+    the mixed-case patterns prove the case fold is doing the work
+    (p_name is lowercase, p_type uppercase in the corpus).  DuckDB
+    implements ILIKE natively with the same semantics.
+    """
+    p = Tables(spark, sf_dir).part
+    return p.filter(
+        F.col("p_name").ilike("%GoLd%") | F.col("p_type").ilike("pRoMo%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
     "case_when_cast",
     oracle="""
     SELECT

@@ -1,0 +1,243 @@
+"""Vectorized Python UDF exemplars (SURVEY.md §2.B "UDF / UDAF / UDTF"
+row; patterns from repo:SNIPPETS.md [1]-[3]).
+
+The reference has no user-function path at all (fixed SQL text through
+``cursor.execute``, reference ``pandas_redshift/core.py:84``); this row
+is extension surface.  The engine's policy is **native-first**: every
+production operator in this package uses JVM built-ins, and the Arrow
+paths that DO exist are there because binary decode (multimodal.py) or
+custom streaming state (streaming/stateful.py) genuinely can't be
+expressed natively.  This module completes the matrix with the two
+remaining shapes a user porting a custom scoring function would copy:
+
+- scalar ``@pandas_udf`` (Series -> Series, Arrow-batched)
+- grouped-agg ``@pandas_udf`` (Series -> scalar, used inside ``agg``)
+- batch grouped-map ``applyInPandas`` (pdf -> pdf per group)
+
+When is a vectorized UDF acceptable?  (the plan note VERDICT r7/r8
+asked for, in one place)
+
+1. Never for arithmetic built-ins already cover — a scalar pandas_udf
+   breaks whole-stage codegen, forces an Arrow serialize/deserialize
+   round trip per batch, and blinds Catalyst (no pushdown through it,
+   no constant folding inside it).  ``udf_scalar_pandas_score`` below
+   is deliberately re-expressible with ``F.sqrt`` — the exemplar shows
+   the MECHANICS; its docstring is the warning label.
+2. Acceptable when the kernel is a real vectorized library call
+   (numpy/scipy/model inference) over numeric batches: the Arrow tax
+   is paid once per ~10k-row batch, not per row, and the numpy kernel
+   runs at C speed.  Keep the UDF's INPUT narrow (project the few
+   numeric columns first, JVM-side) so the Arrow transfer is small.
+3. Grouped-map ``applyInPandas`` additionally materializes each GROUP
+   on one executor in pandas — at 100 TB that means (a) the group-key
+   cardinality is your parallelism ceiling and (b) the largest group
+   must fit in one executor's heap.  Right tool for many mid-size
+   groups (per-user sessions, per-document token frames); wrong tool
+   for 5 giant groups — ``udf_grouped_map_robust_zscore`` keys by
+   o_orderpriority (5 groups) precisely because the per-group result
+   is a 1-row summary, and its docstring names the native rewrite
+   (approx median via ``percentile_approx`` + window) you'd use when
+   groups are huge.
+4. Determinism for the oracle gate: float sums depend on row order, so
+   order-sensitive reductions inside a UDF use exact integer cents
+   (the q1 trick) or order-insensitive kernels (median sorts; max/min
+   commute).  All three exemplars below hash-match DuckDB exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pandas_redshift_spark.operators.registry import query
+from pandas_redshift_spark.session import Tables
+
+
+@query(
+    "udf_scalar_pandas_score",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice * (1 - l_discount)) + 3 * l_quantity, 4)
+               AS udf_score
+    FROM lineitem
+    ORDER BY udf_score DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def udf_scalar_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``@pandas_udf`` exemplar (SNIPPETS.md [1]): an
+    Arrow-batched Series->Series numpy kernel scoring each lineitem,
+    then a deterministic top-100 (rounded score desc, key tiebreak).
+
+    The kernel (sqrt of discounted price plus a quantity term) uses
+    only IEEE correctly-rounded ops (*, -, +, sqrt), so numpy and
+    DuckDB produce bit-identical doubles and the 4dp round is safe.
+
+    Plan shape: Scan -> ArrowEvalPython (one batch per ~10k rows) ->
+    TakeOrderedAndProject.  The ArrowEvalPython node splits the
+    whole-stage-codegen span — which is exactly why production code
+    would write ``F.sqrt(col * (1 - disc)) + 3 * qty`` instead; this
+    query exists as the mechanics exemplar for kernels that genuinely
+    need numpy (policy note in the module docstring).  At 100 TB the
+    shape survives: the UDF is per-row (no state), the input is
+    projected to 3 numeric columns JVM-side before the Arrow hop, and
+    top-k is a TakeOrderedAndProject (no global sort).
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def score(price: pd.Series, disc: pd.Series, qty: pd.Series) -> pd.Series:
+        return np.sqrt(price * (1.0 - disc)) + 3.0 * qty
+
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                score(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_quantity")),
+                4,
+            ).alias("udf_score"),
+        )
+        .orderBy(F.desc("udf_score"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "udf_grouped_agg_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * l_quantity) AS DOUBLE)
+                 / (100 * sum(l_quantity)), 4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg ``@pandas_udf`` exemplar (SNIPPETS.md [1]
+    grouped_agg pattern): quantity-weighted mean price per return
+    flag, the Series->scalar shape used directly inside ``agg``.
+
+    Float sums are row-order-sensitive and shuffle order is not
+    deterministic, so the kernel reduces exact integer cents
+    (int64 dot product — associative, order-free) and divides once at
+    the end: the q1 avg_price trick applied inside a UDF.  DuckDB runs
+    the same integer-cents formula, so the 4dp hash matches.
+
+    Plan shape: one hash-partition exchange on the group key, then
+    AggregateInPandas.  Unlike grouped-map, grouped-agg does NOT need
+    the whole group as a pandas frame at once in the logical contract,
+    but Spark's physical operator does deliver each group's columns as
+    full Series — so the 100 TB caveats of applyInPandas (group must
+    fit an executor; key cardinality caps parallelism) apply here too.
+    With 3 flags this exemplar is the wrong production tool — the
+    native rewrite is the oracle SQL itself — but it is the copyable
+    mechanics for kernels like scipy trimmed stats per group.
+    """
+
+    @F.pandas_udf("double")
+    def wavg_cents(price_cents: pd.Series, qty: pd.Series) -> float:
+        num = int((price_cents * qty).sum())  # exact int64 arithmetic
+        den = int(qty.sum())
+        return round(num / (100.0 * den), 4)
+
+    li = Tables(spark, sf_dir).lineitem
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.select("l_returnflag", cents.alias("cents"), "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(wavg_cents(F.col("cents"), F.col("l_quantity")).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "udf_grouped_map_robust_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS priority,
+               2 * CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c2
+        FROM orders
+    ),
+    med AS (
+        SELECT priority, median(c2) AS med_c2, count(*) AS n
+        FROM c
+        GROUP BY priority
+    ),
+    dev AS (
+        SELECT m.priority, m.n, m.med_c2,
+               median(2 * abs(c.c2 - m.med_c2)) AS mad_c4,
+               max(2 * abs(c.c2 - m.med_c2)) AS max_adev4
+        FROM c JOIN med m ON c.priority = m.priority
+        GROUP BY m.priority, m.n, m.med_c2
+    )
+    SELECT priority, n,
+           med_c2 / 200.0 AS med,
+           mad_c4 / 400.0 AS mad,
+           (max_adev4 / 400.0) / (1.4826 * (mad_c4 / 400.0)) AS max_robust_z
+    FROM dev
+    ORDER BY priority
+    """,
+)
+def udf_grouped_map_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map ``applyInPandas`` exemplar (SNIPPETS.md [2]):
+    per-priority robust z-score summary (median / MAD / max robust z)
+    over orders — the pdf->pdf-per-group shape, VERDICT r8 item 2's
+    named example.
+
+    Every kernel statistic is order-insensitive (median and MAD sort;
+    max commutes), so the result is deterministic under shuffle.
+    Oracle determinism needs one more step: pandas interpolates an
+    even-count median as ``(a+b)/2`` while DuckDB's quantile_cont
+    computes ``a+(b-a)*0.5`` — a last-ulp divergence that flips a
+    decimal round at a tie boundary (observed on 5-LOW at sf0.01).
+    So the kernel works in DOUBLED integer cents: the median of even
+    integers is integer-exact under BOTH interpolation formulas, every
+    downstream double (med, mad, max_robust_z) is derived from those
+    exact integers with the same IEEE op order the oracle SQL uses,
+    and no lossy re-rounding happens on either side.
+
+    Plan shape: one hash-partition exchange on o_orderpriority, then
+    FlatMapGroupsInPandas — each of the 5 groups materializes as ONE
+    pandas frame on one executor.  That is the operator's contract and
+    its 100 TB constraint: group-key cardinality caps parallelism and
+    the largest group must fit in executor memory.  Acceptable here
+    because the output is a 1-row summary per group and the exemplar
+    exists to be copied for many-mid-size-group workloads (per-user,
+    per-document); for 5 giant groups the native rewrite is
+    ``percentile_approx(o_totalprice, 0.5)`` + a second conditional
+    agg, which shuffles the same bytes but never materializes a group.
+    """
+
+    def robust(pdf: pd.DataFrame) -> pd.DataFrame:
+        c2 = pdf["c2"]  # doubled integer cents (see docstring)
+        med_c2 = c2.median()  # integer-exact: median of even ints
+        adev4 = 2 * (c2 - med_c2).abs()  # even ints again
+        mad_c4 = adev4.median()  # integer-exact
+        mad = mad_c4 / 400.0
+        return pd.DataFrame(
+            {
+                "priority": [pdf["priority"].iloc[0]],
+                "n": [len(pdf)],
+                "med": [med_c2 / 200.0],
+                "mad": [mad],
+                "max_robust_z": [(adev4.max() / 400.0) / (1.4826 * mad)],
+            }
+        )
+
+    o = Tables(spark, sf_dir).orders
+    c2 = (2 * F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c2")
+    return (
+        o.select(F.col("o_orderpriority").alias("priority"), c2)
+        .groupBy("priority")
+        .applyInPandas(
+            robust,
+            schema="priority string, n bigint, med double, mad double, "
+            "max_robust_z double",
+        )
+        .orderBy("priority")
+    )
