@@ -64,23 +64,20 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: (tests/test_oracle_parity.py pins the pending <= reverify <=
 #: rows-only <= verified tier order and that every member is a live
 #: registered name, so a stale entry fails the suite).
-#: r8: EMPTY — the driver re-hashed r7's one output-changing query
-#: (dedup_semantic_ivf) green in CORRECTNESS_r07, and every r8 edit is
-#: output-identical at driver SFs: the broadcast-codebook assignment
-#: path only engages above the K threshold (sf0.01 trains K=16, far
-#: below it; the forced-threshold equivalence test pins hash-identity
-#: anyway), the zero-norm embedding guard filters rows that don't
-#: exist in any fixture (and the oracle CTE applies the same filter),
-#: and the horizon parser / temp-sweep changes are non-output code.
-#: r8 late edits stay output-identical at sf0.01 too: agg_global's
-#: scaled-cents total_price equals the old rounded double sum below
-#: the ulp-vs-grain crossover (hash re-verified), and
-#: dedup_embedding_cosine's width-scaled banding resolves to the old
-#: w=4 at N=500 (and is recall-1 == exact-twin-identical at every SF
-#: regardless).  The two NEW r8 queries (sim_pq_adc_topk,
-#: pipe_chunk_overlap) are never-checked and rank in the pending tier
-#: by themselves.
-REVERIFY_NAMES: set[str] = set()
+#: r9: multimodal_phash_near_dup's output CHANGES — the 8x8-band
+#: >=2-shared-bands candidate rule (VERDICT r8 item 5) is exhaustive
+#: at hd<=6, so the ~4% of true pairs the r8 4x16 banding missed now
+#: appear (sf0.01: 1050 rows where CORRECTNESS_r08 certified 1007).
+#: Everything else r9 touched is output-identical at driver SFs: the
+#: stats.table_rows migration feeds the same N to the same formulas
+#: (raw == zero-norm-filtered count in every fixture; the PQ oracle's
+#: count(*) moved to the raw table to stay aligned), the trainer
+#: zero-norm-mean guards fire only on inputs no fixture contains
+#: (both engines guarded identically), and the explicit 64-position
+#: Hamming fold equals the old split-zip fold on every 64-char hash.
+#: The four NEW r9 queries (udf_*, filter_ilike) are never-checked
+#: and rank in the pending tier by themselves.
+REVERIFY_NAMES: set[str] = {"multimodal_phash_near_dup"}
 
 
 def _ordered_specs():

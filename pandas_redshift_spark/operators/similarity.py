@@ -18,6 +18,7 @@ from pyspark.sql.functions import broadcast
 
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables, ensure_parallelism, memoized_persist
+from pandas_redshift_spark.stats import table_rows
 
 #: TESTDATA-pinned corpus embedding width (embeddings.embedding is
 #: array<float>[64] at every scale factor).  THE single constant the
@@ -526,8 +527,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline, at every SF incl. sf1)."""
     t = Tables(spark, sf_dir)
     e = _emb_double(t).select("vec_id", "emb", "emb_n")
-    n_rows = e.count()  # metadata-cheap scalar; sets the band width
-    w = lsh_band_width(n_rows)
+    # band width from the memoized RAW-table count (stats.table_rows,
+    # one job/session) — counting the normalized frame here ran the
+    # full scan+filter+transform pipeline on every invocation (ADVICE
+    # r8).  Raw vs zero-norm-filtered N only nudges w at an exact
+    # log2 boundary, and w affects recall, not the oracle contract.
+    w = lsh_band_width(table_rows(t, "embeddings"))
     buckets = hyperplane_buckets(t, e, n_planes=4 * w, band_bits=w)
     cand_ids = (
         buckets.alias("x")
@@ -742,7 +747,10 @@ def train_kmeans_centroid_values(
                 for v in raw:  # left-to-right fold == both engines' fold
                     acc = acc + v * v
                 nrm = math.sqrt(acc)
-                nxt.append((cell, [v / nrm for v in raw]))
+                # all-zero mean (cancellation): keep the previous
+                # centroid, same rule as the empty-cluster branch and
+                # the oracle replay's CASE guard (ADVICE r8)
+                nxt.append((cell, prev if nrm == 0.0 else [v / nrm for v in raw]))
             cents = nxt
         _KMEANS_MEMO[key] = cents
     return cents
@@ -820,12 +828,17 @@ def _kmeans_ctes(
         FROM it{i}_avg{x} GROUP BY cell
     ),
     it{i}_c{x} AS MATERIALIZED (
+        -- empty cluster (NULL) OR all-zero mean (possible for a
+        -- sub-slice of nonzero vectors): keep the previous centroid,
+        -- matching the Python trainers' nrm == 0 guard — DuckDB's
+        -- x/0.0 would otherwise emit inf/nan where Python raises
         SELECT p.cell,
-               COALESCE(
-                   list_transform(w.c_raw,
-                       x -> x / sqrt(list_inner_product(w.c_raw, w.c_raw))),
-                   p.c_en
-               ) AS c_en
+               CASE WHEN w.c_raw IS NULL
+                         OR list_inner_product(w.c_raw, w.c_raw) = 0
+                    THEN p.c_en
+                    ELSE list_transform(w.c_raw,
+                        x -> x / sqrt(list_inner_product(w.c_raw, w.c_raw)))
+               END AS c_en
         FROM {prev} p LEFT JOIN it{i}_arr{x} w ON p.cell = w.cell
     )"""
         )
@@ -920,7 +933,8 @@ def super_centroids(
                     acc = acc + v[dim] * 1.0
                 raw.append(acc / cnt)
             nrm = math.sqrt(_lip(raw, raw))
-            nxt.append((sid, [x / nrm for x in raw]))
+            # all-zero mean: keep previous (matches oracle CASE guard)
+            nxt.append((sid, prev if nrm == 0.0 else [x / nrm for x in raw]))
         sups = nxt
     c2s = {cell: nearest(vec, sups) for cell, vec in cs}
     return sups, c2s
@@ -1119,12 +1133,15 @@ def _super_ctes(iters: int = KMEANS_ITERS) -> str:
         FROM sup{i}_avg GROUP BY sup
     ),
     sup{i} AS MATERIALIZED (
+        -- NULL (empty) or all-zero mean: keep the previous centroid
+        -- (same nrm == 0 guard as the Python trainer)
         SELECT p.sup,
-               COALESCE(
-                   list_transform(w.s_raw,
-                       x -> x / sqrt(list_inner_product(w.s_raw, w.s_raw))),
-                   p.s_en
-               ) AS s_en
+               CASE WHEN w.s_raw IS NULL
+                         OR list_inner_product(w.s_raw, w.s_raw) = 0
+                    THEN p.s_en
+                    ELSE list_transform(w.s_raw,
+                        x -> x / sqrt(list_inner_product(w.s_raw, w.s_raw)))
+               END AS s_en
         FROM {prev} p LEFT JOIN sup{i}_arr w ON p.sup = w.sup
     )"""
         )
@@ -1300,9 +1317,11 @@ def pq_shortlist(n_rows: int) -> int:
     fixed ~1% of brute force per query; the 4096 cap bounds the
     rescore at extreme N, where recall budget should move to more
     codes/subspaces instead.  The DuckDB oracle computes the same
-    formula from count(*), so hashes stay engine-consistent at every
-    SF (and the 64 floor keeps driver-SF outputs byte-identical to
-    the fixed-shortlist era)."""
+    formula from count(*) of the RAW embeddings table (matching the
+    Spark side's stats.table_rows — the fixtures have no zero-norm
+    vectors, so raw == filtered N), so hashes stay engine-consistent
+    at every SF (and the 64 floor keeps driver-SF outputs
+    byte-identical to the fixed-shortlist era)."""
     return min(4096, max(PQ_SHORTLIST, n_rows // 100))
 
 
@@ -1363,7 +1382,7 @@ def _pq_adc_oracle() -> str:
                 PARTITION BY query_id ORDER BY adc DESC, neighbor_id
             ) AS srn FROM adc
         ) WHERE srn <= least(4096, greatest({PQ_SHORTLIST},
-                                            (SELECT count(*) FROM e) // 100))
+                                            (SELECT count(*) FROM embeddings) // 100))
     )
     SELECT query_id, neighbor_id, score, rn FROM (
         SELECT s.query_id, s.neighbor_id,
@@ -1487,7 +1506,11 @@ def train_pq_books(
             for v in raw:  # left-to-right fold == both engines' fold
                 acc = acc + v * v
             nrm = math.sqrt(acc)
-            nxt[mc] = [v / nrm for v in raw]
+            # an all-zero SUB-SLICE mean is reachable on sparse real
+            # embeddings even though whole-vector zero norms are
+            # filtered (ADVICE r8): keep the previous centroid, the
+            # same rule the oracle replay's CASE guard applies
+            nxt[mc] = prev if nrm == 0.0 else [v / nrm for v in raw]
         cents = nxt
     books = [
         sorted((c, v) for (m, c), v in cents.items() if m == mm)
@@ -1604,7 +1627,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs sim_bruteforce_topk; the oracle pins every float."""
     t = Tables(spark, sf_dir)
     emb = _emb_double(t).select("vec_id", "emb_n")
-    short_n = pq_shortlist(emb.count())  # corpus-scaled re-rank pool
+    # corpus-scaled re-rank pool, sized from the memoized raw-table
+    # count (stats.table_rows) — the r8 version eagerly counted the
+    # normalized frame per call (VERDICT r8 item 4); warm calls now
+    # launch no sizing job at all
+    short_n = pq_shortlist(table_rows(t, "embeddings"))
 
     # batched trainer: all 8 sub-codebooks in one 3-job pipeline,
     # bit-identical per subspace to sequential
@@ -1916,10 +1943,10 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = _emb_double(t).select("vec_id", "emb_n")
-        # scalar count for the K schedule — metadata-only on the RAW
-        # table (the ADVICE r5 fix: counting the transformed frame
-        # would force a full scan+compute on every cold build)
-        n_vecs = t.embeddings.count()
+        # scalar count for the K schedule — raw-table count via the
+        # session memo (stats.table_rows; the ADVICE r5 fix moved it
+        # off the transformed frame, r9 consolidated the job itself)
+        n_vecs = table_rows(t, "embeddings")
         k_cells = max(16, math.ceil(n_vecs / 125.0))
         cents = train_kmeans_centroid_values(
             spark, emb, k_cells, cache_key=("kmeans", sf_dir)

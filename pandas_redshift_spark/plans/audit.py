@@ -12,7 +12,9 @@ Rules:
                      of rows (totals, query sets, quantified-ALL
                      bounds), which a waiver must state.
 - ``python_eval``    BatchEvalPython / ArrowEvalPython / MapInPandas /
-                     FlatMapGroupsInPandas — rows leave the JVM; only
+                     FlatMapGroupsInPandas / ArrowAggregatePython (Spark 4's
+                     grouped-agg pandas UDF node; AggregateInPandas pre-4) /
+                     FlatMapGroupsWithStateInPandas — rows leave the JVM; only
                      the multimodal/stateful extension surface may.
 - ``single_part``    ``Exchange SinglePartition`` — a global
                      serialization point; legitimate for global
@@ -39,6 +41,7 @@ _RULES: dict[str, re.Pattern[str]] = {
     "bnlj": re.compile(r"BroadcastNestedLoopJoin"),
     "python_eval": re.compile(
         r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+        r"|AggregateInPandas|ArrowAggregatePython|FlatMapGroupsWithStateInPandas"
     ),
     "single_part": re.compile(r"Exchange SinglePartition"),
     "expand": re.compile(r"\bExpand\b"),

@@ -1630,11 +1630,16 @@ def test_lsh_band_width_schedule():
     assert widths == sorted(widths)
 
 
-def test_phash_near_dup_exhaustive_low_hamming_and_recall():
-    """The 4x16-bit banding must surface EVERY pair at Hamming <= 3
-    (pigeonhole: 3 flips touch at most 3 bands) and >= 0.9 of all
-    true hd<=6 pairs on this corpus (measured 0.959); emitted
-    distances must equal the ground-truth Hamming (precision 1)."""
+def test_phash_near_dup_exhaustive_low_hamming_and_recall(sf_dir):
+    """The 8x8-bit >=2-shared-bands banding must surface EVERY pair
+    at Hamming <= 6 (pigeonhole: 6 flips leave >= 2 of 8 bands
+    untouched — recall exactly 1, VERDICT r8 item 5; the old 4x16
+    rule measured 0.959), and emitted distances must equal the
+    ground-truth Hamming (precision 1).  Runs the registered ORACLE
+    against a brute-force all-pairs truth query, both in DuckDB over
+    the sf_dir fixture (ADVICE r9: no hardcoded path)."""
+    import os
+
     import duckdb
 
     from pandas_redshift_spark.operators import all_queries
@@ -1642,7 +1647,7 @@ def test_phash_near_dup_exhaustive_low_hamming_and_recall():
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
     )
     banded = con.sql(all_queries()["multimodal_phash_near_dup"].oracle).df()
     got = {(int(r.doc_a), int(r.doc_b)): int(r.hamming) for r in banded.itertuples()}
@@ -1672,8 +1677,8 @@ def test_phash_near_dup_exhaustive_low_hamming_and_recall():
     # precision 1 + exact distances
     for pair, hd in got.items():
         assert truth.get(pair) == hd, f"{pair}: banded {hd} vs truth {truth.get(pair)}"
-    # exhaustive at hd <= 3
-    low = {p for p, hd in truth.items() if hd <= 3}
-    assert low <= set(got), f"missed low-hamming pairs: {sorted(low - set(got))[:5]}"
-    # recall floor over hd <= 6
-    assert len(got) / len(truth) >= 0.9, f"recall {len(got)/len(truth)}"
+    # exhaustive over the full hd <= 6 threshold: recall exactly 1
+    assert got == truth, (
+        f"banding missed {len(set(truth) - set(got))} true pairs, e.g. "
+        f"{sorted(set(truth) - set(got))[:5]}"
+    )

@@ -298,6 +298,10 @@ _AUDIT_WAIVERS = {
     "multimodal_decode": {"python_eval": "mapInPandas REAL BMP/WAV encode+parse stages — Arrow-batched, closed-form oracle"},
     "multimodal_phash_dedup": {"python_eval": "mapInPandas REAL BMP parse + integer aHash — Arrow-batched, closed-form oracle; hash grouping is JVM-side"},
     "multimodal_phash_near_dup": {"python_eval": "same Arrow-batched hasher; banding, candidate join and Hamming fold are JVM-side"},
+    # -- §2.B UDF-row exemplars (r9): the Python node IS the exhibit --
+    "udf_scalar_pandas_score": {"python_eval": "scalar pandas_udf exemplar — ArrowEvalPython is the documented mechanics being demonstrated (module docstring says use F.sqrt in production)"},
+    "udf_grouped_agg_weighted_mean": {"python_eval": "grouped-agg pandas_udf exemplar — AggregateInPandas on exact integer cents (audit rule extended r9 to see this node)"},
+    "udf_grouped_map_robust_zscore": {"python_eval": "applyInPandas exemplar — FlatMapGroupsInPandas, 1-row summary per group"},
 }
 
 

@@ -135,6 +135,18 @@ def main():
             probs.append("value-hash MISMATCH")
         if probs:
             print(f"MISMATCH {name}: {'; '.join(probs)}")
+            # Probabilistic ops gated against an EXACT oracle (the LSH
+            # family) can fail certification through RECALL loss with
+            # no arithmetic bug — the per-pair miss probability grows
+            # with the width schedule (ADVICE r8).  When a registered
+            # exact twin shares this oracle, say where to look.
+            twin = f"{name}_exact"
+            if twin in qs and oracles.get(twin) == oracles[name]:
+                print(
+                    f"  hint: {name} is probabilistic; its oracle is exact."
+                    f" Run SIM_ONLY={twin} — if the twin is green, this is"
+                    " recall loss (banding/width schedule), not arithmetic."
+                )
             failures.append(name)
         else:
             print(f"ok {name}: {len(sdf)} rows [{dt:.1f}s]")
