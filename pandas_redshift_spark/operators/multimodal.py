@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -761,29 +761,40 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grid g JOIN tot t USING (doc_id)
         GROUP BY g.doc_id
     ),
+    uniq AS MATERIALIZED (SELECT DISTINCT ahash FROM hashes),
     banded AS MATERIALIZED (
-        SELECT h.doc_id, h.ahash, b.band,
-               substring(h.ahash, b.band * 8 + 1, 8) AS bval
-        FROM hashes h
+        -- band over DISTINCT hash VALUES, not docs: identical-hash
+        -- groups (the dedup op's finding) would otherwise square
+        -- inside every bucket
+        SELECT u.ahash, b.band, substring(u.ahash, b.band * 8 + 1, 8) AS bval
+        FROM uniq u
         CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
     ),
-    cand AS (
+    hcand AS (
         -- >= 2 shared 8-bit bands: exhaustive at hamming <= 6 by
         -- pigeonhole (6 flips leave >= 2 of 8 bands untouched)
-        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        SELECT x.ahash AS h1, y.ahash AS h2
         FROM banded x JOIN banded y
-          ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
-        GROUP BY x.doc_id, y.doc_id
+          ON x.band = y.band AND x.bval = y.bval AND x.ahash < y.ahash
+        GROUP BY x.ahash, y.ahash
         HAVING count(*) >= 2
+    ),
+    hpair AS MATERIALIZED (
+        SELECT h1, h2,
+               CAST(bit_count(xor(h1::BIT, h2::BIT)) AS BIGINT) AS hamming
+        FROM hcand
+        WHERE CAST(bit_count(xor(h1::BIT, h2::BIT)) AS BIGINT) <= 6
     )
-    SELECT doc_a, doc_b, hamming FROM (
-        SELECT c.doc_a, c.doc_b,
-               CAST(bit_count(xor(a.ahash::BIT, b.ahash::BIT)) AS BIGINT)
-                   AS hamming
-        FROM cand c
-        JOIN hashes a ON a.doc_id = c.doc_a
-        JOIN hashes b ON b.doc_id = c.doc_b
-    ) WHERE hamming <= 6
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
+           p.hamming
+    FROM hpair p
+    JOIN hashes a ON a.ahash = p.h1
+    JOIN hashes b ON b.ahash = p.h2
+    UNION ALL
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+    FROM hashes x JOIN hashes y
+      ON x.ahash = y.ahash AND x.doc_id < y.doc_id
     """,
 )
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,28 +819,42 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-position Hamming fold, so emitted pairs carry EXACT distances
     and precision 1 — the banding only prunes.
 
-    Scale: hashes shuffle by 8-bit band VALUE (content-keyed buckets,
-    occupancy governed by real collisions, not a fixed space);
-    candidates travel as NARROW (id, id) rows through the band-count
-    aggregation — the first form carried both 64-char hashes through
-    that shuffle and heap-OOMed at sf1, where this fixture's extreme
-    self-similarity makes the candidate set (and the true pair set —
-    3% density at sf0.1) genuinely enormous; the hashes join back
-    AFTER the >= 2 filter, from the memoized frame.  Pair ENUMERATION
+    Scale: the banding runs over DISTINCT HASH VALUES, not docs —
+    perceptual hashes collide heavily on real corpora (here: 25k docs
+    -> 4.9k distinct hashes at sf1), and a doc-level band join
+    squares every identical-hash group inside every bucket (measured
+    sf1: 196M band-join rows doc-level vs 5.1M distinct-level, 47.6M
+    candidate doc pairs vs 1.3M hash pairs — the rewrite took the sf1
+    run from 153 s to ~12 s).  Identical-hash pairs (hd=0) come
+    straight from the group self-join — output-bound, no banding
+    needed — and banded hash-pairs at hd<=6 expand to doc pairs
+    through two group-membership joins, also output-bound.  Hashes
+    shuffle by 8-bit band VALUE (content-keyed buckets, occupancy
+    governed by real distinct-hash collisions, not a fixed space);
+    candidates travel as NARROW (hash, hash) rows.  Pair ENUMERATION
     is inherently output-bound: on a corpus whose near-dup density is
     quadratic (like this synthetic one at big SF), the output itself
-    is the cost floor — real corpora are sparse here.  All arithmetic
+    is the cost floor — real corpora are sparse here.  The expansion
+    broadcasts the one-row-per-image hash frame (sf1: 242 s doc-level
+    -> 47 s distinct-level shuffle -> 26 s broadcast expansion,
+    measured in-round); at billions of images that side outgrows a
+    broadcast and the joins fall back to shuffle joins where AQE
+    skew-split applies — the distinct-level banding, the real scale
+    win, is independent of that choice.  All arithmetic
     integer/string — the closed-form oracle recomputes hashes from
-    the generation formulas and replays the same bands, band-count
-    rule and threshold (Hamming via BIT xor+bit_count; any correct
-    Hamming agrees).  The Hamming fold compares an explicit
-    ``sequence(1, 64)`` of positions — the r8 form zipped
-    ``split(ahash, '')`` arrays, which leaned on Spark's trailing
-    empty-element artifact being identical on both sides (ADVICE
+    the generation formulas and replays the same distinct-hash
+    banding, band-count rule, threshold and group expansion (Hamming
+    via BIT xor+bit_count; any correct Hamming agrees).  The Spark
+    Hamming is likewise xor+bit_count over two 32-bit integer chunks
+    (conv of the bit string halves) — O(1) machine ops per candidate
+    where the r8 form zipped ``split(ahash, '')`` arrays (~128 string
+    ops per candidate, and it leaned on Spark's trailing
+    empty-element artifact being identical on both sides — ADVICE
     r8)."""
     hashes = _phash_frame(spark, sf_dir)
-    banded = hashes.select(
-        "doc_id",
+    uniq = hashes.select("ahash").distinct()
+    banded = uniq.select(
+        "ahash",
         F.explode(
             F.array(
                 *[
@@ -841,40 +866,76 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    cand = (
+    ).select("ahash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    hcand = (
         banded.alias("x")
         .join(
             banded.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.ahash") < F.col("y.ahash")),
+        )
+        .select(F.col("x.ahash").alias("h1"), F.col("y.ahash").alias("h2"))
+        .groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= 2)  # pigeonhole: exhaustive at hd<=6
+        .select("h1", "h2")
+    )
+
+    # Hamming via TWO xor+bit_count intrinsics per hash pair: each
+    # 64-char bit string converts once into two 32-bit longs (conv()
+    # returns a decimal STRING, and a full 64-bit value with the high
+    # bit set would overflow the signed-long cast; 2^32-1 always
+    # fits).  The r8 split('')+zip_with fold evaluated ~128 string
+    # ops per candidate — at sf1 volume that alone was ~90 s.
+    def chunk(col: str, start: int) -> Column:
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    hpair = (
+        hcand.withColumn(
+            "hamming",
+            (
+                F.bit_count(chunk("h1", 1).bitwiseXOR(chunk("h2", 1)))
+                + F.bit_count(chunk("h1", 33).bitwiseXOR(chunk("h2", 33)))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    # The expansion joins enumerate the (output-bound) pair set.  Two
+    # parallelism hazards at enumeration scale: (a) AQE coalesces by
+    # INPUT bytes, and 25k hash rows are tiny even when the pair
+    # fan-out is 10M rows; (b) a shuffle join partitions by hash
+    # VALUE, so one popular hash's entire group-squared output lands
+    # on one task.  Broadcasting the (tiny: one row per image) group
+    # side fixes both — fan-out work spreads with the STREAMED rows,
+    # and the streamed sides are round-robin spread first because the
+    # memoized frame arrives in 2-3 scan partitions.
+    from pandas_redshift_spark.session import ensure_parallelism
+
+    ga = hashes.select(F.col("ahash").alias("h1"), F.col("doc_id").alias("id_a"))
+    gb = hashes.select(F.col("ahash").alias("h2"), F.col("doc_id").alias("id_b"))
+    cross = (
+        ensure_parallelism(hpair)
+        .join(F.broadcast(ga), "h1")
+        .join(F.broadcast(gb), "h2")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    same = (
+        ensure_parallelism(hashes)
+        .alias("x")
+        .join(
+            F.broadcast(hashes.alias("y")),
+            (F.col("x.ahash") == F.col("y.ahash"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .filter(F.col("n_bands") >= 2)  # pigeonhole: exhaustive at hd<=6
-        .select("doc_a", "doc_b")
     )
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"))
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"))
-    hamming = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda p: F.when(
-                F.col("ha").substr(p, F.lit(1)) != F.col("hb").substr(p, F.lit(1)), 1
-            ).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ).cast("bigint")
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return cross.unionAll(same)
