@@ -77,7 +77,15 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: Hamming fold equals the old split-zip fold on every 64-char hash.
 #: The four NEW r9 queries (udf_*, filter_ilike) are never-checked
 #: and rank in the pending tier by themselves.
-REVERIFY_NAMES: set[str] = {"multimodal_phash_near_dup"}
+#: udf_grouped_agg_weighted_mean: late-r9 review fix — the kernel and
+#: oracle both moved from BIGINT*DOUBLE to BIGINT*BIGINT arithmetic
+#: (l_quantity is integral by contract).  Values are identical at
+#: every fixture SF (float sums are exact below 2^53), but the oracle
+#: TEXT changed, so it re-enters the reverify tier.
+REVERIFY_NAMES: set[str] = {
+    "multimodal_phash_near_dup",
+    "udf_grouped_agg_weighted_mean",
+}
 
 
 def _ordered_specs():

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 from pandas_redshift_spark.operators.registry import query
-from pandas_redshift_spark.session import Tables
+from pandas_redshift_spark.session import Tables, ensure_parallelism, memoized_persist
 
 #: output schema of the feature extractor (stable contract for sinks)
 FEATURE_SCHEMA = StructType(
@@ -642,8 +642,6 @@ def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive part at scale is the decode+hash pass over all media
     bytes, and the near-dup operator reads the frame three times
     (banding + two hash joins back onto narrow candidate ids)."""
-    from pandas_redshift_spark.session import memoized_persist
-
     def build() -> DataFrame:
         d = Tables(spark, sf_dir).documents
         payloads = (
@@ -910,8 +908,6 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side fixes both — fan-out work spreads with the STREAMED rows,
     # and the streamed sides are round-robin spread first because the
     # memoized frame arrives in 2-3 scan partitions.
-    from pandas_redshift_spark.session import ensure_parallelism
-
     ga = hashes.select(F.col("ahash").alias("h1"), F.col("doc_id").alias("id_a"))
     gb = hashes.select(F.col("ahash").alias("h2"), F.col("doc_id").alias("id_b"))
     cross = (

@@ -110,8 +110,8 @@ def udf_scalar_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                          * l_quantity) AS DOUBLE)
-                 / (100 * sum(l_quantity)), 4) AS wavg_price
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / (100 * sum(CAST(l_quantity AS BIGINT))), 4) AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -125,8 +125,17 @@ def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame
     Float sums are row-order-sensitive and shuffle order is not
     deterministic, so the kernel reduces exact integer cents
     (int64 dot product — associative, order-free) and divides once at
-    the end: the q1 avg_price trick applied inside a UDF.  DuckDB runs
-    the same integer-cents formula, so the 4dp hash matches.
+    the end: the q1 avg_price trick applied inside a UDF.  l_quantity
+    arrives as an integral DOUBLE (TPC-H quantities are 1..50), so the
+    kernel casts it to int64 BEFORE multiplying — ``cents * qty`` with
+    a float qty would promote the whole dot product to float64, whose
+    sum goes order-dependent past 2^53 (~sf100 per group), exactly the
+    failure this design exists to prevent.  DuckDB runs the same
+    BIGINT*BIGINT formula (its bigint sums accumulate exactly into
+    hugeint), so the 4dp hash matches.  int64 capacity bound: cents*qty
+    ≤ ~5e8/row, so a group would need ~1.8e10 rows to wrap — orders of
+    magnitude past the operator's own one-executor group-memory limit,
+    so the memory contract binds first.
 
     Plan shape: one hash-partition exchange on the group key, then
     AggregateInPandas.  Unlike grouped-map, grouped-agg does NOT need
@@ -141,8 +150,9 @@ def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame
 
     @F.pandas_udf("double")
     def wavg_cents(price_cents: pd.Series, qty: pd.Series) -> float:
-        num = int((price_cents * qty).sum())  # exact int64 arithmetic
-        den = int(qty.sum())
+        qty_i = qty.astype("int64")  # integral by contract; see docstring
+        num = int((price_cents * qty_i).sum())  # exact int64 dot product
+        den = int(qty_i.sum())
         return round(num / (100.0 * den), 4)
 
     li = Tables(spark, sf_dir).lineitem

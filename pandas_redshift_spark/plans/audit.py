@@ -14,8 +14,11 @@ Rules:
 - ``python_eval``    BatchEvalPython / ArrowEvalPython / MapInPandas /
                      FlatMapGroupsInPandas / ArrowAggregatePython (Spark 4's
                      grouped-agg pandas UDF node; AggregateInPandas pre-4) /
-                     FlatMapGroupsWithStateInPandas — rows leave the JVM; only
-                     the multimodal/stateful extension surface may.
+                     FlatMapGroupsInPandasWithState (the stateful node — the
+                     FlatMapGroupsInPandas alternative already prefix-matches
+                     it, but it is named explicitly so tightening the prefix
+                     with anchors can't silently unguard it) — rows leave the
+                     JVM; only the multimodal/stateful extension surface may.
 - ``single_part``    ``Exchange SinglePartition`` — a global
                      serialization point; legitimate for global
                      sorts/limits/windows over ALREADY-AGGREGATED
@@ -41,7 +44,7 @@ _RULES: dict[str, re.Pattern[str]] = {
     "bnlj": re.compile(r"BroadcastNestedLoopJoin"),
     "python_eval": re.compile(
         r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
-        r"|AggregateInPandas|ArrowAggregatePython|FlatMapGroupsWithStateInPandas"
+        r"|AggregateInPandas|ArrowAggregatePython|FlatMapGroupsInPandasWithState"
     ),
     "single_part": re.compile(r"Exchange SinglePartition"),
     "expand": re.compile(r"\bExpand\b"),

@@ -125,6 +125,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 _PERSIST_MEMO: dict[tuple, DataFrame] = {}
 
 
+def evict_stale(memo: dict, app_id: str) -> None:
+    """Drop memo entries keyed to a stopped session (``key[0]`` is the
+    owning applicationId by convention).  Shared by every app-scoped
+    memo in the package — _PERSIST_MEMO, _TABLE_MEMO, stats._COUNT_MEMO
+    — so eviction semantics can't drift between copies."""
+    for k in [k for k in memo if k[0] != app_id]:
+        del memo[k]
+
+
 def memoized_persist(spark: SparkSession, cache_key: tuple, build) -> DataFrame:
     """Return the one persisted DataFrame for ``cache_key`` in the live
     session, building + persisting it on first use.  Entries from
@@ -132,8 +141,7 @@ def memoized_persist(spark: SparkSession, cache_key: tuple, build) -> DataFrame:
     dead JVM plan references can't accumulate for the process
     lifetime."""
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _PERSIST_MEMO if k[0] != app_id]:
-        del _PERSIST_MEMO[k]
+    evict_stale(_PERSIST_MEMO, app_id)
     key = (app_id, *cache_key)
     df = _PERSIST_MEMO.get(key)
     if df is None:
@@ -179,9 +187,7 @@ class Tables:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
         app_id = self._spark.sparkContext.applicationId
-        stale = [k for k in self._cache if k[0] != app_id]
-        for k in stale:
-            del self._cache[k]
+        evict_stale(self._cache, app_id)
         key = (app_id, self._sf_dir, name)
         if key not in self._cache:
             df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")

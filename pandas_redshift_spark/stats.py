@@ -30,7 +30,7 @@ no current hash.
 
 from __future__ import annotations
 
-from pandas_redshift_spark.session import Tables
+from pandas_redshift_spark.session import Tables, evict_stale
 
 _COUNT_MEMO: dict[tuple, int] = {}
 
@@ -39,8 +39,7 @@ def table_rows(t: Tables, name: str) -> int:
     """Raw row count of ``{sf_dir}/{name}.parquet``, one job per
     session per table (app-scoped memo, stale apps evicted)."""
     app_id = t.spark.sparkContext.applicationId
-    for k in [k for k in _COUNT_MEMO if k[0] != app_id]:
-        del _COUNT_MEMO[k]
+    evict_stale(_COUNT_MEMO, app_id)
     key = (app_id, t.sf_dir, name)
     if key not in _COUNT_MEMO:
         _COUNT_MEMO[key] = t.load(name).count()
