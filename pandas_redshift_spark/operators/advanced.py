@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -308,10 +309,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT
         n.n_name,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        {revenue_sum_sql("l.")} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -352,11 +353,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 

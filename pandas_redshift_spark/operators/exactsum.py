@@ -1,0 +1,54 @@
+"""Order-independent revenue aggregation (the scaled-integer rule).
+
+``round(sum(l_extendedprice * (1 - l_discount)), 4)`` over a large
+group is a run-lottery: the float sum's error grows with group size
+(shuffle-merge arrival order perturbs the low bits), and once it
+exceeds the 4dp rounding quantum the rounded digit differs between
+runs — and between Spark and the DuckDB oracle.  Measured at sf1
+(float_margin_probe, round 9): join_inner's 5 priority groups over
+~600k rows each show cross-engine deltas up to 1.5e-5 against group
+sums sitting as close as 6.3e-6 to a rounding boundary; an unfiltered
+q5-shaped probe flipped a nation's 4th decimal outright.  The r4
+"agg_global incident" was the same disease at 6dp; join_star_broadcast
+mismatching at sf1 in r9 (after passing both r8 sweeps) was the 4dp
+recurrence.
+
+The cure is the q1 avg_price trick generalized: both factors are
+decimal-quantized (l_extendedprice and l_discount live on a 0.01
+grid — asserted across fixtures in round 9), so the revenue term is
+exact on a 1e-4 grid.  Scale each factor to an integer, multiply and
+sum as LONGs (associative — order cannot matter; ANSI mode throws on
+overflow rather than wrapping), divide the one exact total by 1e4.
+Headroom: the largest sf1 group sums to 1.6e14, ~59,000x below 2^63,
+and wider groups split across more keys first.  Cost: two extra
+codegen'd multiplies per row, no extra shuffle or pass.
+
+DuckDB mirrors the formula with BIGINT casts (its BIGINT sum
+accumulates in HUGEINT, also exact), so both engines divide the SAME
+integer and round the SAME double.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def revenue_sum(dp: int = 4) -> Column:
+    """Exact ``sum(l_extendedprice * (1 - l_discount))`` rounded to
+    ``dp`` places, computed as an integer dot product of price cents x
+    discount percent."""
+    scaled = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return F.round(F.sum(scaled).cast("double") / 10000, dp)
+
+
+def revenue_sum_sql(qual: str = "", dp: int = 4) -> str:
+    """DuckDB twin of :func:`revenue_sum`.  ``qual`` is the optional
+    table alias prefix (e.g. ``"l."``)."""
+    return (
+        f"round(CAST(sum(CAST(round({qual}l_extendedprice * 100, 0) AS BIGINT)"
+        f" * CAST(round((1 - {qual}l_discount) * 100, 0) AS BIGINT))"
+        f" AS DOUBLE) / 10000, {dp})"
+    )

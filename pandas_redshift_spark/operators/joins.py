@@ -12,15 +12,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
+from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
 
 @query(
     "join_inner",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           {revenue_sum_sql("l.")} AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -42,7 +43,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        revenue_sum().alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -179,9 +180,9 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_star_broadcast",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           {revenue_sum_sql("l.")} AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -194,6 +195,15 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of the reference's `diststyle all` replicated dim tables
     (reference core.py:201-204).  The fact table never shuffles: three
     BroadcastHashJoins then one aggregate shuffle on (region, nation).
+
+    Revenue aggregates as an exact integer dot product (price cents x
+    discount percent, both on a 0.01 grid) — the q1/agg_global scaled-
+    integer rule.  The old ``round(sum(float), 4)`` passed sf<=0.1 and
+    both r8 sf1 sweeps, then mismatched at sf1 in r9: at ~240k rows per
+    (region, nation) group the float sum's shuffle-merge arrival order
+    perturbs more than the 4dp rounding quantum, so the hash was
+    run-lottery, not wrong arithmetic.  See operators/exactsum.py for
+    the rule, the sf1 margin measurements, and the overflow headroom.
     """
     t = Tables(spark, sf_dir)
     dims = broadcast(
@@ -204,11 +214,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum().alias("revenue"))
     )
 
 
@@ -268,7 +274,7 @@ def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_banded",
-    oracle="""
+    oracle=f"""
     WITH w AS (
         SELECT i AS window_id,
                DATE '1995-01-01' + CAST(i * 30 AS INTEGER) AS w_start,
@@ -279,7 +285,7 @@ def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(w.w_start, '%Y-%m-%d') AS w_start,
            strftime(w.w_end, '%Y-%m-%d') AS w_end,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           {revenue_sum_sql("l.")} AS revenue
     FROM w
     JOIN lineitem l
       ON CAST(l.l_shipdate AS DATE) BETWEEN w.w_start AND w.w_end
@@ -334,7 +340,7 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("window_id", "w_start", "w_end")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            revenue_sum().alias("revenue"),
         )
         .select(
             "window_id",

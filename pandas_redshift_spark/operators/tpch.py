@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -288,12 +289,12 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "tpch_q7_volume_shipping",
-    oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {revenue_sum_sql()} AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume
+               l.l_extendedprice, l.l_discount
         FROM supplier s
         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -336,11 +337,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum().alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -588,11 +585,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q9_product_type_profit",
     oracle="""
-    SELECT n_name AS nation, o_year, round(sum(amount), 4) AS sum_profit
+    SELECT n_name AS nation, o_year,
+           round(CAST(sum(amount_e4) AS DOUBLE) / 10000, 4) AS sum_profit
     FROM (
         SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount)
-                 - 0.5 * p.p_retailprice * l.l_quantity AS amount
+               CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT)
+                 - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 50 AS amount_e4
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN part p     ON p.p_partkey = l.l_partkey
@@ -612,9 +612,15 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey, then a 25x7-group aggregate."""
     t = Tables(spark, sf_dir)
     p = broadcast(t.part.filter(F.col("p_name").like("%widget%")))
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # profit on an exact 1e-4 grid: revenue is cents x discount-percent
+    # and the cost term 0.5*retail(2dp)*qty(int) scales by 50 — all
+    # LONG arithmetic, so the per-group sum is order-independent
+    # (operators/exactsum.py; the float sum was 4dp run-lottery at sf1)
+    amount_e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long") - F.round(F.col("p_retailprice") * 100, 0).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long") * F.lit(50)
     return (
         t.lineitem.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -624,7 +630,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .agg(F.round(F.sum(amount_e4).cast("double") / 10000, 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -722,8 +728,8 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q19_discounted_revenue",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    oracle=f"""
+    SELECT {revenue_sum_sql("l.")} AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -749,11 +755,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.join(broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(blocks)
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum().alias("revenue"))
     )
 
 
