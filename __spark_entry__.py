@@ -99,6 +99,12 @@ REVERIFY_NAMES: set[str] = {
     "tpch_q7_volume_shipping",
     "tpch_q9_product_type_profit",
     "tpch_q19_discounted_revenue",
+    # second exactsum wave: q1's money sums (charge margin was 5.1x at
+    # sf1), the cube grand-total cell (past the 2^53-cents cliff), and
+    # the MV mergeable sum state (cliff at ~sf2)
+    "q1_pricing_summary",
+    "agg_cube",
+    "mv_incremental_refresh",
 }
 
 

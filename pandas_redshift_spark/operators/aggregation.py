@@ -135,17 +135,26 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE — all 2^k grouping-set combinations."""
+    """CUBE — all 2^k grouping-set combinations.
+
+    The grand-total cell sums EVERY order, so its float prefix crosses
+    2^53 cents-equivalent before sf1 and the sum goes order-dependent
+    (operators/exactsum.py) — totals aggregate as exact cents LONGs."""
     o = Tables(spark, sf_dir).orders
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double")
+            / 100,
+            2,
+        ).alias("total_price"),
     )
 
 
@@ -416,8 +425,10 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
-           round(sum(o_totalprice), 2) / count(*) AS avg_price,
+           round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_price,
+           round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) / count(*) AS avg_price,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price
     FROM orders
@@ -437,14 +448,19 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg doesn't merge.  At 100 TB the historical partials are a few
     rows per group read from the MV store; only the delta partition is
     scanned per refresh.  Final avg divides the ROUNDED sum so both
-    engines divide identical doubles."""
+    engines divide identical doubles.  The mergeable sum state is
+    exact cents LONGs (operators/exactsum.py): float partials were
+    exact at sf1 only because per-priority prefixes still sat below
+    2^53-in-cents — one more doubling crosses the cliff and the
+    partial-merge-equals-recompute claim becomes order-dependent."""
     o = Tables(spark, sf_dir).orders
     cut = F.lit("1997-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("s"),
+            F.sum(cents).alias("s"),
             F.min("o_totalprice").alias("mn"),
             F.max("o_totalprice").alias("mx"),
         )
@@ -456,7 +472,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.sum("n").alias("n_orders"),
-            F.round(F.sum("s"), 2).alias("total_price"),
+            F.round(F.sum("s").cast("double") / 100, 2).alias("total_price"),
             F.min("mn").alias("min_price"),
             F.max("mx").alias("max_price"),
         )

@@ -24,9 +24,18 @@ from pandas_redshift_spark.session import Tables
         l_returnflag,
         l_linestatus,
         round(sum(l_quantity), 2)                                        AS sum_qty,
-        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+        round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+              / 100, 2)                                                  AS sum_base_price,
+        round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                   AS DOUBLE) / 10000, 2)                                AS sum_disc_price,
+        round((CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                    AS DOUBLE) * 100
+               + CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+                          * CAST(round(l_tax * 100, 0) AS BIGINT))
+                      AS DOUBLE)) / 1000000, 2)                          AS sum_charge,
         round(avg(l_quantity), 4)                                        AS avg_qty,
         round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
               / (100 * count(*)), 4)                                     AS avg_price,
@@ -52,13 +61,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     count flips the last digit (the agg_global incident, r4).
     Integer scaling costs ~nothing where DECIMAL aggregation measured
     +77% on the agg; long sums stay exact to 2^63 (ANSI mode throws
-    on overflow rather than wrapping).  avg_qty needs no guard:
-    integer sums are exact in doubles below 2^53.
+    on overflow rather than wrapping).  avg_qty and sum_qty need no
+    guard: integer sums are exact in doubles below 2^53.
+
+    The money SUMS are scaled-integer too (late r9): the float
+    sum_charge probe at sf1 showed a cross-engine delta of 3.8e-6
+    against a group sitting 2e-5 from a 2dp rounding boundary — a 5x
+    margin that shrinks as SF grows (operators/exactsum.py tells the
+    full story).  disc_price sums cents x discount-percent (1e-4
+    grid); charge adds the exact cross term cents x pct x tax-percent
+    (tax is 0.01-grid), combining the two LONG totals with identical
+    IEEE double ops in both engines.  Overflow bounds: the e4 term
+    wraps (loudly, ANSI) at ~sf130k per group and the e6 cross term
+    at ~sf250 — past any certification SF here; at real cluster scale
+    swap the LONG accumulators for DECIMAL(38,0) sums (exact, one
+    line, ~+77% on the agg stage only).
     """
     li = Tables(spark, sf_dir).lineitem
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
+    cents_e = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pct_disc = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    pct_tax = F.round(F.col("l_tax") * 100, 0).cast("long")
+    sum_e4 = F.sum(cents_e * pct_disc).cast("double")
+    sum_cross_e6 = F.sum(cents_e * pct_disc * pct_tax).cast("double")
 
     def cents(col: str):
         return F.sum(F.round(F.col(col) * 100, 0).cast("long")).cast("double")
@@ -68,9 +93,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(cents("l_extendedprice") / 100, 2).alias("sum_base_price"),
+            F.round(sum_e4 / 10000, 2).alias("sum_disc_price"),
+            F.round((sum_e4 * 100 + sum_cross_e6) / 1000000, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(cents("l_extendedprice") / (100 * n), 4).alias("avg_price"),
             F.round(cents("l_discount") / (100 * n), 6).alias("avg_disc"),
