@@ -564,6 +564,15 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         # order varies with partition count; keep it in the net.
         "profile_drift_psi",
         "dml_scd2_dimension",
+        # r9: the sf1 float-rounding incident (operators/exactsum.py) —
+        # join_star_broadcast's round(sum(float), 4) over ~240k-row
+        # groups mismatched its oracle with code and data unchanged.
+        # The converted scaled-integer sums are order-independent by
+        # construction; keep the two worst former offenders plus the
+        # cube grand-total cell (past the 2^53-cents cliff) in the net.
+        "join_star_broadcast",
+        "join_inner",
+        "agg_cube",
     ]
     specs = all_queries()
 

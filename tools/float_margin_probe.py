@@ -1,0 +1,131 @@
+"""Float-sum rounding-margin probe (the round-9 sf1 incident tool).
+
+For each round(sum(<float expr>), k) aggregation shape, measures at a
+given SF:
+
+- ``max|delta|``   largest cross-engine difference between the Spark
+                   float sum and the DuckDB float sum per group
+                   (summation-order divergence — grows with group size)
+- ``min_bdry``     smallest distance of any group's sum to a k-dp
+                   rounding boundary (pure luck of the data)
+- ``margin``       min_bdry / max|delta| — once this approaches 1 the
+                   rounded digit is a run-lottery: the query can pass
+                   every sweep for rounds and then mismatch its oracle
+                   with code and data unchanged (join_star_broadcast,
+                   r9 sf1; agg_global, r4).
+
+Rule of thumb from round 9: convert a site to the scaled-integer form
+(operators/exactsum.py) when margin < ~100x at the largest certified
+SF, since delta grows ~sqrt(group size) and min_bdry is a lottery
+re-rolled by every new fixture.  Measured-and-left-alone sites (with
+sf1 margins): agg_stats variance 7e3x / stddev 1e6x, events-value
+sums (tiny magnitudes), per-day/order/customer groupings.
+
+Usage::
+
+    python tools/float_margin_probe.py [sf_dir]     # default .scaledata/sf1
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+from pandas_redshift_spark.session import Tables
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaledata/sf1"
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("float-margin-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = Tables(spark, SF)
+    con = duckdb.connect()
+    for n in ("lineitem", "orders", "supplier", "nation", "region", "part"):
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{SF}/{n}.parquet'")
+
+    def probe(name, sdf, sql, quantum):
+        sp = {tuple(str(x) for x in r[:-1]): r[-1] for r in sdf.collect()}
+        du = {tuple(str(x) for x in r[:-1]): r[-1] for r in con.execute(sql).fetchall()}
+        assert set(sp) == set(du), (name, len(sp), len(du))
+        worst, mind = 0.0, float("inf")
+        for k in sp:
+            worst = max(worst, abs(sp[k] - du[k]))
+            frac = (du[k] / quantum) % 1.0
+            mind = min(mind, abs(frac - 0.5) * quantum)
+        margin = mind / worst if worst else float("inf")
+        flag = "  <-- CONVERT (operators/exactsum.py)" if margin < 100 else ""
+        print(
+            f"{name}: groups={len(sp)} max|delta|={worst:.3e} "
+            f"min_bdry={mind:.3e} margin={margin:.1f}x{flag}",
+            flush=True,
+        )
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = rev * (1 + F.col("l_tax"))
+
+    # The shapes converted in r9 (kept here to confirm the float form
+    # STAYS dangerous on new fixtures) plus the measured-safe ones.
+    probe(
+        "join_inner_shape(4dp)",
+        t.lineitem.join(
+            t.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).alias("s")),
+        "SELECT o_orderpriority, sum(l_extendedprice*(1-l_discount)) FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey=o.o_orderkey WHERE o_orderstatus='F' GROUP BY 1",
+        1e-4,
+    )
+    probe(
+        "nation_revenue_shape(4dp)",
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("s")),
+        "SELECT n_name, sum(l_extendedprice*(1-l_discount)) FROM lineitem l "
+        "JOIN supplier s ON l.l_suppkey=s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey=n.n_nationkey GROUP BY 1",
+        1e-4,
+    )
+    probe(
+        "q1_charge_shape(2dp)",
+        t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(F.sum(charge).alias("s")),
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(l_extendedprice*(1-l_discount)*(1+l_tax)) FROM lineitem GROUP BY 1,2",
+        1e-2,
+    )
+    probe(
+        "orders_grand_total(2dp)",
+        t.orders.groupBy(F.lit(1).alias("g")).agg(F.sum("o_totalprice").alias("s")),
+        "SELECT 1, sum(o_totalprice) FROM orders",
+        1e-2,
+    )
+    probe(
+        "stats_var(2dp, kept float)",
+        t.lineitem.groupBy("l_returnflag").agg(F.var_samp("l_extendedprice").alias("v")),
+        "SELECT l_returnflag, var_samp(l_extendedprice) FROM lineitem GROUP BY 1",
+        1e-2,
+    )
+    probe(
+        "stats_std(4dp, kept float)",
+        t.lineitem.groupBy("l_returnflag").agg(
+            F.stddev_samp("l_extendedprice").alias("v")
+        ),
+        "SELECT l_returnflag, stddev_samp(l_extendedprice) FROM lineitem GROUP BY 1",
+        1e-4,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
