@@ -105,6 +105,10 @@ REVERIFY_NAMES: set[str] = {
     "q1_pricing_summary",
     "agg_cube",
     "mv_incremental_refresh",
+    # third wave: variance/stddev from exact integer power sums (the
+    # float margin fell to 52x at sf3; power sums are the mergeable
+    # moment state at scale)
+    "agg_stats",
 }
 
 

@@ -180,24 +180,58 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stats",
     oracle="""
+    WITH ps AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               min(l_extendedprice) AS mn,
+               max(l_extendedprice) AS mx,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS s1,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS s2
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
     SELECT
         l_returnflag,
-        round(min(l_extendedprice), 2) AS min_price,
-        round(max(l_extendedprice), 2) AS max_price,
-        round(stddev_samp(l_extendedprice), 4) AS std_price,
-        round(var_samp(l_extendedprice), 2) AS var_price
-    FROM lineitem
-    GROUP BY l_returnflag
+        round(mn, 2) AS min_price,
+        round(mx, 2) AS max_price,
+        round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 10000), 4)
+            AS std_price,
+        round(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 10000, 2)
+            AS var_price
+    FROM ps
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MIN/MAX/STDDEV/VARIANCE — single-pass mergeable moments."""
+    """MIN/MAX/STDDEV/VARIANCE — single-pass mergeable moments.
+
+    Variance computes from EXACT integer power sums (n, sum cents,
+    sum cents^2 — the cents^2 row term tops out ~1.2e14, LONG-safe;
+    the group totals accumulate in DECIMAL(38,0) Spark-side and
+    HUGEINT in the oracle, both exact), then one
+    ``(n*s2 - s1^2) / (n (n-1))`` fold with identical IEEE op order
+    in both engines.  The float var_samp margin measured 7,000x at
+    sf1 but only 52x at sf3 (tools/float_margin_probe.py) — under the
+    100x conversion rule — and exact power sums are also the right
+    100 TB answer: they're the MERGEABLE moment state (combine by
+    addition across partitions/partials with no order sensitivity at
+    all), which Welford-style float merge is not.  Cancellation note:
+    n*s2 - s1^2 ~ 6.7e19 against operands ~5.6e27 loses nothing here
+    because the subtraction is EXACT in 128-bit/decimal integers —
+    only the final cast to double rounds, relatively ~1e-16.
+    """
     li = Tables(spark, sf_dir).lineitem
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    n = F.count(F.lit(1))
+    s1 = F.sum(cents.cast("decimal(38,0)"))
+    s2 = F.sum((cents * cents).cast("decimal(38,0)"))
+    num = (n.cast("decimal(38,0)") * s2 - s1 * s1).cast("double")
+    var_d = num / n / (n - 1) / 10000
     return li.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.sqrt(var_d), 4).alias("std_price"),
+        F.round(var_d, 2).alias("var_price"),
     )
 
 

@@ -17,9 +17,12 @@ given SF:
 Rule of thumb from round 9: convert a site to the scaled-integer form
 (operators/exactsum.py) when margin < ~100x at the largest certified
 SF, since delta grows ~sqrt(group size) and min_bdry is a lottery
-re-rolled by every new fixture.  Measured-and-left-alone sites (with
-sf1 margins): agg_stats variance 7e3x / stddev 1e6x, events-value
-sums (tiny magnitudes), per-day/order/customer groupings.
+re-rolled by every new fixture.  Measured-and-left-alone sites: events-value
+sums (tiny magnitudes) and per-day/order/customer groupings, whose
+group sizes are SF-invariant (17/38/40 rows max at both sf0.1 and
+sf1).  agg_stats variance measured 7e3x at sf1 but only 52x at sf3 —
+so it, too, was converted (exact integer power sums, the mergeable
+moment state).
 
 Usage::
 
@@ -111,13 +114,13 @@ def main() -> None:
         1e-2,
     )
     probe(
-        "stats_var(2dp, kept float)",
+        "stats_var_float_shape(2dp, converted r9)",
         t.lineitem.groupBy("l_returnflag").agg(F.var_samp("l_extendedprice").alias("v")),
         "SELECT l_returnflag, var_samp(l_extendedprice) FROM lineitem GROUP BY 1",
         1e-2,
     )
     probe(
-        "stats_std(4dp, kept float)",
+        "stats_std_float_shape(4dp, converted r9)",
         t.lineitem.groupBy("l_returnflag").agg(
             F.stddev_samp("l_extendedprice").alias("v")
         ),
