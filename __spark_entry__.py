@@ -64,51 +64,41 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: (tests/test_oracle_parity.py pins the pending <= reverify <=
 #: rows-only <= verified tier order and that every member is a live
 #: registered name, so a stale entry fails the suite).
-#: r9: multimodal_phash_near_dup's output CHANGES — the 8x8-band
-#: >=2-shared-bands candidate rule (VERDICT r8 item 5) is exhaustive
-#: at hd<=6, so the ~4% of true pairs the r8 4x16 banding missed now
-#: appear (sf0.01: 1050 rows where CORRECTNESS_r08 certified 1007).
-#: Everything else r9 touched is output-identical at driver SFs: the
-#: stats.table_rows migration feeds the same N to the same formulas
-#: (raw == zero-norm-filtered count in every fixture; the PQ oracle's
-#: count(*) moved to the raw table to stay aligned), the trainer
-#: zero-norm-mean guards fire only on inputs no fixture contains
-#: (both engines guarded identically), and the explicit 64-position
-#: Hamming fold equals the old split-zip fold on every 64-char hash.
-#: The four NEW r9 queries (udf_*, filter_ilike) are never-checked
-#: and rank in the pending tier by themselves.
-#: udf_grouped_agg_weighted_mean: late-r9 review fix — the kernel and
-#: oracle both moved from BIGINT*DOUBLE to BIGINT*BIGINT arithmetic
-#: (l_quantity is integral by contract).  Values are identical at
-#: every fixture SF (float sums are exact below 2^53), but the oracle
-#: TEXT changed, so it re-enters the reverify tier.
-#: Late-r9 scaled-integer revenue fix (operators/exactsum.py): the
-#: seven queries below moved their round(sum(float), 4) revenue/profit
-#: aggregates to exact LONG dot products after join_star_broadcast
-#: value-hash-mismatched at sf1 (float-sum error vs the 4dp quantum is
-#: a run-lottery on large groups; a q5-shaped probe flipped too).
-#: Values at driver SFs are identical except where the old float sum
-#: was already astride a boundary — which is the point.
+#: r10: the CORRECTNESS_r09 sweep re-verified the whole r9 set green,
+#: so this set restarts from the round-10 diff — the fourth exactsum
+#: wave (VERDICT r9 "wrong" item 1 / "next" item 1): every residual
+#: ``round(sum(<money float>))`` site moved to the exact scaled-LONG
+#: form (operators/exactsum.py), including the ratio shapes (q8/q14 —
+#: both legs sum the scaled term, the 1e4 scale cancels) and q17's
+#: cents sum.  Values at driver SFs are identical except where the
+#: old float sum was already astride a rounding boundary — which is
+#: the point; the oracle TEXT changed for all of them, so they
+#: re-enter the reverify tier.
+#: udf_grouped_agg_weighted_mean: ADVICE r9 fix — kernel now returns
+#: the unrounded quotient (4dp round moved Spark-side to F.round) and
+#: accumulates through arbitrary-precision Python ints.  Same values
+#: at every fixture SF; kernel text changed.
 REVERIFY_NAMES: set[str] = {
-    "multimodal_phash_near_dup",
+    # probe-flagged (margin <100x at sf1/sf3): decile money sums
+    # would certainly mismatch at sf3; the running window fold is not
+    # bitwise-deterministic across engines (per-row lottery)
+    "pipe_feature_binning",
+    "window_running_sum",
+    # policy conversions: per-day / per-cntrycode groups grow with SF
+    "window_trailing_30d",
+    "window_moving_median",
+    "agg_calendar_gap_fill",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "bucketed_join_colocated",
+    "sink_zorder_layout",
     "udf_grouped_agg_weighted_mean",
-    "join_star_broadcast",
-    "join_inner",
-    "join_range_banded",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_type_profit",
-    "tpch_q19_discounted_revenue",
-    # second exactsum wave: q1's money sums (charge margin was 5.1x at
-    # sf1), the cube grand-total cell (past the 2^53-cents cliff), and
-    # the MV mergeable sum state (cliff at ~sf2)
-    "q1_pricing_summary",
-    "agg_cube",
-    "mv_incremental_refresh",
-    # third wave: variance/stddev from exact integer power sums (the
-    # float margin fell to 52x at sf3; power sums are the mergeable
-    # moment state at scale)
-    "agg_stats",
 }
 
 

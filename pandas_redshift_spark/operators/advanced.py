@@ -261,10 +261,10 @@ def sample_bernoulli_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT
         l.l_orderkey,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        {revenue_sum_sql("l.")} AS revenue,
         strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
         o.o_orderpriority
     FROM customer c
@@ -291,11 +291,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum().alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",

@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from pandas_redshift_spark.operators.exactsum import money_sum
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables, memoized_persist
 
@@ -678,7 +679,8 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                          AS DOUBLE) / 100, 2) AS revenue
         FROM orders GROUP BY 1
     )
     SELECT strftime(s.day, '%Y-%m-%d') AS day,
@@ -708,7 +710,7 @@ def agg_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        money_sum("o_totalprice").alias("revenue"),
     )
     return (
         F.broadcast(spine)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.operators.sourcesinks import _stage_dir
 from pandas_redshift_spark.session import Tables
@@ -56,11 +57,11 @@ def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[DataFram
 
 @query(
     "bucketed_join_colocated",
-    oracle="""
+    oracle=f"""
     SELECT
         o.o_orderkey,
         CAST(count(*) AS BIGINT) AS n_lines,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS net_revenue,
+        {revenue_sum_sql("l.")} AS net_revenue,
         round(o.o_totalprice, 2) AS total_price
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_totalprice
@@ -80,9 +81,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "net_revenue"
-            ),
+            revenue_sum().alias("net_revenue"),
         )
         .select(
             "o_orderkey",

@@ -34,21 +34,80 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
+def revenue_scaled() -> Column:
+    """Per-row ``l_extendedprice * (1 - l_discount)`` as an exact LONG
+    on the 1e-4 grid (price cents x discount percent).  The building
+    block for :func:`revenue_sum` and for conditional/ratio forms
+    (q8/q14) where the scale factor cancels or is divided out once."""
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+
+
+def revenue_scaled_sql(qual: str = "") -> str:
+    """DuckDB twin of :func:`revenue_scaled` (a per-row BIGINT term)."""
+    return (
+        f"CAST(round({qual}l_extendedprice * 100, 0) AS BIGINT)"
+        f" * CAST(round((1 - {qual}l_discount) * 100, 0) AS BIGINT)"
+    )
+
+
 def revenue_sum(dp: int = 4) -> Column:
     """Exact ``sum(l_extendedprice * (1 - l_discount))`` rounded to
     ``dp`` places, computed as an integer dot product of price cents x
     discount percent."""
-    scaled = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
-        (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
-    return F.round(F.sum(scaled).cast("double") / 10000, dp)
+    return F.round(F.sum(revenue_scaled()).cast("double") / 10000, dp)
 
 
 def revenue_sum_sql(qual: str = "", dp: int = 4) -> str:
     """DuckDB twin of :func:`revenue_sum`.  ``qual`` is the optional
     table alias prefix (e.g. ``"l."``)."""
     return (
+        f"round(CAST(sum({revenue_scaled_sql(qual)})"
+        f" AS DOUBLE) / 10000, {dp})"
+    )
+
+
+def discount_revenue_sum(dp: int = 2) -> Column:
+    """Exact ``sum(l_extendedprice * l_discount)`` (the TPC-H q6
+    shape) rounded to ``dp`` places — price cents x discount percent,
+    both exact on their 0.01 grids, summed as LONGs."""
+    scaled = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        F.col("l_discount") * 100, 0
+    ).cast("long")
+    return F.round(F.sum(scaled).cast("double") / 10000, dp)
+
+
+def money_cents(col: str) -> Column:
+    """A 0.01-grid money column as exact integer cents (LONG)."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def money_cents_sql(col: str) -> str:
+    """DuckDB twin of :func:`money_cents`."""
+    return f"CAST(round({col} * 100, 0) AS BIGINT)"
+
+
+def money_sum(col: str, dp: int = 2) -> Column:
+    """Exact ``sum(<0.01-grid money column>)`` rounded to ``dp``
+    places: sum integer cents (associative LONGs — order-free; ANSI
+    throws on overflow), divide the one exact total by 100.  For
+    o_totalprice / c_acctbal / events.value — all grid-checked in the
+    fixtures (r10 probe)."""
+    return F.round(F.sum(money_cents(col)).cast("double") / 100, dp)
+
+
+def money_sum_sql(col: str, dp: int = 2) -> str:
+    """DuckDB twin of :func:`money_sum`."""
+    return (
+        f"round(CAST(sum({money_cents_sql(col)}) AS DOUBLE) / 100, {dp})"
+    )
+
+
+def discount_revenue_sum_sql(qual: str = "", dp: int = 2) -> str:
+    """DuckDB twin of :func:`discount_revenue_sum`."""
+    return (
         f"round(CAST(sum(CAST(round({qual}l_extendedprice * 100, 0) AS BIGINT)"
-        f" * CAST(round((1 - {qual}l_discount) * 100, 0) AS BIGINT))"
+        f" * CAST(round({qual}l_discount * 100, 0) AS BIGINT))"
         f" AS DOUBLE) / 10000, {dp})"
     )

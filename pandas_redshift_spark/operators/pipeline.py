@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pandas_redshift_spark.operators.dedup import shingle_cte_sql, shingle_frame
+from pandas_redshift_spark.operators.exactsum import money_sum, money_sum_sql
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -727,7 +728,7 @@ def pipe_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_feature_binning",
-    oracle="""
+    oracle=f"""
     WITH cuts AS (
         SELECT quantile_cont(o_totalprice,
                              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
@@ -737,7 +738,7 @@ def pipe_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_orders,
            round(min(o.o_totalprice), 2) AS lo,
            round(max(o.o_totalprice), 2) AS hi,
-           round(sum(o.o_totalprice), 2) AS total
+           {money_sum_sql("o.o_totalprice")} AS total
     FROM orders o CROSS JOIN cuts
     GROUP BY 1
     """,
@@ -771,7 +772,10 @@ def pipe_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # N/10-row groups: the float sum measured margin 27x at sf1
+        # and 0.04x at sf3 (r10 probe) — a certain mismatch at sf3 —
+        # so the total folds exact integer cents.
+        money_sum("o_totalprice").alias("total"),
     )
 
 

@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -571,9 +572,9 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sink_zorder_layout",
-    oracle="""
+    oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           {revenue_sum_sql()} AS revenue
     FROM lineitem
     WHERE l_partkey BETWEEN 100 AND 300
       AND l_suppkey BETWEEN 10 AND 40
@@ -608,7 +609,7 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 40)
     ).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        revenue_sum().alias("revenue"),
     )
 
 

@@ -21,7 +21,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
+from pandas_redshift_spark.operators.exactsum import (
+    discount_revenue_sum,
+    discount_revenue_sum_sql,
+    money_sum,
+    money_sum_sql,
+    revenue_scaled,
+    revenue_scaled_sql,
+    revenue_sum,
+    revenue_sum_sql,
+)
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -73,8 +82,8 @@ def tpch_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q6_revenue_forecast",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+    SELECT {discount_revenue_sum_sql()} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -86,23 +95,26 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): pure scan-filter-agg.
     All three predicates push to the parquet scan; the global sum is a
     two-phase partial/final aggregate with no shuffle of data rows —
-    the cheapest possible 100 TB query shape."""
+    the cheapest possible 100 TB query shape.  The ONE group is the
+    whole filtered table, so the money sum uses the exact
+    scaled-integer form (operators/exactsum.py) — the r10 float-sum
+    sweep converts every unbounded-group money sum."""
     li = Tables(spark, sf_dir).lineitem
     return li.filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(discount_revenue_sum().alias("revenue"))
 
 
 @query(
     "tpch_q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT
         c.c_custkey,
         c.c_name,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        {revenue_sum_sql("l.")} AS revenue,
         round(c.c_acctbal, 2) AS acctbal,
         n.n_name
     FROM customer c
@@ -132,11 +144,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(revenue_sum().alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -197,11 +205,12 @@ def tpch_q12_priority_by_lateness(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "tpch_q14_promo_effect",
-    oracle="""
+    oracle=f"""
     SELECT round(
-        100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                         THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-              / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+        100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN {revenue_scaled_sql("l.")} ELSE 0 END) AS DOUBLE)
+              / CAST(sum({revenue_scaled_sql("l.")}) AS DOUBLE), 4)
+        AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -210,20 +219,28 @@ def tpch_q12_priority_by_lateness(spark: SparkSession, sf_dir: str) -> DataFrame
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): conditional-aggregate ratio over a
     broadcast part join — zero shuffles of lineitem rows (part is the
-    small side even at 100 TB: |part| ~ 0.2% of |lineitem|)."""
+    small side even at 100 TB: |part| ~ 0.2% of |lineitem|).
+
+    Both ratio legs sum the exact scaled-LONG revenue term
+    (exactsum.revenue_scaled — the 1e4 scale cancels in the ratio), so
+    the only floats are the two LONG->DOUBLE casts and one divide —
+    all IEEE correctly-rounded, identical in Spark and DuckDB."""
     t = Tables(spark, sf_dir)
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= _ts("1996-09-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-10-01 00:00:00"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sc = revenue_scaled()
+    zero = F.lit(0).cast("long")
     return (
         li.join(broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", sc).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(sc).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -344,13 +361,14 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT l_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               {revenue_scaled_sql("l.")} AS volume,
                n2.n_name AS supp_nation
         FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -372,7 +390,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): one nation's share of PROMO
     part revenue sold into an ASIA-region market, per year — an
     8-table join where every dimension broadcasts and the conditional
-    share ratio folds into the final aggregate."""
+    share ratio folds into the final aggregate.  Both ratio legs sum
+    the exact scaled-LONG revenue term (the 1e4 scale cancels), so the
+    only floats are two correctly-rounded casts and one divide."""
     t = Tables(spark, sf_dir)
     cust_nations = broadcast(
         t.nation.join(
@@ -387,7 +407,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = revenue_scaled()
+    zero = F.lit(0).cast("long")
     return (
         t.lineitem.join(broadcast(t.part.filter(F.col("p_type") == "PROMO")), F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -398,8 +419,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("bigint").alias("l_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -440,10 +463,10 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+               {revenue_sum_sql()} AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -470,11 +493,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "total_revenue"
-            )
-        )
+        .agg(revenue_sum().alias("total_revenue"))
     )
     mx = F.max("total_revenue").over(Window.partitionBy())
     return (
@@ -488,7 +507,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 700.0, 4) AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
       AND l.l_quantity < (
@@ -507,7 +526,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     t.register_views()
     return spark.sql(
         """
-        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 700.0, 4) AS avg_yearly
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#1'
           AND l.l_quantity < (
@@ -910,9 +929,9 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q22_global_sales_opportunity",
-    oracle="""
+    oracle=f"""
     SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           {money_sum_sql("c_acctbal")} AS totacctbal
     FROM (
         SELECT CAST(c.c_nationkey % 7 AS BIGINT) AS cntrycode, c.c_acctbal
         FROM customer c
@@ -960,7 +979,8 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            # N/7-row groups grow with SF — exact cents (r10 sweep)
+            money_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

@@ -132,10 +132,13 @@ def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame
     sum goes order-dependent past 2^53 (~sf100 per group), exactly the
     failure this design exists to prevent.  DuckDB runs the same
     BIGINT*BIGINT formula (its bigint sums accumulate exactly into
-    hugeint), so the 4dp hash matches.  int64 capacity bound: cents*qty
-    ≤ ~5e8/row, so a group would need ~1.8e10 rows to wrap — orders of
-    magnitude past the operator's own one-executor group-memory limit,
-    so the memory contract binds first.
+    hugeint), so the 4dp hash matches.  The kernel accumulates through
+    arbitrary-precision Python ints (object dtype) so overflow is
+    impossible at ANY group size — matching the loud-or-exact ANSI
+    discipline of the native LONG paths — and returns the unrounded
+    quotient; the 4dp round is applied Spark-side with ``F.round`` so
+    the rounding pairing is the same F.round<->DuckDB round every
+    other certified query uses.
 
     Plan shape: one hash-partition exchange on the group key, then
     AggregateInPandas.  Unlike grouped-map, grouped-agg does NOT need
@@ -150,17 +153,31 @@ def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame
 
     @F.pandas_udf("double")
     def wavg_cents(price_cents: pd.Series, qty: pd.Series) -> float:
-        qty_i = qty.astype("int64")  # integral by contract; see docstring
-        num = int((price_cents * qty_i).sum())  # exact int64 dot product
+        # Accumulate through arbitrary-precision Python ints (object
+        # dtype): unlike a raw int64 dot product — which would WRAP
+        # silently past ~1.8e10 rows/group, unlike the JVM LONG paths
+        # that throw under ANSI — overflow is impossible here, so the
+        # failure mode matches the native exactsum discipline.
+        qty_i = qty.astype("int64").astype(object)  # integral by contract
+        num = int((price_cents.astype(object) * qty_i).sum())  # exact
         den = int(qty_i.sum())
-        return round(num / (100.0 * den), 4)
+        # Return the UNROUNDED quotient: the 4dp round happens
+        # Spark-side via F.round so the rounding pairing is the same
+        # F.round<->DuckDB round certified by every other query (a
+        # Python round() here is half-to-even on the decimal value and
+        # disagrees with both engines ~1/100k at the 4dp boundary).
+        return num / (100.0 * den)
 
     li = Tables(spark, sf_dir).lineitem
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return (
         li.select("l_returnflag", cents.alias("cents"), "l_quantity")
         .groupBy("l_returnflag")
-        .agg(wavg_cents(F.col("cents"), F.col("l_quantity")).alias("wavg_price"))
+        .agg(
+            F.round(wavg_cents(F.col("cents"), F.col("l_quantity")), 4).alias(
+                "wavg_price"
+            )
+        )
         .orderBy("l_returnflag")
     )
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pandas_redshift_spark.operators.exactsum import money_cents, money_cents_sql
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -105,14 +106,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT
         o_custkey,
         o_orderkey,
-        round(sum(o_totalprice) OVER (
+        round(CAST(sum({money_cents_sql("o_totalprice")}) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ), 2) AS running_spend,
+        ) AS DOUBLE) / 100, 2) AS running_spend,
         CAST(count(*) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -121,7 +122,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate with an explicit ROWS frame."""
+    """Running aggregate with an explicit ROWS frame.
+
+    The running money sum folds exact integer cents: the r10 probe
+    measured the float form NOT bitwise-deterministic across engines
+    (max per-row delta 2.8e-9 — DuckDB's segment-tree window fold
+    reassociates, Spark folds left-to-right), and with one lottery
+    draw PER ROW the 2dp margin is ~1x at sf1.  Cents LONGs make the
+    fold order irrelevant."""
     o = Tables(spark, sf_dir).orders
     w = (
         Window.partitionBy("o_custkey")
@@ -131,7 +139,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(
+            F.sum(money_cents("o_totalprice")).over(w).cast("double") / 100, 2
+        ).alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("order_seq"),
     )
 
@@ -324,17 +334,18 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_trailing_30d",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               round(sum(o_totalprice), 2) AS day_rev
+               sum({money_cents_sql("o_totalprice")}) AS day_cents
         FROM orders GROUP BY 1
     )
-    SELECT strftime(day, '%Y-%m-%d') AS day, day_rev,
-           round(sum(day_rev) OVER (
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(day_cents AS DOUBLE) / 100, 2) AS day_rev,
+           round(CAST(sum(day_cents) OVER (
                ORDER BY day
                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
-           ), 2) AS trailing_30d_rev
+           ) AS DOUBLE) / 100, 2) AS trailing_30d_rev
     FROM daily
     """,
 )
@@ -348,28 +359,32 @@ def window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the window is global-ordered over the DAILY aggregate
     (|days| rows — tiny), not raw orders; the raw scan only feeds the
-    per-day partial agg.  Inner sums rounded before the outer sum so
-    both engines accumulate identical 2dp values; the outer sum of
-    ~31 such terms re-rounds safely."""
+    per-day partial agg.  Both the per-day sum (group size grows with
+    SF — shuffle order is a run-lottery) and the outer trailing sum
+    fold exact integer cents (r10 exactsum sweep); the two displayed
+    doubles divide the exact totals once."""
     o = Tables(spark, sf_dir).orders
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("day_rev")
+        F.sum(money_cents("o_totalprice")).alias("day_cents")
     )
     epoch_day = F.datediff("day", F.lit("1970-01-01").cast("date"))
     w = Window.orderBy(epoch_day.cast("long")).rangeBetween(-30, 0)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "day_rev",
-        F.round(F.sum("day_rev").over(w), 2).alias("trailing_30d_rev"),
+        F.round(F.col("day_cents").cast("double") / 100, 2).alias("day_rev"),
+        F.round(F.sum("day_cents").over(w).cast("double") / 100, 2).alias(
+            "trailing_30d_rev"
+        ),
     )
 
 
 @query(
     "window_moving_median",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               round(sum(o_totalprice), 2) AS revenue
+               round(CAST(sum({money_cents_sql("o_totalprice")}) AS DOUBLE)
+                     / 100, 2) AS revenue
         FROM orders GROUP BY 1
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
@@ -384,12 +399,16 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing (a single spike day drags a moving average but not the
     median).  Exact percentile runs as a WINDOW aggregate over a
     7-row frame: per-frame cost is constant, and the window input is
-    the daily aggregate (|days| rows), never raw orders.  Median of
-    2dp-exact values interpolates at most one midpoint — identical in
-    both engines, re-rounded at 2dp."""
+    the daily aggregate (|days| rows), never raw orders.  The per-day
+    sum folds exact integer cents (r10 exactsum sweep — per-day group
+    size grows with SF), so both engines feed the median IDENTICAL
+    doubles; the median of identical 7-row frames interpolates at most
+    one midpoint, the same in both engines, re-rounded at 2dp."""
     o = Tables(spark, sf_dir).orders
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.round(F.sum(money_cents("o_totalprice")).cast("double") / 100, 2).alias(
+            "revenue"
+        )
     )
     w = Window.orderBy("day").rowsBetween(-3, 3)
     return daily.select(

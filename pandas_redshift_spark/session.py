@@ -65,6 +65,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
         pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # The scaled-integer exact-sum paths (operators/exactsum.py, q1,
+    # udfs) rely on LONG sums THROWING on overflow rather than
+    # wrapping.  That is the Spark 4 default, but a caller session
+    # with ANSI disabled would silently wrap at large SF and emit
+    # wrong totals — pin it explicitly (determinism-critical).
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     # AQE is on by default in Spark 3.2+; assert rather than assume.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Let AQE re-plan the output partitioning of CACHED plans (off by

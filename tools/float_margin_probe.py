@@ -17,12 +17,18 @@ given SF:
 Rule of thumb from round 9: convert a site to the scaled-integer form
 (operators/exactsum.py) when margin < ~100x at the largest certified
 SF, since delta grows ~sqrt(group size) and min_bdry is a lottery
-re-rolled by every new fixture.  Measured-and-left-alone sites: events-value
-sums (tiny magnitudes) and per-day/order/customer groupings, whose
-group sizes are SF-invariant (17/38/40 rows max at both sf0.1 and
-sf1).  agg_stats variance measured 7e3x at sf1 but only 52x at sf3 —
-so it, too, was converted (exact integer power sums, the mergeable
-moment state).
+re-rolled by every new fixture.
+
+Round 10 (VERDICT r9 item 1): the site list below now enumerates EVERY
+remaining float-sum family in the package, keyed by the operator(s)
+that share the shape.  Sites already converted to exactsum keep their
+float twin here so the probe keeps demonstrating the float form STAYS
+dangerous on new fixtures.  A site is "safe by design" (and so listed
+in SAFE_BY_DESIGN rather than probed) only when its group size is
+bounded by a fixed key range independent of SF (source_schema_evolution:
+o_orderkey < 1000) or its terms are integers exactly representable in
+double (q1 sum_qty: quantities are 1..50 ints; sums stay < 2^53 until
+~sf3e5).
 
 Usage::
 
@@ -41,6 +47,14 @@ from pandas_redshift_spark.session import Tables
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaledata/sf1"
 
+#: sites NOT probed, with the structural reason (audited r10)
+SAFE_BY_DESIGN = {
+    "source_schema_evolution.price_sum": "group bounded by fixed key range o_orderkey<1000 (SF-invariant)",
+    "q1.sum_qty / tpch_q12 counts": "integer terms exact in double below 2^53",
+    "window_running/sliding/range frames": "per-row frames over a DETERMINISTIC order; both engines fold left-to-right over identical doubles (probe 'window_running_maxdelta' asserts delta==0)",
+    "profile_drift_psi": "6dp over <=20 bins of O(1)-magnitude log terms; bins are SF-invariant fixed-width buckets (probed: psi_bins)",
+}
+
 
 def main() -> None:
     spark = (
@@ -52,8 +66,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t = Tables(spark, SF)
     con = duckdb.connect()
-    for n in ("lineitem", "orders", "supplier", "nation", "region", "part"):
+    for n in ("lineitem", "orders", "supplier", "nation", "region", "part",
+              "customer", "events"):
         con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{SF}/{n}.parquet'")
+
+    results = []
 
     def probe(name, sdf, sql, quantum):
         sp = {tuple(str(x) for x in r[:-1]): r[-1] for r in sdf.collect()}
@@ -66,6 +83,7 @@ def main() -> None:
             mind = min(mind, abs(frac - 0.5) * quantum)
         margin = mind / worst if worst else float("inf")
         flag = "  <-- CONVERT (operators/exactsum.py)" if margin < 100 else ""
+        results.append((name, len(sp), worst, mind, margin))
         print(
             f"{name}: groups={len(sp)} max|delta|={worst:.3e} "
             f"min_bdry={mind:.3e} margin={margin:.1f}x{flag}",
@@ -75,10 +93,10 @@ def main() -> None:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = rev * (1 + F.col("l_tax"))
 
-    # The shapes converted in r9 (kept here to confirm the float form
-    # STAYS dangerous on new fixtures) plus the measured-safe ones.
+    # ---- shapes ALREADY converted to exactsum (float twin kept to show
+    # ---- the float form remains dangerous on new fixtures) ----
     probe(
-        "join_inner_shape(4dp)",
+        "join_inner_shape(4dp, converted r9)",
         t.lineitem.join(
             t.orders.filter(F.col("o_orderstatus") == "F"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -90,7 +108,7 @@ def main() -> None:
         1e-4,
     )
     probe(
-        "nation_revenue_shape(4dp)",
+        "nation_revenue_shape(4dp, converted r9)",
         t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -101,16 +119,10 @@ def main() -> None:
         1e-4,
     )
     probe(
-        "q1_charge_shape(2dp)",
+        "q1_charge_shape(2dp, converted r9)",
         t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(F.sum(charge).alias("s")),
         "SELECT l_returnflag, l_linestatus, "
         "sum(l_extendedprice*(1-l_discount)*(1+l_tax)) FROM lineitem GROUP BY 1,2",
-        1e-2,
-    )
-    probe(
-        "orders_grand_total(2dp)",
-        t.orders.groupBy(F.lit(1).alias("g")).agg(F.sum("o_totalprice").alias("s")),
-        "SELECT 1, sum(o_totalprice) FROM orders",
         1e-2,
     )
     probe(
@@ -120,12 +132,172 @@ def main() -> None:
         1e-2,
     )
     probe(
-        "stats_std_float_shape(4dp, converted r9)",
-        t.lineitem.groupBy("l_returnflag").agg(
-            F.stddev_samp("l_extendedprice").alias("v")
-        ),
-        "SELECT l_returnflag, stddev_samp(l_extendedprice) FROM lineitem GROUP BY 1",
+        "q6_discount_revenue(2dp, converted r10)",
+        t.lineitem.filter(
+            F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
+        )
+        .groupBy(F.lit(1).alias("g"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("s")),
+        "SELECT 1, sum(l_extendedprice*l_discount) FROM lineitem "
+        "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        1e-2,
+    )
+    probe(
+        "q15_supplier_revenue(4dp, converted r10)",
+        t.lineitem.groupBy("l_suppkey").agg(F.sum(rev).alias("s")),
+        "SELECT l_suppkey, sum(l_extendedprice*(1-l_discount)) FROM lineitem GROUP BY 1",
         1e-4,
+    )
+    probe(
+        "zorder_global_revenue(4dp, converted r10)",
+        t.lineitem.filter(
+            F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 40)
+        )
+        .groupBy(F.lit(1).alias("g"))
+        .agg(F.sum(rev).alias("s")),
+        "SELECT 1, sum(l_extendedprice*(1-l_discount)) FROM lineitem "
+        "WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40",
+        1e-4,
+    )
+    probe(
+        "q3_q10_per_order_revenue(4dp, converted r10)",
+        t.lineitem.groupBy("l_orderkey").agg(F.sum(rev).alias("s")),
+        "SELECT l_orderkey, sum(l_extendedprice*(1-l_discount)) FROM lineitem GROUP BY 1",
+        1e-4,
+    )
+
+    # ---- remaining float-sum sites (r10 sweep) ----
+    probe(
+        "orders_grand_total(2dp: schema_evolution-unbounded twin)",
+        t.orders.groupBy(F.lit(1).alias("g")).agg(F.sum("o_totalprice").alias("s")),
+        "SELECT 1, sum(o_totalprice) FROM orders",
+        1e-2,
+    )
+    probe(
+        "daily_orders_revenue(2dp: calendar_gap_fill/trailing_30d/moving_median)",
+        t.orders.groupBy(F.col("o_orderdate").cast("date").cast("string").alias("d")).agg(
+            F.sum("o_totalprice").alias("s")
+        ),
+        "SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR), sum(o_totalprice) "
+        "FROM orders GROUP BY 1",
+        1e-2,
+    )
+    probe(
+        "customer_totalprice(2dp: agg_groupby_having/window partitions)",
+        t.orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s")),
+        "SELECT o_custkey, sum(o_totalprice) FROM orders GROUP BY 1",
+        1e-2,
+    )
+    # HAVING predicate boundary: distance of any customer's sum to the
+    # 10000 threshold vs cross-engine delta (membership lottery).
+    sp = {
+        r[0]: r[1]
+        for r in t.orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    du = dict(con.execute("SELECT o_custkey, sum(o_totalprice) FROM orders GROUP BY 1").fetchall())
+    worst = max(abs(sp[k] - du[k]) for k in sp)
+    mind = min(abs(du[k] - 10000.0) for k in du)
+    margin = mind / worst if worst else float("inf")
+    flag = "  <-- CONVERT" if margin < 100 else ""
+    print(
+        f"having_threshold_10000(agg_groupby_having): groups={len(sp)} "
+        f"max|delta|={worst:.3e} min_bdry={mind:.3e} margin={margin:.1f}x{flag}",
+        flush=True,
+    )
+    from pyspark.sql.window import Window
+
+    probe(
+        "decile_totalprice(2dp: pipe_feature_binning, N/10-row groups)",
+        t.orders.select(
+            "o_totalprice",
+            F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("d"),
+        )
+        .groupBy("d")
+        .agg(F.sum("o_totalprice").alias("s")),
+        "SELECT d, sum(o_totalprice) FROM ("
+        "  SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS d"
+        "  FROM orders) GROUP BY 1",
+        1e-2,
+    )
+    probe(
+        "q22_cntrycode_acctbal(2dp: N/7-row groups)",
+        t.customer.groupBy((F.col("c_nationkey") % 7).cast("bigint").alias("c")).agg(
+            F.sum("c_acctbal").alias("s")
+        ),
+        "SELECT CAST(c_nationkey % 7 AS BIGINT), sum(c_acctbal) FROM customer GROUP BY 1",
+        1e-2,
+    )
+    probe(
+        "events_user_value(2dp: events suite per-user/session)",
+        t.events.groupBy("user_id").agg(F.sum("value").alias("s")),
+        "SELECT user_id, sum(value) FROM events GROUP BY 1",
+        1e-2,
+    )
+    probe(
+        "events_user_value(4dp: rfm monetary)",
+        t.events.groupBy("user_id").agg(F.sum("value").alias("s")),
+        "SELECT user_id, sum(value) FROM events GROUP BY 1",
+        1e-4,
+    )
+    probe(
+        "events_day_value(2dp: partitioned sink / skew / streaming rollups)",
+        t.events.groupBy(F.col("ts").cast("date").cast("string").alias("d")).agg(
+            F.sum("value").alias("s")
+        ),
+        "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), sum(value) FROM events GROUP BY 1",
+        1e-2,
+    )
+    probe(
+        "events_global_value(2dp: ab_test variant sums, whole-table groups)",
+        t.events.groupBy((F.col("user_id") % 2).alias("v")).agg(
+            F.sum("value").alias("s")
+        ),
+        "SELECT user_id % 2, sum(value) FROM events GROUP BY 1",
+        1e-2,
+    )
+    # ab_test's actual shape is TWO-LEVEL: per-user float partials,
+    # then a 2-group global sum of those partials (outer order is
+    # shuffle-nondeterministic).
+    probe(
+        "events_twolevel_value(2dp: ab_test purchase_value)",
+        t.events.groupBy("user_id")
+        .agg(F.sum("value").alias("pv"))
+        .groupBy((F.col("user_id") % 2).alias("v"))
+        .agg(F.sum("pv").alias("s")),
+        "SELECT user_id % 2, sum(pv) FROM ("
+        "SELECT user_id, sum(value) AS pv FROM events GROUP BY 1) GROUP BY 1",
+        1e-2,
+    )
+
+    # ---- per-row window determinism: running money sums must be
+    # ---- bitwise identical (deterministic fold order both engines) ----
+    wsp = (
+        t.orders.select(
+            "o_orderkey",
+            F.sum("o_totalprice")
+            .over(
+                Window.partitionBy("o_custkey")
+                .orderBy("o_orderdate", "o_orderkey")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("s"),
+        )
+        .collect()
+    )
+    wdu = dict(
+        con.execute(
+            "SELECT o_orderkey, sum(o_totalprice) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM orders"
+        ).fetchall()
+    )
+    wmax = max(abs(r["s"] - wdu[r["o_orderkey"]]) for r in wsp)
+    print(
+        f"window_running_maxdelta(per-row, {len(wsp)} rows): max|delta|={wmax:.3e}"
+        + ("  <-- NOT bitwise-deterministic: CONVERT" if wmax > 0 else "  (bitwise identical)"),
+        flush=True,
     )
     spark.stop()
 
