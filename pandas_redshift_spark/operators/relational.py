@@ -82,23 +82,37 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_e = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     pct_disc = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
     pct_tax = F.round(F.col("l_tax") * 100, 0).cast("long")
-    sum_e4 = F.sum(cents_e * pct_disc).cast("double")
-    sum_cross_e6 = F.sum(cents_e * pct_disc * pct_tax).cast("double")
-
-    def cents(col: str):
-        return F.sum(F.round(F.col(col) * 100, 0).cast("long")).cast("double")
-
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    # Shared scaled-column projection (VERDICT r9 item 5): each LONG
+    # term is computed ONCE per row here and reused by every money
+    # aggregate below — explicit in the plan rather than relying on
+    # codegen subexpression elimination to dedup four copies of the
+    # same round/cast/multiply trees.  Arithmetic (and so output) is
+    # bit-identical to the inline form; measured ~equal at sf0.1.
+    pre = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        cents_e.alias("ce"),
+        (cents_e * pct_disc).alias("e4"),
+        pct_tax.alias("pt"),
+        disc_pct.alias("dp"),
+    )
+    sum_e4 = F.sum("e4").cast("double")
+    sum_cross_e6 = F.sum(F.col("e4") * F.col("pt")).cast("double")
+    sum_ce = F.sum("ce").cast("double")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(cents("l_extendedprice") / 100, 2).alias("sum_base_price"),
+            F.round(sum_ce / 100, 2).alias("sum_base_price"),
             F.round(sum_e4 / 10000, 2).alias("sum_disc_price"),
             F.round((sum_e4 * 100 + sum_cross_e6) / 1000000, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(cents("l_extendedprice") / (100 * n), 4).alias("avg_price"),
-            F.round(cents("l_discount") / (100 * n), 6).alias("avg_disc"),
+            F.round(sum_ce / (100 * n), 4).alias("avg_price"),
+            F.round(F.sum("dp").cast("double") / (100 * n), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

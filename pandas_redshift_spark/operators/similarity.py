@@ -600,6 +600,22 @@ CODEBOOK_LITERAL_MAX_K = int(os.environ.get("PRS_CODEBOOK_LITERAL_MAX_K", "128")
 #: driver for hours.
 SUPER_TRAIN_MAX_K = 16384
 
+#: Above this K the flat trainer's per-iteration driver traffic
+#: (collect of K x dims per-cell means + broadcast of the K x dims
+#: codebook) stops being acceptable and training switches to the
+#: two-level HIERARCHICAL schedule (:func:`train_kmeans_hierarchical`)
+#: whose driver traffic is O(sqrt(K) x dims): only the S = ceil(
+#: sqrt(K)) super-codebook ever crosses the driver; the K child
+#: centroids live and iterate as a DataFrame keyed by super-cell and
+#: are consumed via a shuffle join (:func:`_assign_two_level_join`),
+#: never broadcast.  Ceiling math: S <= 16384 covers K <= 2.7e8,
+#: i.e. N <= 3.3e10 vectors under the K = N/125 schedule — past
+#: 100 TB of 64-dim embeddings.  Default matches SUPER_TRAIN_MAX_K
+#: (the flat path's own driver bound); every fixture SF trains K
+#: well below it, so certified hashes are untouched.  Module-level
+#: (not env-frozen) so the forced-path test can monkeypatch it.
+KMEANS_FLAT_TRAIN_MAX_K = int(os.environ.get("PRS_KMEANS_FLAT_MAX_K", "16384"))
+
 #: trained-centroid memo keyed (applicationId, *caller key): training
 #: runs a couple of tiny sample jobs; bench best-of-3 and the probe +
 #: assign stages of one query should reuse one training run.
@@ -1061,6 +1077,203 @@ def _assign_two_level_broadcast(
         .agg(
             # emb_n is constant per vec_id, so first() is
             # order-insensitive here (value-deterministic)
+            F.first("emb_n").alias("emb_n"),
+            F.max(
+                F.struct(F.col("s_sim").alias("sim"), neg("sup").alias("nid"))
+            ).alias("m"),
+        )
+        .select("vec_id", "emb_n", (-F.col("m.nid")).cast("long").alias("sup"))
+    )
+    return (
+        v2s.join(child_df, "sup")
+        .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
+        .groupBy("vec_id")
+        .agg(
+            F.first("emb_n").alias("emb_n"),
+            F.max(
+                F.struct(F.col("c_sim").alias("sim"), neg("cell").alias("nid"))
+            ).alias("m"),
+        )
+        .select("vec_id", (-F.col("m.nid")).cast("long").alias("cell"), "emb_n")
+    )
+
+
+#: hierarchical-trainer memo: (applicationId, *key) -> checkpointed
+#: child-codebook DataFrame (sup, cell, c_en).  Same lifecycle rules
+#: as _KMEANS_MEMO (stale-app eviction on access).
+_HIER_MEMO: dict[tuple, tuple] = {}
+
+
+def train_kmeans_hierarchical(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_cells: int,
+    cache_key: tuple,
+    iters: int = KMEANS_ITERS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+) -> tuple[list, DataFrame]:
+    """Two-level spherical k-means for K past the flat trainer's
+    driver ceiling (VERDICT r9 item 3): returns ``(sups, child_df)``
+    where ``sups`` is the S = ceil(sqrt(K)) super-centroid literal
+    list (flat-trained — driver traffic O(sqrt(K) x dims)) and
+    ``child_df`` is the K-row child codebook ``(sup, cell, c_en)`` as
+    a checkpointed DATAFRAME that never crosses the driver.
+
+    Schedule (per-level arithmetic identical to the flat trainer —
+    smallest-id seeds, strict-greater/smallest-id argmax, order-pinned
+    member folds, zero-norm keep-prev):
+
+    1. supers: flat ``train_kmeans_centroid_values`` at K=S.
+    2. the sample is assigned to its nearest super Spark-side
+       (broadcast of the S-row codebook only).
+    3. per super-cell, ceil(K/S) children seed from the cell's
+       smallest-id sample vectors and run the same Lloyd iterations
+       ENTIRELY as DataFrame ops — assignment is a shuffle join on
+       ``sup`` (children co-partitioned with their members), means
+       are the same order-pinned posexplode folds, renorm +
+       keep-prev are native array ops.  ``localCheckpoint`` after
+       each iteration truncates lineage; per-iteration driver
+       traffic is zero.
+
+    The output feeds :func:`_assign_two_level_join`.  This path is
+    NOT DuckDB-replayed (no fixture SF reaches the threshold — the
+    hash gate always exercises the flat trainer); its correctness
+    contract is the forced-threshold structural test in
+    tests/test_extensions.py."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _HIER_MEMO if k[0] != app_id]:
+        del _HIER_MEMO[k]
+    key = (app_id, "hier", *cache_key, k_cells, iters, sample_mod)
+    hit = _HIER_MEMO.get(key)
+    if hit is not None:
+        return hit
+
+    s_cells = math.ceil(math.sqrt(k_cells))
+    k_child = math.ceil(k_cells / s_cells)
+    sups = train_kmeans_centroid_values(
+        spark, emb, s_cells, ("hier_super", *cache_key)
+    )
+    sup_df = broadcast(
+        spark.createDataFrame(
+            [(int(s), [float(x) for x in v]) for s, v in sups],
+            schema="sup long, s_en array<double>",
+        )
+    )
+
+    def neg(col: str) -> Column:
+        return (-F.col(col)).cast("long")
+
+    samp_sup = (
+        emb.filter(F.col("vec_id") % sample_mod == 0)
+        .select("vec_id", "emb_n")
+        .join(sup_df, how="cross")
+        .withColumn("s_sim", dot(F.col("emb_n"), F.col("s_en")))
+        .groupBy("vec_id")
+        .agg(
+            F.first("emb_n").alias("emb_n"),
+            F.max(
+                F.struct(F.col("s_sim").alias("sim"), neg("sup").alias("nid"))
+            ).alias("m"),
+        )
+        .select("vec_id", "emb_n", (-F.col("m.nid")).cast("long").alias("sup"))
+        .localCheckpoint(eager=True)
+    )
+
+    w_seed = Window.partitionBy("sup").orderBy("vec_id")
+    child = (
+        samp_sup.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= k_child)
+        .select("sup", F.col("vec_id").alias("cell"), F.col("emb_n").alias("c_en"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(iters):
+        asg = (
+            samp_sup.join(child, "sup")
+            .withColumn("c_sim", dot(F.col("emb_n"), F.col("c_en")))
+            .groupBy("vec_id")
+            .agg(
+                F.first("sup").alias("sup"),
+                F.first("emb_n").alias("emb_n"),
+                F.max(
+                    F.struct(F.col("c_sim").alias("sim"), neg("cell").alias("nid"))
+                ).alias("m"),
+            )
+            .select(
+                "sup", "vec_id", "emb_n", (-F.col("m.nid")).cast("long").alias("cell")
+            )
+        )
+        means = (
+            asg.select("sup", "cell", "vec_id", F.posexplode("emb_n").alias("dim", "val"))
+            .groupBy("sup", "cell", "dim")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["val"],
+                ).alias("sv"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select("sup", "cell", "dim", (F.col("sv") / F.col("cnt")).alias("cv"))
+        )
+        newc = (
+            means.groupBy("sup", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("raw")
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, v: a + v * v)),
+            )
+            .select(
+                "sup",
+                "cell",
+                F.when(F.col("nrm") == 0.0, F.lit(None))
+                .otherwise(F.transform("raw", lambda v: v / F.col("nrm")))
+                .alias("new_en"),
+            )
+        )
+        # keep-prev: empty cells and zero-norm means keep the old
+        # centroid, same rule as the flat trainer's Python branch
+        child = (
+            child.join(newc, ["sup", "cell"], "left")
+            .select("sup", "cell", F.coalesce("new_en", "c_en").alias("c_en"))
+            .localCheckpoint(eager=True)
+        )
+
+    _HIER_MEMO[key] = (sups, child)
+    return sups, child
+
+
+def _assign_two_level_join(
+    spark: SparkSession, emb: DataFrame, sups: list, child_df: DataFrame
+) -> DataFrame:
+    """Two-level nearest-cell assignment for codebooks past the
+    broadcast ceiling: level 1 broadcasts only the S-row super
+    codebook; level 2 is a SHUFFLE join on ``sup`` against the
+    child-codebook DataFrame (each vector meets only its super-cell's
+    ~sqrt(K) children), so nothing O(K) ever crosses the driver or a
+    broadcast.  Same argmax rule (lexicographic ``max(struct(sim,
+    -id))``) as :func:`_assign_two_level_broadcast`; returns
+    ``(vec_id, cell, emb_n)``."""
+    sup_df = broadcast(
+        spark.createDataFrame(
+            [(int(s), [float(x) for x in v]) for s, v in sups],
+            schema="sup long, s_en array<double>",
+        )
+    )
+
+    def neg(col: str) -> Column:
+        return (-F.col(col)).cast("long")
+
+    v2s = (
+        emb.join(sup_df, how="cross")
+        .withColumn("s_sim", dot(F.col("emb_n"), F.col("s_en")))
+        .groupBy("vec_id")
+        .agg(
             F.first("emb_n").alias("emb_n"),
             F.max(
                 F.struct(F.col("s_sim").alias("sim"), neg("sup").alias("nid"))
@@ -1948,6 +2161,16 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # off the transformed frame, r9 consolidated the job itself)
         n_vecs = table_rows(t, "embeddings")
         k_cells = max(16, math.ceil(n_vecs / 125.0))
+        if k_cells > KMEANS_FLAT_TRAIN_MAX_K:
+            # past the flat trainer's driver ceiling: hierarchical
+            # training + shuffle-join assignment — nothing O(K)
+            # crosses the driver (VERDICT r9 item 3).  Never reached
+            # at a fixture SF (threshold math in the constant's doc);
+            # structural contract tested via forced threshold.
+            hsups, child_df = train_kmeans_hierarchical(
+                spark, emb, k_cells, cache_key=("kmeans", sf_dir)
+            )
+            return _assign_two_level_join(spark, emb, hsups, child_df)
         cents = train_kmeans_centroid_values(
             spark, emb, k_cells, cache_key=("kmeans", sf_dir)
         )
@@ -1964,7 +2187,14 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test flips it mid-session — a keyless memo would replay the
     # other path's persisted frame
     assigned = memoized_persist(
-        spark, ("semdedup_assigned", sf_dir, CODEBOOK_LITERAL_MAX_K), build
+        spark,
+        (
+            "semdedup_assigned",
+            sf_dir,
+            CODEBOOK_LITERAL_MAX_K,
+            KMEANS_FLAT_TRAIN_MAX_K,
+        ),
+        build,
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dup = (

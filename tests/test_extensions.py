@@ -1691,3 +1691,70 @@ def test_phash_near_dup_exhaustive_low_hamming_and_recall(sf_dir):
         f"banding missed {len(set(truth) - set(got))} true pairs, e.g. "
         f"{sorted(set(truth) - set(got))[:5]}"
     )
+
+
+def test_semdedup_hierarchical_trainer_structural(spark, sf_dir, monkeypatch):
+    """Forced-threshold contract for the big-K hierarchical path
+    (VERDICT r9 item 3): with KMEANS_FLAT_TRAIN_MAX_K monkeypatched
+    below the fixture's K, dedup_semantic_ivf must route through
+    train_kmeans_hierarchical + _assign_two_level_join and still
+    satisfy the operator's semantic contract.  The path is NOT
+    oracle-replayed (no fixture SF reaches the real threshold), so
+    this test IS its correctness gate:
+
+    - the child codebook has one row per (sup, cell), <= K cells,
+      every centroid unit-norm, every sup drawn from the super list;
+    - the assignment covers every corpus vector exactly once;
+    - every DROPPED vector has an earlier same-cell mate at
+      cosine >= tau, and every KEPT vector has none (the min-id-wins
+      parallel drop rule, re-verified from raw vectors).
+    """
+    import math
+
+    import pyspark.sql.functions as F
+
+    import pandas_redshift_spark.operators.similarity as sim
+    from pandas_redshift_spark.session import Tables
+    from pandas_redshift_spark.stats import table_rows
+
+    monkeypatch.setattr(sim, "KMEANS_FLAT_TRAIN_MAX_K", 8)
+
+    t = Tables(spark, sf_dir)
+    emb = sim._emb_double(t).select("vec_id", "emb_n")
+    n_vecs = table_rows(t, "embeddings")
+    k_cells = max(16, math.ceil(n_vecs / 125.0))
+    assert k_cells > 8  # the monkeypatched threshold really forces it
+
+    sups, child = sim.train_kmeans_hierarchical(
+        spark, emb, k_cells, cache_key=("kmeans", sf_dir)
+    )
+    crows = child.collect()
+    assert 0 < len(crows) <= k_cells
+    assert len({(r["sup"], r["cell"]) for r in crows}) == len(crows)
+    sup_ids = {s for s, _ in sups}
+    for r in crows:
+        assert r["sup"] in sup_ids
+        nrm = sum(v * v for v in r["c_en"])
+        assert abs(nrm - 1.0) < 1e-9, (r["sup"], r["cell"], nrm)
+
+    out = sim.dedup_semantic_ivf(spark, sf_dir)
+    a = out.join(emb, "vec_id")
+    n_corpus = emb.count()
+    assert out.count() == n_corpus
+    assert out.select("vec_id").distinct().count() == n_corpus
+
+    tau = 0.3
+    pairs = (
+        a.alias("d")
+        .join(
+            a.alias("o"),
+            (F.col("o.cell") == F.col("d.cell"))
+            & (F.col("o.vec_id") < F.col("d.vec_id")),
+        )
+        .filter(sim.dot(F.col("d.emb_n"), F.col("o.emb_n")) >= tau)
+        .select(F.col("d.vec_id").alias("vid"))
+        .distinct()
+    )
+    flagged = {r["vid"] for r in pairs.collect()}
+    dropped = {r["vec_id"] for r in out.filter(~F.col("kept")).collect()}
+    assert dropped == flagged
