@@ -1,0 +1,71 @@
+"""Recall certification for the bucketed-default similarity ops
+(VERDICT r9 item 6).
+
+`dedup_embedding_cosine` and `sim_pairs_threshold` pass the driver's
+hash gate only while their bucketed candidate generators achieve the
+recall their docs claim (recall 1 at the 0.999 threshold; ~0.88 by
+design at 0.3 — the latter is registered WITHOUT an oracle for that
+reason).  A fixture change can move recall without touching code, so
+each cert round records MEASURED recall against the `_exact` twin
+here instead of discovering it as a surprise hash mismatch.
+
+Usage::
+
+    python tools/recall_cert.py <sf_dir> [cosine|pairs|both]
+
+Prints one line per op: exact size, bucketed size, recall (fraction
+of the exact result the bucketed path reproduces), precision
+(fraction of bucketed rows that are in the exact result — both paths
+re-score exactly, so precision should always be 1.0).
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaledata/sf1"
+WHICH = sys.argv[2] if len(sys.argv) > 2 else "both"
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("recall-cert")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import pandas_redshift_spark.operators.similarity as sim
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    def report(name, approx, exact):
+        inter = approx & exact
+        recall = len(inter) / len(exact) if exact else 1.0
+        precision = len(inter) / len(approx) if approx else 1.0
+        print(
+            f"{name}: exact={len(exact)} bucketed={len(approx)} "
+            f"recall={recall:.4f} precision={precision:.4f}",
+            flush=True,
+        )
+
+    if WHICH in ("cosine", "both"):
+        report(
+            "dedup_embedding_cosine",
+            rows(sim.dedup_embedding_cosine(spark, SF)),
+            rows(sim.dedup_embedding_cosine_exact(spark, SF)),
+        )
+    if WHICH in ("pairs", "both"):
+        report(
+            "sim_pairs_threshold",
+            rows(sim.sim_pairs_threshold(spark, SF)),
+            rows(sim.sim_pairs_threshold_exact(spark, SF)),
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
