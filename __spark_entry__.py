@@ -84,6 +84,19 @@ REVERIFY_NAMES: set[str] = {
     # bitwise-deterministic across engines (per-row lottery)
     "pipe_feature_binning",
     "window_running_sum",
+    # events-family wave (sf10 probe: the whole-table/per-hour/per-day
+    # event-value group sums trend toward lottery margins — 505x at
+    # sf10 for the two-level ab_test shape; events.value is 0.01-grid,
+    # so all convert to exact cents)
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_multi_grain_rollup",
+    "events_experiment_abtest",
+    "skew_salted_agg",
+    "sink_partitioned_prune",
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_enrich_static",
     # policy conversions: per-day / per-cntrycode groups grow with SF
     "window_trailing_30d",
     "window_moving_median",

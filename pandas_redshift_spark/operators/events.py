@@ -14,6 +14,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pandas_redshift_spark.operators.exactsum import (
+    money_cents,
+    money_cents_sql,
+    money_sum,
+    money_sum_sql,
+)
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -28,7 +34,7 @@ _DUCK_FMT = "%Y-%m-%d %H:%M:%S"
         strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
         event_type,
         CAST(count(*) AS BIGINT) AS n_events,
-        round(sum(value), 2) AS total_value
+        round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -42,7 +48,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), _FMT).alias("window_start"),
@@ -65,7 +71,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         strftime(w.win_start, '{_DUCK_FMT}') AS window_start,
         CAST(count(e.event_id) AS BIGINT) AS n_events,
-        round(sum(e.value), 2) AS total_value
+        round(CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
     FROM starts w
     JOIN events e
       ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 60 MINUTE
@@ -82,7 +88,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), _FMT).alias("window_start"),
@@ -347,7 +353,7 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(hour_b, '<all>') AS hour_b,
            coalesce(event_type, '<all>') AS event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
     FROM bucketed
     GROUP BY GROUPING SETS (
         (day_b, hour_b, event_type),
@@ -381,7 +387,7 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.coalesce("day_b", F.lit("<all>")).alias("day_b"),
@@ -1142,8 +1148,9 @@ ABTEST_CONVERSION_VALUE = 150.0
                    AS variant,
                max(CASE WHEN event_type = 'purchase' AND value >= {ABTEST_CONVERSION_VALUE}
                         THEN 1 ELSE 0 END) AS converted,
-               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
-                   AS purchase_value
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS purchase_cents
         FROM events
         GROUP BY 1, 2
     ),
@@ -1153,8 +1160,10 @@ ABTEST_CONVERSION_VALUE = 150.0
             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_treatment,
             CAST(sum(converted) FILTER (variant = 0) AS BIGINT) AS conv_control,
             CAST(sum(converted) FILTER (variant = 1) AS BIGINT) AS conv_treatment,
-            round(sum(purchase_value) FILTER (variant = 0), 2) AS revenue_control,
-            round(sum(purchase_value) FILTER (variant = 1), 2) AS revenue_treatment
+            round(CAST(sum(purchase_cents) FILTER (variant = 0) AS DOUBLE) / 100, 2)
+                AS revenue_control,
+            round(CAST(sum(purchase_cents) FILTER (variant = 1) AS DOUBLE) / 100, 2)
+                AS revenue_treatment
         FROM peruser
     )
     SELECT n_control, n_treatment, conv_control, conv_treatment,
@@ -1196,13 +1205,20 @@ def events_experiment_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AFTER the rollup — one md5 per user; feeding it through an
     # aggregate (first(variant)) would hash once per EVENT row inside
     # the corpus scan
+    # per-user purchase totals carry as exact integer CENTS so the
+    # two whole-table variant sums below are order-free (r10 exactsum
+    # sweep: the two-level float shape's margin fell 4534x -> 505x on
+    # the sf3 -> sf10 step — trending into lottery territory)
+    zero = F.lit(0).cast("long")
     peruser = (
         e.groupBy("user_id")
         .agg(
             F.max(F.when(is_conv_event, 1).otherwise(0)).alias("converted"),
             F.sum(
-                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
-            ).alias("purchase_value"),
+                F.when(
+                    F.col("event_type") == "purchase", money_cents("value")
+                ).otherwise(zero)
+            ).alias("purchase_cents"),
         )
         .withColumn("variant", variant)
     )
@@ -1211,12 +1227,16 @@ def events_experiment_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("variant") == 1, 1)).alias("n_treatment"),
         F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias("conv_control"),
         F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias("conv_treatment"),
-        F.round(F.sum(F.when(F.col("variant") == 0, F.col("purchase_value"))), 2).alias(
-            "revenue_control"
-        ),
-        F.round(F.sum(F.when(F.col("variant") == 1, F.col("purchase_value"))), 2).alias(
-            "revenue_treatment"
-        ),
+        F.round(
+            F.sum(F.when(F.col("variant") == 0, F.col("purchase_cents"))).cast("double")
+            / 100,
+            2,
+        ).alias("revenue_control"),
+        F.round(
+            F.sum(F.when(F.col("variant") == 1, F.col("purchase_cents"))).cast("double")
+            / 100,
+            2,
+        ).alias("revenue_treatment"),
     )
     rate_c = F.col("conv_control") / F.col("n_control")
     rate_t = F.col("conv_treatment") / F.col("n_treatment")

@@ -29,7 +29,8 @@ def salt_col(deterministic_from: str, n_salts: int = N_SALTS) -> Column:
     "skew_salted_agg",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -47,19 +48,25 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate state is large — collect_list, percentile buffers,
     count-distinct sets — and a hot key would OOM one task.)"""
     ev = Tables(spark, sf_dir).events
+    # partials carry exact integer CENTS (r10 exactsum sweep: the
+    # handful of whole-table event_type groups grow unboundedly with
+    # SF) — LONG partials stay mergeable and make the two-phase merge
+    # order-free by construction.
+    from pandas_redshift_spark.operators.exactsum import money_cents
+
     phase1 = (
         ev.withColumn("salt", salt_col("event_id"))
         .groupBy("event_type", "salt")
         .agg(
             F.count(F.lit(1)).alias("pc"),
-            F.sum("value").alias("pv"),
+            F.sum(money_cents("value")).alias("pv"),
         )
     )
     return (
         phase1.groupBy("event_type")
         .agg(
             F.sum("pc").alias("n_events"),
-            F.round(F.sum("pv"), 2).alias("total_value"),
+            F.round(F.sum("pv").cast("double") / 100, 2).alias("total_value"),
         )
     )
 

@@ -215,7 +215,8 @@ def ddl_create_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_value
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY 1
@@ -237,7 +238,12 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # per-day groups grow with SF — exact cents (r10 sweep)
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                / 100,
+                2,
+            ).alias("total_value"),
         )
     )
 

@@ -123,7 +123,7 @@ def _run(
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -151,7 +151,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + INTERVAL 30 MINUTE * shift,
                '%Y-%m-%d %H:%M:%S') AS window_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
     FROM shifted
     GROUP BY 1
     """,
@@ -314,7 +314,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           round(CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -347,7 +347,7 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming_dedup_user_counts for that pattern)
     agg = enriched.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100, 2).alias("total_value"),
     )
     return _run(agg, "complete")
 

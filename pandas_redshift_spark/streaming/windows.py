@@ -69,7 +69,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100, 2).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -89,7 +89,7 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100, 2).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -60,6 +60,9 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "32")
+        # the per-order probe collects one row per order (14.7M at
+        # sf10) — a diagnostic-only collect that needs real heap
+        .config("spark.driver.memory", "12g")
         .appName("float-margin-probe")
         .getOrCreate()
     )
