@@ -283,7 +283,9 @@ def sim_pairs_threshold_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path (the bucketed default is)."""
     t = Tables(spark, sf_dir)
     sub, a, b = _sample_sides(t)
-    cand = a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    # fan the probe side out to all slots (single-file scans arrive in
+    # 1-2 partitions and serialize the O(n^2) join); values unchanged
+    cand = ensure_parallelism(a).join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
     return _pairs_threshold_select(cand)
 
 
@@ -563,7 +565,14 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against.  Not the 100 TB path."""
     t = Tables(spark, sf_dir)
     e = _emb_double(t).select("vec_id", "emb_n")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb_n").alias("ean"))
+    # the probe side is one small parquet file (1-2 input partitions);
+    # without a round-robin fan-out the O(n^2) broadcast join runs
+    # near-serial — at sf3 (60k vectors, 1.8e9 pairs) that turned the
+    # recall-cert baseline into a half-hour straggler on 2 tasks.
+    # Row values are unchanged (pure repartition).
+    a = ensure_parallelism(
+        e.select(F.col("vec_id").alias("id_a"), F.col("emb_n").alias("ean"))
+    )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("emb_n").alias("ebn"))
     dups = (
         a.join(broadcast(b), F.col("id_a") < F.col("id_b"))

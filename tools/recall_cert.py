@@ -30,9 +30,13 @@ WHICH = sys.argv[2] if len(sys.argv) > 2 else "both"
 
 
 def main() -> None:
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
         .appName("recall-cert")
         .getOrCreate()
     )
