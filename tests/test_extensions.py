@@ -1758,3 +1758,44 @@ def test_semdedup_hierarchical_trainer_structural(spark, sf_dir, monkeypatch):
     flagged = {r["vid"] for r in pairs.collect()}
     dropped = {r["vec_id"] for r in out.filter(~F.col("kept")).collect()}
     assert dropped == flagged
+
+
+def test_two_level_join_assignment_matches_broadcast(spark, sf_dir):
+    """The shuffle-join assignment path (`_assign_two_level_join`, the
+    big-K consumer of the hierarchical trainer) must compute the SAME
+    argmax as the certified broadcast path when fed the SAME codebook:
+    build the flat-trained K=16 codebook + its super derivation (the
+    combination the driver has hash-verified end-to-end through
+    dedup_semantic_ivf), run both assignment paths on it, and require
+    row-for-row equality — pinning the join path's max(struct(sim,
+    -id)) math to the certified floats."""
+    import pandas_redshift_spark.operators.similarity as sim
+    from pandas_redshift_spark.session import Tables
+
+    t = Tables(spark, sf_dir)
+    emb = sim._emb_double(t).select("vec_id", "emb_n")
+    cents = sim.train_kmeans_centroid_values(
+        spark, emb, 16, cache_key=("kmeans", sf_dir)
+    )
+    sups, c2s = sim.super_centroids(cents, 4)
+    live = set(c2s.values())
+
+    bc = {
+        (r["vec_id"], r["cell"])
+        for r in sim._assign_two_level_broadcast(
+            spark, emb, sups, c2s, cents, live
+        ).collect()
+    }
+    child_df = spark.createDataFrame(
+        [
+            (int(c2s[cell]), int(cell), [float(x) for x in vec])
+            for cell, vec in sorted(cents)
+        ],
+        schema="sup long, cell long, c_en array<double>",
+    )
+    live_sups = [(s, v) for s, v in sups if s in live]
+    jn = {
+        (r["vec_id"], r["cell"])
+        for r in sim._assign_two_level_join(spark, emb, live_sups, child_df).collect()
+    }
+    assert bc == jn and len(bc) > 0

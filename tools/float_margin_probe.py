@@ -302,6 +302,45 @@ def main() -> None:
         + ("  <-- NOT bitwise-deterministic: CONVERT" if wmax > 0 else "  (bitwise identical)"),
         flush=True,
     )
+
+    # sliding/range-frame AVGs stayed float (SAFE_BY_DESIGN: both
+    # engines recompute small frames left-to-right) — measure, don't
+    # assert: per-row max delta must be exactly 0.
+    from pyspark.sql.window import Window as W
+
+    for label, wspec, sql_over in (
+        (
+            "window_sliding_avg3",
+            W.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(-2, 0),
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        ),
+        (
+            "window_range_avg5000",
+            W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-5000, 5000),
+            "PARTITION BY o_custkey ORDER BY o_totalprice "
+            "RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING",
+        ),
+    ):
+        ssp = (
+            t.orders.select(
+                "o_orderkey", F.avg("o_totalprice").over(wspec).alias("s")
+            )
+            .collect()
+        )
+        sdu = dict(
+            con.execute(
+                f"SELECT o_orderkey, avg(o_totalprice) OVER ({sql_over}) FROM orders"
+            ).fetchall()
+        )
+        smax = max(abs(r["s"] - sdu[r["o_orderkey"]]) for r in ssp)
+        print(
+            f"{label}(per-row, {len(ssp)} rows): max|delta|={smax:.3e}"
+            + ("  <-- NOT bitwise-deterministic: CONVERT" if smax > 0 else "  (bitwise identical)"),
+            flush=True,
+        )
     spark.stop()
 
 
