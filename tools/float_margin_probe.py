@@ -70,7 +70,7 @@ def main() -> None:
     t = Tables(spark, SF)
     con = duckdb.connect()
     for n in ("lineitem", "orders", "supplier", "nation", "region", "part",
-              "customer", "events"):
+              "customer", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{SF}/{n}.parquet'")
 
     results = []
@@ -272,6 +272,78 @@ def main() -> None:
         "SELECT user_id % 2, sum(pv) FROM ("
         "SELECT user_id, sum(value) AS pv FROM events GROUP BY 1) GROUP BY 1",
         1e-2,
+    )
+
+    # ---- avg-of-float family (round(avg(x), k) = the same lottery via
+    # ---- sum/count; group shapes mirror the operators named) ----
+    probe(
+        "events_type_avg(4dp: skew_salted_join weight / DPP avg_value)",
+        t.events.groupBy("event_type").agg(F.avg("value").alias("s")),
+        "SELECT event_type, avg(value) FROM events GROUP BY 1",
+        1e-4,
+    )
+    # DPP HAVING avg(value) > 50 membership boundary
+    sp2 = {
+        r[0]: r[1]
+        for r in t.events.groupBy("event_type").agg(F.avg("value").alias("s")).collect()
+    }
+    du2 = dict(con.execute("SELECT event_type, avg(value) FROM events GROUP BY 1").fetchall())
+    worst2 = max(abs(sp2[k] - du2[k]) for k in sp2)
+    mind2 = min(abs(du2[k] - 50.0) for k in du2)
+    m2 = mind2 / worst2 if worst2 else float("inf")
+    print(
+        f"dpp_having_avg_gt_50: groups={len(sp2)} max|delta|={worst2:.3e} "
+        f"min_bdry={mind2:.3e} margin={m2:.1f}x"
+        + ("  <-- CONVERT" if m2 < 100 else ""),
+        flush=True,
+    )
+    emb_d = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    probe(
+        "embed_dim_mean(6dp: embed_dim_stats, per-dim whole-corpus groups)",
+        t.embeddings.select(
+            F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+                "dim", "val"
+            )
+        )
+        .groupBy(F.col("dim").cast("bigint").alias("d"))
+        .agg(F.avg("val").alias("s")),
+        f"SELECT dim, avg(val) FROM ("
+        f"  SELECT CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS dim,"
+        f"         unnest(e) AS val"
+        f"  FROM (SELECT {emb_d} AS e FROM embeddings)"
+        f") GROUP BY 1",
+        1e-6,
+    )
+    probe(
+        "embed_bias_mu(6dp: embed_bias_outliers, 1 whole-corpus group)",
+        t.embeddings.select(
+            F.aggregate(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("cs")
+        )
+        .groupBy(F.lit(1).alias("g"))
+        .agg(F.avg("cs").alias("s")),
+        f"SELECT 1, avg(list_inner_product(e, list_transform(e, x -> 1.0))) FROM ("
+        f"SELECT {emb_d} AS e FROM embeddings)",
+        1e-6,
+    )
+    probe(
+        "doc_score_cut(6dp: text_unigram_logprob tail_cut shape)",
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select("doc_id", F.log(1.0 + F.length("tok")).alias("nlp"))
+        .groupBy("doc_id")
+        .agg(F.avg("nlp").alias("dv"))
+        .groupBy(F.lit(1).alias("g"))
+        .agg((F.avg("dv") + 0.5 * F.stddev_pop("dv")).alias("s")),
+        "SELECT 1, avg(dv) + 0.5 * stddev_pop(dv) FROM ("
+        "  SELECT doc_id, avg(ln(1.0 + strlen(tok))) AS dv FROM ("
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+        "  ) GROUP BY doc_id)",
+        1e-6,
     )
 
     # ---- per-row window determinism: running money sums must be
