@@ -126,3 +126,66 @@ def test_bind_literals_count_parity_with_positional(params):
     assert "%s" not in out
     with pytest.raises(ValueError):
         _bind_literals(sql + " AND extra=%s", params)
+
+
+# --- exactsum numeric invariants (operators/exactsum.py, round 9-10) ---
+#
+# The scaled-integer money scheme stands on three pure-arithmetic
+# claims; hypothesis hunts their boundaries directly, no Spark needed
+# (the Spark<->DuckDB pairing of the SAME formulas is certified by the
+# oracle gate; partition-order independence by the invariance net in
+# test_extensions.py).
+
+_CENTS_CLIFF = 2**51  # |x*100 - n| < 0.5 requires n*2^-52*100/100 ... see test
+
+
+@given(st.integers(min_value=-(10**15), max_value=10**15))
+@settings(max_examples=500, deadline=None)
+def test_money_cents_grid_recovery(n):
+    """Claim 1: a 0.01-grid value stored as a DOUBLE (n/100) recovers
+    its exact integer cents through ``round(x * 100, 0)`` — i.e. the
+    double product x*100 lands strictly inside +-0.5 of n, so ANY
+    round-to-nearest rule (Spark HALF_UP, DuckDB HALF_EVEN ties aside)
+    returns n.  Holds for |n| < 2^51 cents (~2.2e13 dollars); fixtures
+    and TPC-H money live many orders below that."""
+    x = n / 100.0  # the double the parquet fixtures actually hold
+    prod = x * 100.0
+    assert abs(prod - n) < 0.5
+    # and the recovery itself, via the same decimal HALF_UP Spark uses
+    from decimal import ROUND_HALF_UP, Decimal
+
+    assert int(Decimal(prod).quantize(Decimal("1"), rounding=ROUND_HALF_UP)) == n
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),  # price cents (<= $10M)
+    st.integers(min_value=0, max_value=100),  # discount percent
+)
+@settings(max_examples=500, deadline=None)
+def test_revenue_scaled_factor_recovery(p, d):
+    """Claim 2: both factors of the revenue term recover exactly from
+    their double forms — price cents from l_extendedprice, discount
+    percent from (1 - l_discount)*100 — so the per-row scaled LONG is
+    the EXACT 1e-4-grid integer, and the LONG sum is order-free."""
+    price = p / 100.0
+    disc = d / 100.0
+    assert abs(price * 100.0 - p) < 0.5
+    assert abs((1.0 - disc) * 100.0 - (100 - d)) < 0.5
+
+
+@given(st.integers(min_value=-(2**52), max_value=2**52))
+@settings(max_examples=500, deadline=None)
+def test_exact_total_final_round_is_identity(s):
+    """Claim 3: the one float op left — dividing the exact integer
+    total by the scale and rounding to the grid's dp — is EXACT below
+    the 2^52 headroom: S/10^4 is itself a 4dp value, the double holds
+    it within a half-quantum, so round(double, 4) returns the true
+    decimal in BOTH engines regardless of their tie rules (no tie can
+    occur: a 4dp tie needs a nonzero 5th decimal digit, which S/10^4
+    cannot have)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = s / 10000.0  # the double Spark/DuckDB divide and round
+    got = Decimal(q).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    want = Decimal(s).scaleb(-4)
+    assert got == want
