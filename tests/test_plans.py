@@ -60,6 +60,16 @@ def test_relational_queries_stay_jvm_side(spark, sf_dir):
         "sim_lsh_topk",
         "text_langid_heuristic",
         "text_bpe_token_estimate",
+        # r10: the exactsum scaled-integer conversions are pure F.*
+        # expression rewrites — pin representatives of each converted
+        # family so a future edit can't quietly drop one into Python
+        "tpch_q6_revenue_forecast",
+        "tpch_q14_promo_effect",
+        "window_running_sum",
+        "window_trailing_30d",
+        "events_multi_grain_rollup",
+        "skew_salted_agg",
+        "pipe_feature_binning",
     ):
         assert not py_nodes.search(_plan(spark, name, sf_dir)), name
 
