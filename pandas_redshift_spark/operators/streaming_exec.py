@@ -229,7 +229,16 @@ def streaming_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_redshift_spark.streaming.windows import session_aggregate
 
     ev = read_events_stream(spark, sf_dir)
-    return _run(session_aggregate(ev), "complete")
+    # Session-window state grows with data (~1 store key per session),
+    # but each RocksDB store instance pays a fixed per-batch commit
+    # cost, so the best width sits BELOW core count until state is
+    # huge.  Measured best-of-n at local[32]: width 32/16/8 =
+    # 1.97/1.58/1.54 s at sf0.1 and 5.06/4.94/6.01 s at sf1 — cores/2
+    # is at-or-near best on both rungs while 8 regresses once state
+    # is ~1M sessions.  A real firehose sizes this up with key
+    # cardinality x throughput (see run_to_memory's docstring).
+    parts = max(spark.sparkContext.defaultParallelism // 2, 2)
+    return _run(session_aggregate(ev), "complete", state_partitions=min(parts, 32))
 
 
 @query(
@@ -349,7 +358,13 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100, 2).alias("total_value"),
     )
-    return _run(agg, "complete")
+    # The aggregate's state is bounded by SEGMENT CARDINALITY (5
+    # mktsegments) at every SF — per-store fixed commit cost dominates
+    # at any width above that.  Measured: width 32/16/8 =
+    # 1.46/1.22/1.04 s at sf0.1 and 1.82/1.68/1.33 s at sf1; a small
+    # fixed width is the right design for a bounded-key rollup (the
+    # broadcast dim join itself has no state).
+    return _run(agg, "complete", state_partitions=8)
 
 
 @query(
