@@ -654,7 +654,22 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointed into the staging dir so ``derby.log`` never lands in
     whatever cwd the driver happens to run from (the property is read
     at Derby engine boot; setting it later in the same JVM is a
-    harmless no-op)."""
+    harmless no-op).
+
+    Single-JVM boundary of the STAND-IN (not the plan): Spark's JDBC
+    writer/reader run as executor tasks, and embedded Derby admits
+    exactly one booting JVM per database directory — so under
+    ``local-cluster`` (separate executor JVMs; r10 sweep) the write
+    task hits Derby's boot lock and this query cannot pass, while all
+    243 other registered queries do.  A real warehouse endpoint is a
+    network server every executor dials out to (the reference's
+    Redshift, core.py:51-60), where the identical plan — distributed
+    write, pushed-down filtered read — is exactly what runs; Spark's
+    jars ship only Derby's embedded engine + ClientDriver, no network
+    server, so no in-sandbox server-mode stand-in exists.  The live
+    multi-partition + pushdown evidence is test_jdbc_integration
+    (single-JVM local mode, numPartitions=4, PushedFilters
+    asserted)."""
     import os as _os
 
     from pandas_redshift_spark.sources.bridge import SparkRedshiftBridge
