@@ -1,0 +1,79 @@
+"""Multi-JVM execution guard: a representative query per family must
+hash-match its DuckDB oracle under ``local-cluster`` — separate
+executor JVMs with real network shuffle, cross-JVM broadcast, and
+executor-spawned Python workers.
+
+Every ``local[*]`` shape (including the whole rest of this suite)
+shares ONE JVM between driver and executors, so it can never catch
+the classic works-local-dies-on-cluster regressions: a Python UDF
+closure that accidentally references a driver-only module, a
+broadcast that only works because the "broadcast" never crossed a
+process boundary, per-JVM static state.  The r10 full-registry
+local-cluster sweep (ROUND10.md §12, 243/244 — the one failure being
+the embedded-Derby stand-in's documented single-JVM boundary) proved
+the engine clean; this test keeps a cross-family slice of that
+evidence green in every run.
+
+Runs in a SUBPROCESS because one Python process drives one
+SparkContext, and the session-scoped local[*] fixture owns this one.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: one per execution family — relational agg, broadcast star join,
+#: window, portable-hash dedup, grouped-map pandas UDF (the
+#: closure-pickle canary), mapInPandas multimodal decode, RocksDB
+#: streaming state, and a deterministic-hash pipeline split
+REPRESENTATIVES = (
+    "q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "window_topk_per_group",
+    "dedup_minhash_lsh",
+    "udf_grouped_map_robust_zscore",
+    "multimodal_decode",
+    "streaming_tumbling_counts",
+    "pipe_split_deterministic",
+)
+
+_WRAPPER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .appName("lc-guard")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "4g")
+    .getOrCreate()
+)
+sys.path.insert(0, os.path.join({repo!r}, "tools"))
+import driver_sim
+driver_sim.main()
+"""
+
+
+def test_representative_queries_pass_on_separate_executor_jvms(tmp_path):
+    env = dict(
+        os.environ,
+        SIM_REPO=REPO,
+        SIM_NAMES=",".join(REPRESENTATIVES),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", _WRAPPER.format(repo=REPO)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=str(tmp_path),  # any-cwd, like the external driver
+    )
+    tail = "\n".join(out.stdout.splitlines()[-40:])
+    assert out.returncode == 0, f"rc={out.returncode}\n{tail}\n{out.stderr[-2000:]}"
+    assert "FAILURES: none" in out.stdout, tail
+    for name in REPRESENTATIVES:
+        assert f"ok {name}:" in out.stdout, f"{name} missing\n{tail}"

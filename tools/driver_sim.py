@@ -38,6 +38,9 @@ ONLY_PREFIX = os.environ.get("SIM_ONLY", "")
 #: sf1 full-registry certs, where the quadratic oracle twins' DuckDB
 #: all-pairs replay (20k vectors) stalls while the Spark side is fine
 SKIP_SUBSTRS = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
+#: comma-separated EXACT names to run (overrides SIM_ONLY) — for
+#: representative-subset sweeps, e.g. the local-cluster pytest guard
+ONLY_NAMES = {s for s in os.environ.get("SIM_NAMES", "").split(",") if s}
 
 
 def canon_hash(df: pd.DataFrame) -> str:
@@ -92,7 +95,7 @@ def main():
     items = [
         (name, fn)
         for name, fn in qs.items()
-        if (not ONLY_PREFIX or name.startswith(ONLY_PREFIX))
+        if (name in ONLY_NAMES if ONLY_NAMES else (not ONLY_PREFIX or name.startswith(ONLY_PREFIX)))
         and not any(s in name for s in SKIP_SUBSTRS)
     ]
     if SKIP_SUBSTRS:
