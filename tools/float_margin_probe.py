@@ -53,6 +53,7 @@ SAFE_BY_DESIGN = {
     "q1.sum_qty / tpch_q12 counts": "integer terms exact in double below 2^53",
     "window_running/sliding/range frames": "per-row frames over a DETERMINISTIC order; both engines fold left-to-right over identical doubles (probe 'window_running_maxdelta' asserts delta==0)",
     "profile_drift_psi": "6dp over <=20 bins of O(1)-magnitude log terms; bins are SF-invariant fixed-width buckets (probed: psi_bins)",
+    "percentiles_exact / moving-median interpolations": "order statistics, not sums — the cross-engine delta is ONE interpolation a+(b-a)*f over the same two grid values and cannot grow with group size (probed: percentile_cont_p50/p90/p99 = bit-identical, delta 0, at sf1 AND sf3)",
 }
 
 
@@ -345,6 +346,23 @@ def main() -> None:
         "  ) GROUP BY doc_id)",
         1e-6,
     )
+
+    # ---- interpolated-percentile family (round(percentile_cont, 4):
+    # ---- percentiles_exact / window_moving_median shapes).  Order
+    # ---- statistics, NOT sums: the cross-engine delta is one
+    # ---- interpolation a+(b-a)*f over the SAME two grid values, so
+    # ---- it cannot grow with group size — margins should be flat
+    # ---- (or inf) across SF rungs, unlike every sum family above.
+    for q, lbl in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        probe(
+            f"percentile_cont_{lbl}(4dp: percentiles_exact)",
+            t.lineitem.groupBy("l_returnflag").agg(
+                F.percentile("l_extendedprice", F.lit(q)).alias("s")
+            ),
+            f"SELECT l_returnflag, quantile_cont(l_extendedprice, {q}) "
+            "FROM lineitem GROUP BY 1",
+            1e-4,
+        )
 
     # ---- per-row window determinism: running money sums must be
     # ---- bitwise identical (deterministic fold order both engines) ----
