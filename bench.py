@@ -169,6 +169,19 @@ def main() -> None:
     spark = build_session("pandas_redshift_spark-bench")
     specs = all_queries()
 
+    # warm the OS page cache over every input file (not timed): the
+    # contemporaneous r1 baseline leg runs AFTER our queries and so
+    # always reads hot files — without this pass our own leg pays the
+    # first-touch disk I/O the baseline never sees (the r9->r10 q10
+    # "regression" was exactly this: 1.71 s cold-cache vs 0.67 s warm
+    # on identical binaries, ROUND10.md §2).  Reading the bytes once
+    # equalizes the legs and makes the timings measure compute+shuffle.
+    for fname in sorted(os.listdir(sf_dir)):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fname), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
     # warm the JVM/codegen once with the flagship query (not timed)
     specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
