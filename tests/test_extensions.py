@@ -573,6 +573,15 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         "join_star_broadcast",
         "join_inner",
         "agg_cube",
+        # r10: representatives of the conversion waves — the whole-table
+        # q6 sum, the per-row running-window fold (the one shape proven
+        # NOT bitwise-deterministic as float), and the two-level
+        # per-user -> per-variant events sum.  Order-free by
+        # construction now; a regression back to float sums would
+        # reintroduce partition-count dependence exactly here.
+        "tpch_q6_revenue_forecast",
+        "window_running_sum",
+        "events_experiment_abtest",
     ]
     specs = all_queries()
 
