@@ -64,55 +64,16 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: (tests/test_oracle_parity.py pins the pending <= reverify <=
 #: rows-only <= verified tier order and that every member is a live
 #: registered name, so a stale entry fails the suite).
-#: r10: the CORRECTNESS_r09 sweep re-verified the whole r9 set green,
-#: so this set restarts from the round-10 diff — the fourth exactsum
-#: wave (VERDICT r9 "wrong" item 1 / "next" item 1): every residual
-#: ``round(sum(<money float>))`` site moved to the exact scaled-LONG
-#: form (operators/exactsum.py), including the ratio shapes (q8/q14 —
-#: both legs sum the scaled term, the 1e4 scale cancels) and q17's
-#: cents sum.  Values at driver SFs are identical except where the
-#: old float sum was already astride a rounding boundary — which is
-#: the point; the oracle TEXT changed for all of them, so they
-#: re-enter the reverify tier.
-#: udf_grouped_agg_weighted_mean: ADVICE r9 fix — kernel now returns
-#: the unrounded quotient (4dp round moved Spark-side to F.round) and
-#: accumulates through arbitrary-precision Python ints.  Same values
-#: at every fixture SF; kernel text changed.
-REVERIFY_NAMES: set[str] = {
-    # probe-flagged (margin <100x at sf1/sf3): decile money sums
-    # would certainly mismatch at sf3; the running window fold is not
-    # bitwise-deterministic across engines (per-row lottery)
-    "pipe_feature_binning",
-    "window_running_sum",
-    # events-family wave (sf10 probe: the whole-table/per-hour/per-day
-    # event-value group sums trend toward lottery margins — 505x at
-    # sf10 for the two-level ab_test shape; events.value is 0.01-grid,
-    # so all convert to exact cents)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_multi_grain_rollup",
-    "events_experiment_abtest",
-    "skew_salted_agg",
-    "sink_partitioned_prune",
-    "streaming_tumbling_counts",
-    "streaming_sliding_counts",
-    "streaming_enrich_static",
-    # policy conversions: per-day / per-cntrycode groups grow with SF
-    "window_trailing_30d",
-    "window_moving_median",
-    "agg_calendar_gap_fill",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "bucketed_join_colocated",
-    "sink_zorder_layout",
-    "udf_grouped_agg_weighted_mean",
-}
+#: r11: EMPTY — the CORRECTNESS_r10 sweep re-verified ALL 25 of the
+#: r10 exactsum-conversion entries hash-green (45/45 oracle rows ok),
+#: so the set drains per the per-round contract.  Round 11 changed no
+#: registered query's RESULT or oracle TEXT: the events.py oracle
+#: edits swap inline cents formulas for the exactsum helpers whose
+#: output is byte-identical (verified against git HEAD before
+#: commit), and the hierarchical-trainer live-supers fix (ADVICE r10)
+#: touches a path no fixture SF reaches — the flat trainer serves
+#: every driver-checked query unchanged.
+REVERIFY_NAMES: set[str] = set()
 
 
 def _ordered_specs():

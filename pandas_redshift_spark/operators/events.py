@@ -34,7 +34,7 @@ _DUCK_FMT = "%Y-%m-%d %H:%M:%S"
         strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
         event_type,
         CAST(count(*) AS BIGINT) AS n_events,
-        round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
+        {money_sum_sql('value')} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -71,7 +71,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         strftime(w.win_start, '{_DUCK_FMT}') AS window_start,
         CAST(count(e.event_id) AS BIGINT) AS n_events,
-        round(CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
+        {money_sum_sql('e.value')} AS total_value
     FROM starts w
     JOIN events e
       ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 60 MINUTE
@@ -341,7 +341,7 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_multi_grain_rollup",
-    oracle="""
+    oracle=f"""
     WITH bucketed AS (
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_b,
@@ -353,7 +353,7 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(hour_b, '<all>') AS hour_b,
            coalesce(event_type, '<all>') AS event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
+           {money_sum_sql('value')} AS total_value
     FROM bucketed
     GROUP BY GROUPING SETS (
         (day_b, hour_b, event_type),
@@ -1149,7 +1149,7 @@ ABTEST_CONVERSION_VALUE = 150.0
                max(CASE WHEN event_type = 'purchase' AND value >= {ABTEST_CONVERSION_VALUE}
                         THEN 1 ELSE 0 END) AS converted,
                sum(CASE WHEN event_type = 'purchase'
-                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        THEN {money_cents_sql('value')}
                         ELSE 0 END) AS purchase_cents
         FROM events
         GROUP BY 1, 2

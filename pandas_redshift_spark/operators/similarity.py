@@ -1253,6 +1253,17 @@ def train_kmeans_hierarchical(
             .localCheckpoint(eager=True)
         )
 
+    # only supers that won at least one child are scoreable: the
+    # level-2 join in :func:`_assign_two_level_join` is INNER on
+    # ``sup``, so a corpus vector whose nearest super had no sample
+    # members (hence no children) would silently vanish from the
+    # assignment, breaking the every-vector-covered contract (ADVICE
+    # r10).  Mirrors the flat path's ``live`` filter at the call
+    # site; the distinct-sup collect is O(S) = O(sqrt(K)) driver
+    # rows, the same order as the ``sups`` literal itself.
+    live = {r[0] for r in child.select("sup").distinct().collect()}
+    sups = [(s, v) for s, v in sups if s in live]
+
     _HIER_MEMO[key] = (sups, child)
     return sups, child
 

@@ -1741,6 +1741,10 @@ def test_semdedup_hierarchical_trainer_structural(spark, sf_dir, monkeypatch):
     assert 0 < len(crows) <= k_cells
     assert len({(r["sup"], r["cell"]) for r in crows}) == len(crows)
     sup_ids = {s for s, _ in sups}
+    # ADVICE r10 fix: the trainer returns ONLY live supers (those with
+    # >=1 child), so the inner join in _assign_two_level_join can
+    # never drop a vector routed to a childless super
+    assert sup_ids == {r["sup"] for r in crows}
     for r in crows:
         assert r["sup"] in sup_ids
         nrm = sum(v * v for v in r["c_en"])
