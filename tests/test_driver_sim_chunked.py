@@ -1,0 +1,83 @@
+"""The chunked multiset-digest compare (tools/driver_sim.py, VERDICT
+r10 item 2) must agree with the full canon_hash compare: same row
+counts and equal-iff-equal digests across every value family the
+registry emits (dates, timestamp strings, strings, floats, ints).
+
+The chunked path exists so results too large to collect (15M rows at
+sf10) can still be hash-certified: Spark computes per-Arrow-batch
+(rows, sum-of-row-sha256 mod 2**128) partials via mapInPandas, DuckDB
+streams fetch_df_chunk, and only O(batches) partials reach the driver.
+Sum (not XOR) keeps the digest multiset-faithful; mod-2**128 addition
+is associative, so chunking cannot change the total.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "driver_sim", os.path.join(REPO, "tools", "driver_sim.py")
+)
+ds = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(ds)
+
+
+def test_row_hash_sum_properties() -> None:
+    df = pd.DataFrame(
+        {"a": [1, 2, 2], "b": [1.25, float("nan"), 1.25], "s": ["x", "y", "x"]}
+    )
+    n, h = ds.row_hash_sum(df.copy())
+    assert n == 3
+    # order-independent
+    n2, h2 = ds.row_hash_sum(df.iloc[::-1].copy())
+    assert (n2, h2) == (n, h)
+    # chunking-independent (associative combine)
+    na, ha = ds.row_hash_sum(df.iloc[:1].copy())
+    nb, hb = ds.row_hash_sum(df.iloc[1:].copy())
+    assert na + nb == n and (ha + hb) % (1 << 128) == h
+    # multiset-faithful: dropping one of the duplicate rows changes it
+    n3, h3 = ds.row_hash_sum(df.iloc[:2].copy())
+    assert (n3, h3) != (n, h)
+    # empty frame
+    assert ds.row_hash_sum(df.iloc[:0].copy()) == (0, 0)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "window_running_sum",     # dates + exact money sums
+        "events_tumbling_window", # timestamp-string buckets
+        "agg_calendar_gap_fill",  # date spine + gap rows
+        "tpch_q10_returned_items",# strings/floats/longs, top-N
+    ],
+)
+def test_chunked_digest_agrees_with_canon_hash(spark, sf_dir, name) -> None:
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in ds.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    frame = qs[name](spark, sf_dir)
+    sdf = frame.toPandas()
+
+    pn, ph = ds.row_hash_sum(sdf.copy())
+    sn, sh = ds.spark_chunk_digest(frame)
+    on, oh = ds.duck_chunk_digest(con, oracles[name])
+    opn, oph = ds.row_hash_sum(con.sql(oracles[name]).df())
+
+    # Spark chunked == Spark plain; DuckDB chunked == DuckDB plain
+    assert (sn, sh) == (pn, ph), name
+    assert (on, oh) == (opn, oph), name
+    # and the hash-green queries stay green under the chunked compare
+    assert (sn, sh) == (on, oh), name
+    assert ds.canon_hash(sdf.copy()) == ds.canon_hash(con.sql(oracles[name]).df())

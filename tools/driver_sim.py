@@ -43,18 +43,86 @@ SKIP_SUBSTRS = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
 ONLY_NAMES = {s for s in os.environ.get("SIM_NAMES", "").split(",") if s}
 
 
-def canon_hash(df: pd.DataFrame) -> str:
+#: results with more rows than this use the CHUNKED multiset-digest
+#: compare instead of a full toPandas + canon_hash (0 = off).  The
+#: chunked path never materializes the result in the driver, so
+#: 15M-row per-row certs (window_running_sum at sf10) fit a vanilla
+#: heap (VERDICT r10 item 2).  Off by default: the row-count probe it
+#: needs runs each query once more, which the small-SF sweeps
+#: shouldn't pay.
+CHUNK_THRESHOLD = int(os.environ.get("SIM_CHUNK_THRESHOLD", "0"))
+
+
+def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Shared canonical formatting: column-name order, floats at
+    round(6)/%.6f, everything else str()."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6).map(lambda v: "%.6f" % v if pd.notna(v) else "NaN")
         else:
             df[c] = df[c].astype(str)
+    return df
+
+
+def canon_hash(df: pd.DataFrame) -> str:
+    df = _canon_frame(df)
     if len(df) == 0:
         rows = []
     else:
         rows = sorted(df.apply(lambda r: "|".join(r.values), axis=1).tolist())
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def row_hash_sum(df: pd.DataFrame) -> tuple[int, int]:
+    """(rows, per-row-sha256 multiset digest) over one chunk.
+
+    Each canonical row string hashes to sha256[:16] read as a 128-bit
+    int; chunk digests are SUMS mod 2**128, so the total is
+    order-independent AND multiset-faithful (XOR would cancel
+    duplicate rows), and chunks combine associatively — the whole
+    result never needs to sit in one process."""
+    df = _canon_frame(df)
+    if len(df) == 0:
+        return 0, 0
+    tot = 0
+    for s in df.apply(lambda r: "|".join(r.values), axis=1):
+        tot = (
+            tot + int.from_bytes(hashlib.sha256(s.encode()).digest()[:16], "big")
+        ) % (1 << 128)
+    return len(df), tot
+
+
+def spark_chunk_digest(sdf) -> tuple[int, int]:
+    """Distributed multiset digest of a Spark DataFrame: one
+    mapInPandas pass emits a (rows, digest) row PER ARROW BATCH; only
+    those tiny partials cross the driver."""
+    import pandas as _pd
+
+    def part(it):
+        for pdf in it:
+            n, h = row_hash_sum(pdf)
+            yield _pd.DataFrame({"n": [n], "h": [str(h)]})
+
+    rows = sdf.mapInPandas(part, schema="n long, h string").collect()
+    n = sum(r["n"] for r in rows)
+    h = sum(int(r["h"]) for r in rows) % (1 << 128)
+    return n, h
+
+
+def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
+    """Streaming multiset digest of a DuckDB result (fetch_df_chunk —
+    never materializes the frame)."""
+    rel = con.sql(sql)
+    n_tot, h_tot = 0, 0
+    while True:
+        chunk = rel.fetch_df_chunk(16)
+        if len(chunk) == 0:
+            break
+        n, h = row_hash_sum(chunk)
+        n_tot += n
+        h_tot = (h_tot + h) % (1 << 128)
+    return n_tot, h_tot
 
 
 def main():
@@ -106,7 +174,39 @@ def main():
     for i, (name, fn) in enumerate(items):
         t0 = time.perf_counter()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            frame = fn(spark, SF_DIR)
+            if (
+                CHUNK_THRESHOLD
+                and name in oracles
+                and frame.count() > CHUNK_THRESHOLD
+            ):
+                # chunked multiset-digest compare: nothing
+                # result-sized ever reaches the driver on either side
+                sn, sh = spark_chunk_digest(frame)
+                try:
+                    ocols = sorted(con.sql(oracles[name]).columns)
+                    on, oh = duck_chunk_digest(con, oracles[name])
+                except Exception as exc:
+                    print(
+                        f"ERROR {name} (oracle): {type(exc).__name__}: {str(exc)[:200]}"
+                    )
+                    failures.append(name)
+                    continue
+                dt = time.perf_counter() - t0
+                probs = []
+                if sn != on:
+                    probs.append(f"rows {sn} vs {on}")
+                if sorted(frame.columns) != ocols:
+                    probs.append(f"cols {sorted(frame.columns)} vs {ocols}")
+                if not probs and sh != oh:
+                    probs.append("value-digest MISMATCH (chunked)")
+                if probs:
+                    print(f"MISMATCH {name}: {'; '.join(probs)}")
+                    failures.append(name)
+                else:
+                    print(f"ok(chunked) {name}: {sn} rows [{dt:.1f}s]")
+                continue
+            sdf = frame.toPandas()
         except Exception as exc:
             print(f"ERROR {name}: {type(exc).__name__}: {str(exc)[:200]}")
             failures.append(name)
