@@ -51,6 +51,29 @@ import time
 #: BENCH_r01.json (16.40 s / 22 queries / sf0.1) was recorded against
 R1_COMMIT = "d6d7ad4"
 
+
+def _loadavg() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+def _machine_state() -> dict:
+    """Ambient-machine snapshot recorded into the bench artifact."""
+    st: dict = {"loadavg_1m": _loadavg()}
+    try:
+        mem = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                mem[k.strip()] = int(v.strip().split()[0])  # kB
+        st["mem_available_gb"] = round(mem.get("MemAvailable", 0) / 1048576, 1)
+        st["page_cache_gb"] = round(mem.get("Cached", 0) / 1048576, 1)
+    except OSError:
+        pass
+    return st
+
 #: Environment-era shim for the r1 worktree: r1 ran under a Spark
 #: whose parquet reader needed ``nanosAsLong`` (events.ts arrived as
 #: BIGINT, rewritten via ``ts DIV 1000``); the current Spark 4.x reads
@@ -166,6 +189,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = tuple(override.split(",")) if override else HEADLINE
+    machine = _machine_state()
     spark = build_session("pandas_redshift_spark-bench")
     specs = all_queries()
 
@@ -176,11 +200,24 @@ def main() -> None:
     # "regression" was exactly this: 1.71 s cold-cache vs 0.67 s warm
     # on identical binaries, ROUND10.md §2).  Reading the bytes once
     # equalizes the legs and makes the timings measure compute+shuffle.
+    # The pass is also the cache-state PROBE (VERDICT r10 item 6): its
+    # throughput says whether the inputs were already resident —
+    # page-cache reads run multiple GB/s, first-touch disk reads
+    # don't — so drift triage can start from the artifact.
+    warm_t0 = time.perf_counter()
+    warm_bytes = 0
     for fname in sorted(os.listdir(sf_dir)):
         if fname.endswith(".parquet"):
             with open(os.path.join(sf_dir, fname), "rb") as fh:
-                while fh.read(1 << 22):
-                    pass
+                while True:
+                    chunk = fh.read(1 << 22)
+                    if not chunk:
+                        break
+                    warm_bytes += len(chunk)
+    warm_sec = time.perf_counter() - warm_t0
+    warm_gbps = (warm_bytes / 1e9) / warm_sec if warm_sec > 0 else 0.0
+    machine["warm_read_gbps"] = round(warm_gbps, 2)
+    machine["cache_was_warm"] = warm_gbps > 1.0
 
     # warm the JVM/codegen once with the flagship query (not timed)
     specs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
@@ -199,6 +236,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     spark.stop()
+    machine["loadavg_end_1m"] = _loadavg()
 
     result = {
         "metric": "total_headline_sec",
@@ -206,6 +244,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # ambient-machine state (VERDICT r10 item 6): four r10 paired
+        # runs spanned 0.609-0.791 purely on load/page-cache swing —
+        # these fields let future drift triage itself from the artifact
+        "machine": machine,
     }
     # contemporaneous r1 baseline (VERDICT r7 item 3): skipped for
     # ad-hoc query-override runs (scale sweeps time OUR code only)

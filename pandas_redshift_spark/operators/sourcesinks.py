@@ -626,6 +626,14 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_regionkey AS BIGINT) AS n_regionkey
     FROM nation WHERE n_regionkey >= 2
     """,
+    single_jvm_only=(
+        "embedded Derby admits ONE booting JVM per database directory; "
+        "under local-cluster the executor-side JDBC write hits Derby's "
+        "boot lock.  Boundary of the test STAND-IN, not the plan — a "
+        "production warehouse is a network server every executor dials "
+        "(reference core.py:51-60).  Multi-partition + pushdown "
+        "evidence: tests/test_jdbc_integration.py (single-JVM)."
+    ),
 )
 def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end JDBC warehouse roundtrip — the reference's actual

@@ -1,0 +1,121 @@
+"""Bit-exact equality of the hierarchical trainer's level-2 Lloyd
+(DataFrame shuffle-join ops, zero per-iteration driver traffic) with
+the certified flat trainer on the SAME schedule (VERDICT r10 item 4).
+
+``train_kmeans_hierarchical`` documents its level-2 arithmetic as
+"identical to the flat trainer" — same smallest-id seeds, same
+strict-greater/smallest-id argmax, same order-pinned member folds,
+same zero-norm keep-prev.  The flat trainer is the one every driver
+hash-green IVF/SemDeDup query runs through, so per-super equality
+transfers that certification to the 100 TB path: for EVERY super
+cell, the flat trainer run on exactly that cell's sample members
+(sample_mod=1, K=k_child) must reproduce the hierarchical child
+codebook row-for-row, double-for-double.  Both trainers are
+order-pinned, so this is strict ``==`` on floats — no tolerance.
+
+Runs at the suite fixture SF always, and at the sf1 scale rung when
+``.scaledata/sf1`` is on disk (the real-rung leg the r10 verdict
+asked for: 20k vectors, K=160, 13 supers — the forced-threshold
+structural test in test_extensions.py covers only sf0.001).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+import pandas_redshift_spark.operators.similarity as sim
+from pandas_redshift_spark.session import Tables
+from pandas_redshift_spark.stats import table_rows
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, ".scaledata", "sf1")
+
+RUNGS = ["fixture"] + (["sf1"] if os.path.isdir(SF1) else [])
+
+
+@pytest.mark.parametrize("rung", RUNGS)
+def test_hierarchical_child_codebook_equals_flat_per_super(
+    spark, sf_dir, rung
+) -> None:
+    from pyspark.sql import Column
+    from pyspark.sql.functions import broadcast
+
+    data_dir = sf_dir if rung == "fixture" else SF1
+    t = Tables(spark, data_dir)
+    emb = sim._emb_double(t).select("vec_id", "emb_n")
+    n_vecs = table_rows(t, "embeddings")
+    k_cells = max(16, math.ceil(n_vecs / 125.0))
+
+    hsups, child_df = sim.train_kmeans_hierarchical(
+        spark, emb, k_cells, cache_key=("hier_eq", data_dir)
+    )
+    child_rows = child_df.collect()
+    by_sup: dict[int, dict[int, list]] = {}
+    for r in child_rows:
+        by_sup.setdefault(r["sup"], {})[r["cell"]] = list(r["c_en"])
+
+    # replicate the trainer's level-1 sample assignment (the full,
+    # unfiltered super codebook — the trainer memoizes it under the
+    # "hier_super" key, so this collects the identical literals)
+    s_cells = math.ceil(math.sqrt(k_cells))
+    k_child = math.ceil(k_cells / s_cells)
+    full_sups = sim.train_kmeans_centroid_values(
+        spark, emb, s_cells, ("hier_super", "hier_eq", data_dir)
+    )
+    sup_df = broadcast(
+        spark.createDataFrame(
+            [(int(s), [float(x) for x in v]) for s, v in full_sups],
+            schema="sup long, s_en array<double>",
+        )
+    )
+
+    def neg(col: str) -> Column:
+        return (-F.col(col)).cast("long")
+
+    samp_sup = (
+        emb.filter(F.col("vec_id") % sim.KMEANS_SAMPLE_MOD == 0)
+        .select("vec_id", "emb_n")
+        .join(sup_df, how="cross")
+        .withColumn("s_sim", sim.dot(F.col("emb_n"), F.col("s_en")))
+        .groupBy("vec_id")
+        .agg(
+            F.first("emb_n").alias("emb_n"),
+            F.max(
+                F.struct(F.col("s_sim").alias("sim"), neg("sup").alias("nid"))
+            ).alias("m"),
+        )
+        .select("vec_id", "emb_n", (-F.col("m.nid")).cast("long").alias("sup"))
+    )
+    members = samp_sup.collect()
+    mem_by_sup: dict[int, list] = {}
+    for r in members:
+        mem_by_sup.setdefault(r["sup"], []).append(r)
+
+    # the ADVICE-r10 live contract: returned supers == supers with
+    # children == supers that captured at least one sample member
+    live = {s for s, _ in hsups}
+    assert live == set(by_sup) == set(mem_by_sup)
+
+    # per-super: the flat trainer on exactly this cell's members
+    # (sample_mod=1 -> every member is "sampled"; K=k_child -> same
+    # smallest-id seeds) must reproduce the hierarchical child rows
+    for sup in sorted(live):
+        mem_emb = spark.createDataFrame(
+            [(int(r["vec_id"]), list(r["emb_n"])) for r in mem_by_sup[sup]],
+            schema="vec_id long, emb_n array<double>",
+        )
+        flat = sim.train_kmeans_centroid_values(
+            spark,
+            mem_emb,
+            k_child,
+            cache_key=("hier_eq_flat", data_dir, sup),
+            sample_mod=1,
+        )
+        got = by_sup[sup]
+        assert {c for c, _ in flat} == set(got), (rung, sup)
+        for cell, vec in flat:
+            assert list(vec) == got[cell], (rung, sup, cell)

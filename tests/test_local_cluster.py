@@ -41,6 +41,13 @@ REPRESENTATIVES = (
     "pipe_split_deterministic",
 )
 
+#: queries whose QuerySpec declares ``single_jvm_only`` — under a
+#: local-cluster master the sim must emit a documented waiver SKIP
+#: line for them instead of a red row (VERDICT r10 item 3); this test
+#: pins that behavior so the per-round full-registry sweep reads
+#: FAILURES: none with the skip visible
+WAIVED = ("source_jdbc_roundtrip",)
+
 _WRAPPER = """
 import os, sys
 sys.path.insert(0, {repo!r})
@@ -62,7 +69,7 @@ def test_representative_queries_pass_on_separate_executor_jvms(tmp_path):
     env = dict(
         os.environ,
         SIM_REPO=REPO,
-        SIM_NAMES=",".join(REPRESENTATIVES),
+        SIM_NAMES=",".join(REPRESENTATIVES + WAIVED),
     )
     out = subprocess.run(
         [sys.executable, "-c", _WRAPPER.format(repo=REPO)],
@@ -77,3 +84,8 @@ def test_representative_queries_pass_on_separate_executor_jvms(tmp_path):
     assert "FAILURES: none" in out.stdout, tail
     for name in REPRESENTATIVES:
         assert f"ok {name}:" in out.stdout, f"{name} missing\n{tail}"
+    for name in WAIVED:
+        assert f"SKIPPED(single-jvm waiver) {name}:" in out.stdout, (
+            f"waiver line for {name} missing\n{tail}"
+        )
+        assert f"ok {name}:" not in out.stdout  # it must NOT have run

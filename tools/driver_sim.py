@@ -159,6 +159,16 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    # single-JVM waivers (QuerySpec.single_jvm_only): under a
+    # local-cluster master, a declared test-stand-in boundary is a
+    # documented SKIP line, not a red row (VERDICT r10 item 3)
+    is_multi_jvm = spark.sparkContext.master.startswith("local-cluster")
+    try:
+        from pandas_redshift_spark.operators import all_queries as _all_specs
+
+        specs = _all_specs()
+    except Exception:
+        specs = {}
     failures = []
     items = [
         (name, fn)
@@ -172,6 +182,11 @@ def main():
     if LIMIT:
         items = items[:LIMIT]
     for i, (name, fn) in enumerate(items):
+        spec = specs.get(name)
+        waiver = getattr(spec, "single_jvm_only", None)
+        if is_multi_jvm and waiver:
+            print(f"SKIPPED(single-jvm waiver) {name}: {waiver}")
+            continue
         t0 = time.perf_counter()
         try:
             frame = fn(spark, SF_DIR)

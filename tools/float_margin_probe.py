@@ -30,11 +30,33 @@ o_orderkey < 1000) or its terms are integers exactly representable in
 double (q1 sum_qty: quantities are 1..50 ints; sums stay < 2^53 until
 ~sf3e5).
 
+Round 11 (VERDICT r10 item 1): the probe now emits a machine-readable
+artifact ``benchruns/float_margin_<rung>.json`` with every measured
+site tagged by kind —
+
+- ``twin``      float twin of a site ALREADY converted to exactsum
+                (kept to show the float form stays dangerous; expected
+                to decay, never gated)
+- ``warn``      unbounded twin of a bounded/safe-by-design site with
+                no registered query of that shape (standing warning)
+- ``live``      shape actually used by a registered float query —
+                GATED: tests/test_float_margin_gate.py fails the suite
+                if margin drops below the floor at the top rung
+- ``per_row_twin`` / ``per_row_live``  window per-row determinism
+                probes (gate: live max|delta| must be exactly 0)
+
+The artifact records this file's sha256 so the gate also fails when
+the probe is edited without re-running it at the top rung — site
+inventory and measurements can't silently diverge.
+
 Usage::
 
     python tools/float_margin_probe.py [sf_dir]     # default .scaledata/sf1
 """
 
+import hashlib
+import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -76,7 +98,19 @@ def main() -> None:
 
     results = []
 
-    def probe(name, sdf, sql, quantum):
+    def record(name, kind, groups, worst, mind, margin):
+        results.append(
+            {
+                "name": name,
+                "kind": kind,
+                "groups": groups,
+                "max_delta": worst,
+                "min_bdry": mind,
+                "margin": margin,
+            }
+        )
+
+    def probe(name, sdf, sql, quantum, kind="live"):
         sp = {tuple(str(x) for x in r[:-1]): r[-1] for r in sdf.collect()}
         du = {tuple(str(x) for x in r[:-1]): r[-1] for r in con.execute(sql).fetchall()}
         assert set(sp) == set(du), (name, len(sp), len(du))
@@ -86,10 +120,14 @@ def main() -> None:
             frac = (du[k] / quantum) % 1.0
             mind = min(mind, abs(frac - 0.5) * quantum)
         margin = mind / worst if worst else float("inf")
-        flag = "  <-- CONVERT (operators/exactsum.py)" if margin < 100 else ""
-        results.append((name, len(sp), worst, mind, margin))
+        flag = (
+            "  <-- CONVERT (operators/exactsum.py)"
+            if margin < 100 and kind == "live"
+            else ""
+        )
+        record(name, kind, len(sp), worst, mind, margin)
         print(
-            f"{name}: groups={len(sp)} max|delta|={worst:.3e} "
+            f"{name} [{kind}]: groups={len(sp)} max|delta|={worst:.3e} "
             f"min_bdry={mind:.3e} margin={margin:.1f}x{flag}",
             flush=True,
         )
@@ -110,6 +148,7 @@ def main() -> None:
         "SELECT o_orderpriority, sum(l_extendedprice*(1-l_discount)) FROM lineitem l "
         "JOIN orders o ON l.l_orderkey=o.o_orderkey WHERE o_orderstatus='F' GROUP BY 1",
         1e-4,
+        kind="twin",
     )
     probe(
         "nation_revenue_shape(4dp, converted r9)",
@@ -121,6 +160,7 @@ def main() -> None:
         "JOIN supplier s ON l.l_suppkey=s.s_suppkey "
         "JOIN nation n ON s.s_nationkey=n.n_nationkey GROUP BY 1",
         1e-4,
+        kind="twin",
     )
     probe(
         "q1_charge_shape(2dp, converted r9)",
@@ -128,12 +168,14 @@ def main() -> None:
         "SELECT l_returnflag, l_linestatus, "
         "sum(l_extendedprice*(1-l_discount)*(1+l_tax)) FROM lineitem GROUP BY 1,2",
         1e-2,
+        kind="twin",
     )
     probe(
         "stats_var_float_shape(2dp, converted r9)",
         t.lineitem.groupBy("l_returnflag").agg(F.var_samp("l_extendedprice").alias("v")),
         "SELECT l_returnflag, var_samp(l_extendedprice) FROM lineitem GROUP BY 1",
         1e-2,
+        kind="twin",
     )
     probe(
         "q6_discount_revenue(2dp, converted r10)",
@@ -145,12 +187,14 @@ def main() -> None:
         "SELECT 1, sum(l_extendedprice*l_discount) FROM lineitem "
         "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
         1e-2,
+        kind="twin",
     )
     probe(
         "q15_supplier_revenue(4dp, converted r10)",
         t.lineitem.groupBy("l_suppkey").agg(F.sum(rev).alias("s")),
         "SELECT l_suppkey, sum(l_extendedprice*(1-l_discount)) FROM lineitem GROUP BY 1",
         1e-4,
+        kind="twin",
     )
     probe(
         "zorder_global_revenue(4dp, converted r10)",
@@ -162,12 +206,14 @@ def main() -> None:
         "SELECT 1, sum(l_extendedprice*(1-l_discount)) FROM lineitem "
         "WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40",
         1e-4,
+        kind="twin",
     )
     probe(
         "q3_q10_per_order_revenue(4dp, converted r10)",
         t.lineitem.groupBy("l_orderkey").agg(F.sum(rev).alias("s")),
         "SELECT l_orderkey, sum(l_extendedprice*(1-l_discount)) FROM lineitem GROUP BY 1",
         1e-4,
+        kind="twin",
     )
 
     # ---- remaining float-sum sites (r10 sweep) ----
@@ -176,6 +222,7 @@ def main() -> None:
         t.orders.groupBy(F.lit(1).alias("g")).agg(F.sum("o_totalprice").alias("s")),
         "SELECT 1, sum(o_totalprice) FROM orders",
         1e-2,
+        kind="warn",
     )
     probe(
         "daily_orders_revenue(2dp: calendar_gap_fill/trailing_30d/moving_median)",
@@ -185,6 +232,7 @@ def main() -> None:
         "SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR), sum(o_totalprice) "
         "FROM orders GROUP BY 1",
         1e-2,
+        kind="twin",
     )
     probe(
         "customer_totalprice(2dp: agg_groupby_having/window partitions)",
@@ -205,6 +253,7 @@ def main() -> None:
     mind = min(abs(du[k] - 10000.0) for k in du)
     margin = mind / worst if worst else float("inf")
     flag = "  <-- CONVERT" if margin < 100 else ""
+    record("having_threshold_10000(agg_groupby_having)", "live", len(sp), worst, mind, margin)
     print(
         f"having_threshold_10000(agg_groupby_having): groups={len(sp)} "
         f"max|delta|={worst:.3e} min_bdry={mind:.3e} margin={margin:.1f}x{flag}",
@@ -224,6 +273,7 @@ def main() -> None:
         "  SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS d"
         "  FROM orders) GROUP BY 1",
         1e-2,
+        kind="twin",
     )
     probe(
         "q22_cntrycode_acctbal(2dp: N/7-row groups)",
@@ -232,6 +282,7 @@ def main() -> None:
         ),
         "SELECT CAST(c_nationkey % 7 AS BIGINT), sum(c_acctbal) FROM customer GROUP BY 1",
         1e-2,
+        kind="twin",
     )
     probe(
         "events_user_value(2dp: events suite per-user/session)",
@@ -252,6 +303,7 @@ def main() -> None:
         ),
         "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), sum(value) FROM events GROUP BY 1",
         1e-2,
+        kind="twin",
     )
     probe(
         "events_global_value(2dp: ab_test variant sums, whole-table groups)",
@@ -260,6 +312,7 @@ def main() -> None:
         ),
         "SELECT user_id % 2, sum(value) FROM events GROUP BY 1",
         1e-2,
+        kind="twin",
     )
     # ab_test's actual shape is TWO-LEVEL: per-user float partials,
     # then a 2-group global sum of those partials (outer order is
@@ -273,6 +326,7 @@ def main() -> None:
         "SELECT user_id % 2, sum(pv) FROM ("
         "SELECT user_id, sum(value) AS pv FROM events GROUP BY 1) GROUP BY 1",
         1e-2,
+        kind="twin",
     )
 
     # ---- avg-of-float family (round(avg(x), k) = the same lottery via
@@ -292,6 +346,7 @@ def main() -> None:
     worst2 = max(abs(sp2[k] - du2[k]) for k in sp2)
     mind2 = min(abs(du2[k] - 50.0) for k in du2)
     m2 = mind2 / worst2 if worst2 else float("inf")
+    record("dpp_having_avg_gt_50", "live", len(sp2), worst2, mind2, m2)
     print(
         f"dpp_having_avg_gt_50: groups={len(sp2)} max|delta|={worst2:.3e} "
         f"min_bdry={mind2:.3e} margin={m2:.1f}x"
@@ -387,6 +442,12 @@ def main() -> None:
         ).fetchall()
     )
     wmax = max(abs(r["s"] - wdu[r["o_orderkey"]]) for r in wsp)
+    # window_running_sum converted to exactsum in r10 — the float fold
+    # stays probed as a twin (DuckDB's segment tree reassociates)
+    record(
+        "window_running_maxdelta", "per_row_twin", len(wsp), wmax,
+        None, None,
+    )
     print(
         f"window_running_maxdelta(per-row, {len(wsp)} rows): max|delta|={wmax:.3e}"
         + ("  <-- NOT bitwise-deterministic: CONVERT" if wmax > 0 else "  (bitwise identical)"),
@@ -426,11 +487,31 @@ def main() -> None:
             ).fetchall()
         )
         smax = max(abs(r["s"] - sdu[r["o_orderkey"]]) for r in ssp)
+        record(label, "per_row_live", len(ssp), smax, None, None)
         print(
             f"{label}(per-row, {len(ssp)} rows): max|delta|={smax:.3e}"
             + ("  <-- NOT bitwise-deterministic: CONVERT" if smax > 0 else "  (bitwise identical)"),
             flush=True,
         )
+
+    # ---- machine-readable artifact (VERDICT r10 item 1 / ADVICE r10):
+    # ---- the gate test reads the top-rung file and FAILS the suite on
+    # ---- any live-site margin below the floor or per-row delta != 0
+    rung = os.path.basename(os.path.normpath(SF))
+    probe_sha = hashlib.sha256(open(os.path.abspath(__file__), "rb").read()).hexdigest()
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchruns")
+    os.makedirs(out_dir, exist_ok=True)
+    artifact = {
+        "sf_dir": SF,
+        "rung": rung,
+        "probe_sha256": probe_sha,
+        "safe_by_design": SAFE_BY_DESIGN,
+        "sites": results,
+    }
+    out_path = os.path.join(out_dir, f"float_margin_{rung}.json")
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, default=str)
+    print(f"wrote {out_path} ({len(results)} sites)", flush=True)
     spark.stop()
 
 
