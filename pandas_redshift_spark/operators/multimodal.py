@@ -850,6 +850,17 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-element artifact being identical on both sides — ADVICE
     r8)."""
     hashes = _phash_frame(spark, sf_dir)
+    return phash_near_dup_pairs(hashes)
+
+
+def phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
+    """The banding + exact-recheck + expansion core of
+    :func:`multimodal_phash_near_dup`, over any ``(doc_id, ahash)``
+    frame.  Factored out so tools/phash_recall_probe.py can exercise
+    the PRODUCTION candidate rule on a high-entropy image set the
+    doc_id-modular fixture synthesizer cannot produce (VERDICT r10
+    item 8) — the operator itself is this function applied to
+    :func:`_phash_frame`."""
     uniq = hashes.select("ahash").distinct()
     banded = uniq.select(
         "ahash",

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""High-entropy perceptual-hash near-dup recall probe (VERDICT r10
+item 8, PROBE-ONLY — no registered op or oracle changes).
+
+The sf fixtures synthesize images as affine-mod functions of doc_id,
+so their hash space saturates at big SF (25k docs -> 4.9k distinct
+hashes at sf1) and a recall measurement there mostly exercises the
+hd=0 identical-hash path.  This probe regenerates an image set with
+NO modular structure — every pixel is sha256(doc_id, position) — and
+plants near-duplicate variants by inverting the exact pixels the 8x8
+aHash grid samples, then measures the PRODUCTION banding rule
+(operators/multimodal.phash_near_dup_pairs: >=2 shared 8-bit bands,
+exact integer Hamming recheck) against brute-force all-pairs truth.
+
+The >=2-of-8-bands rule is exhaustive at hd<=6 by pigeonhole (6 bit
+flips touch at most 6 bands), so the expected recall is EXACTLY 1 and
+precision EXACTLY 1 — any measured miss is an implementation break
+(band substring off-by-one, Hamming chunking bug), not tuning.  The
+probe goes through the real BMP encoder layout (bottom-up padded BGR)
+and the real parser+hasher (make_phash_extractor), so container
+mis-parses are also in scope.
+
+Deterministic (sha256-seeded, no RNG).  Usage::
+
+    python tools/phash_recall_probe.py [n_base] [n_variants]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BASE = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+N_VAR = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+VAR_OFFSET = 10_000_000
+
+
+def _pix(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    d = hashlib.sha256(f"{doc_id}:{x}:{y}".encode()).digest()
+    return d[0], d[1], d[2]
+
+
+def _dims(doc_id: int) -> tuple[int, int]:
+    d = hashlib.sha256(f"dims:{doc_id}".encode()).digest()
+    return 16 + d[0] % 17, 16 + d[1] % 17  # 16..32 px — every grid cell
+    # samples a distinct pixel, unlike the 4..16 px fixture images
+
+
+def encode_bmp_entropy(doc_id: int, invert_cells: tuple[int, ...] = ()) -> bytes:
+    """Real uncompressed 24-bit BMP (bottom-up, BGR, 4-byte padded —
+    the same on-disk layout the production encoder writes) with
+    sha256 pixels.  ``invert_cells`` lists aHash grid-cell indices
+    (j*8+i) whose SAMPLED pixel gets channel-inverted — the planted
+    near-dup perturbation."""
+    base_id = doc_id if not invert_cells else doc_id - VAR_OFFSET
+    w, h = _dims(base_id)
+    sampled = {
+        ((i * w) // 8, (j * h) // 8): (j * 8 + i)
+        for j in range(8)
+        for i in range(8)
+    }
+    stride = (w * 3 + 3) & ~3
+    pixel_bytes = stride * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + pixel_bytes, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = _pix(base_id, x, y)
+            cell = sampled.get((x, y))
+            if cell is not None and cell in invert_cells:
+                r, g, b = 255 - r, 255 - g, 255 - b
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    return header + info + bytes(rows)
+
+
+def main() -> None:
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from pandas_redshift_spark.operators.multimodal import (
+        make_phash_extractor,
+        phash_near_dup_pairs,
+    )
+
+    payloads = []
+    for k in range(N_BASE):
+        payloads.append((k, encode_bmp_entropy(k)))
+    for v in range(N_VAR):
+        base = v % N_BASE
+        n_flip = 1 + v % 6  # planted distances spread over ~1..6
+        d = hashlib.sha256(f"cells:{v}".encode()).digest()
+        cells = tuple(sorted({d[i] % 64 for i in range(n_flip)}))
+        payloads.append((base + VAR_OFFSET, encode_bmp_entropy(base + VAR_OFFSET, cells)))
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .appName("phash-recall-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pdf = pd.DataFrame(payloads, columns=["doc_id", "payload"])
+    frame = spark.createDataFrame(pdf).repartition(16)
+    hashes = frame.mapInPandas(
+        make_phash_extractor(), schema="doc_id bigint, ahash string"
+    ).localCheckpoint(eager=True)
+
+    rows = hashes.collect()
+    hs = {r["doc_id"]: r["ahash"] for r in rows}
+    ids = sorted(hs)
+    ints = {k: int(hs[k], 2) for k in ids}
+
+    # entropy report: the probe set must NOT look like the fixtures
+    distinct = len(set(hs.values()))
+    bit_ones = [
+        sum(1 for k in ids if hs[k][b] == "1") / len(ids) for b in range(64)
+    ]
+
+    # brute-force truth at hd<=6 over ALL pairs
+    truth = {}
+    for a_i, a in enumerate(ids):
+        va = ints[a]
+        for b in ids[a_i + 1:]:
+            hd = (va ^ ints[b]).bit_count()
+            if hd <= 6:
+                truth[(a, b)] = hd
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(hashes).collect()
+    }
+    missed = {p: d for p, d in truth.items() if p not in got}
+    extra = {p: d for p, d in got.items() if p not in truth}
+    wrong_hd = {p: (truth[p], got[p]) for p in truth if p in got and truth[p] != got[p]}
+
+    by_hd: dict[int, list[int]] = {}
+    for p, d in truth.items():
+        by_hd.setdefault(d, [0, 0])
+        by_hd[d][0] += 1
+        if p in got:
+            by_hd[d][1] += 1
+
+    result = {
+        "n_images": len(ids),
+        "n_distinct_hashes": distinct,
+        "distinct_frac": round(distinct / len(ids), 4),
+        "bit_balance_min": round(min(bit_ones), 3),
+        "bit_balance_max": round(max(bit_ones), 3),
+        "truth_pairs_hd_le6": len(truth),
+        "found_pairs": len(got),
+        "recall": round(1 - len(missed) / len(truth), 6) if truth else None,
+        "precision": round(1 - len(extra) / len(got), 6) if got else None,
+        "wrong_hamming": len(wrong_hd),
+        "per_hd": {str(d): {"truth": c[0], "found": c[1]} for d, c in sorted(by_hd.items())},
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchruns",
+        "phash_recall_probe.json",
+    )
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    if missed:
+        print("MISSED:", list(missed.items())[:10])
+    if extra:
+        print("EXTRA:", list(extra.items())[:10])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
