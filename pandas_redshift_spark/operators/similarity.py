@@ -256,10 +256,22 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = hyperplane_buckets(t, sub, n_planes=24, band_bits=3).select(
         "vec_id", "bucket"
     )
+    # broadcast one side of the bucket self-join and round-robin
+    # spread the other: a shuffle join here partitions by bucket VALUE
+    # (8 bands x 3 bits = 64 keys, tiny map output), so AQE coalesces
+    # the stage that ENUMERATES the quadratic candidate set down to
+    # 1-2 tasks — measured at sf10 (r11): the 40k-row sample's ~5.3M
+    # output pairs took 1484 s on 2 tasks, vs fan-out work spreading
+    # with the streamed partitions after this rewrite (the
+    # multimodal_phash_near_dup expansion hazard, same fix).  The
+    # broadcast side is sample x 8 narrow (id, bucket) rows; at a
+    # sample too big to broadcast the hint comes off and the shuffle
+    # join + AQE skew-split is the fallback — the candidate-count
+    # math (sum of per-bucket squares) is unchanged either way
     cand_ids = (
-        buckets.alias("x")
+        ensure_parallelism(buckets).alias("x")
         .join(
-            buckets.alias("y"),
+            broadcast(buckets.alias("y")),
             (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
