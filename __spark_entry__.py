@@ -64,16 +64,21 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: (tests/test_oracle_parity.py pins the pending <= reverify <=
 #: rows-only <= verified tier order and that every member is a live
 #: registered name, so a stale entry fails the suite).
-#: r11: EMPTY — the CORRECTNESS_r10 sweep re-verified ALL 25 of the
-#: r10 exactsum-conversion entries hash-green (45/45 oracle rows ok),
-#: so the set drains per the per-round contract.  Round 11 changed no
-#: registered query's RESULT or oracle TEXT: the events.py oracle
-#: edits swap inline cents formulas for the exactsum helpers whose
-#: output is byte-identical (verified against git HEAD before
-#: commit), and the hierarchical-trainer live-supers fix (ADVICE r10)
-#: touches a path no fixture SF reaches — the flat trainer serves
-#: every driver-checked query unchanged.
-REVERIFY_NAMES: set[str] = set()
+#: r11: the CORRECTNESS_r10 sweep re-verified ALL 25 r10 conversions
+#: hash-green, draining the r10 set.  The r11 entries are the FIFTH
+#: exactsum wave — the first conversions driven by an actual caught
+#: mismatch rather than a probe forecast: the round's new
+#: full-registry sf10 sweep (benchruns/cert_sf10_r11.log) caught
+#: both queries' whole-table conditional/pivot money sums
+#: hash-mismatching at sf10 (float margins collapsed exactly where
+#: the probe's unbounded-sum warn twin, orders_grand_total at 10.2x,
+#: said the shape dies).  Both now sum exact LONG cents
+#: (operators/exactsum.py money_sum_if) and are hash-green at sf0.01
+#: AND sf10; oracle TEXT changed, so they re-enter the reverify tier.
+REVERIFY_NAMES: set[str] = {
+    "agg_filtered_case",
+    "pivot_status_by_priority",
+}
 
 
 def _ordered_specs():

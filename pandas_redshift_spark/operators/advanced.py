@@ -10,7 +10,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
+from pandas_redshift_spark.operators.exactsum import (
+    money_cents,
+    money_cents_sql,
+    revenue_sum,
+    revenue_sum_sql,
+)
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -93,30 +98,42 @@ def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_status_by_priority",
-    oracle="""
+    oracle=f"""
     SELECT
         o_orderpriority,
-        round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS f_total,
-        round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS o_total,
-        round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS p_total
+        round(CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN {money_cents_sql('o_totalprice')} END), 0) AS DOUBLE) / 100, 2) AS f_total,
+        round(CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN {money_cents_sql('o_totalprice')} END), 0) AS DOUBLE) / 100, 2) AS o_total,
+        round(CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN {money_cents_sql('o_totalprice')} END), 0) AS DOUBLE) / 100, 2) AS p_total
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (wide conditional aggregate).  Explicit value list keeps
-    it one pass — without it Spark needs an extra distinct-values job."""
+    it one pass — without it Spark needs an extra distinct-values job.
+    Totals pivot as exact LONG cents, one divide per output cell
+    (fifth exactsum wave, r11): 5 priorities x 3 statuses of
+    whole-table money sums — the sf10 full-registry sweep caught the
+    float form mismatching exactly where the probe's unbounded-sum
+    warn twin (orders_grand_total, margin 10.2x at sf10) said it
+    would."""
     o = Tables(spark, sf_dir).orders
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum("o_totalprice"))
+        .agg(F.sum(money_cents("o_totalprice")))
     )
+
+    def cents_out(col: str, alias: str) -> Column:
+        return F.round(
+            F.coalesce(F.col(col), F.lit(0).cast("long")).cast("double") / 100, 2
+        ).alias(alias)
+
     return piv.select(
         "o_orderpriority",
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("f_total"),
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("o_total"),
-        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("p_total"),
+        cents_out("F", "f_total"),
+        cents_out("O", "o_total"),
+        cents_out("P", "p_total"),
     )
 
 

@@ -11,7 +11,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from pandas_redshift_spark.operators.exactsum import money_sum
+from pandas_redshift_spark.operators.exactsum import (
+    money_sum,
+    money_sum_if,
+    money_sum_if_sql,
+)
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables, memoized_persist
 
@@ -79,11 +83,11 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_filtered_case",
-    oracle="""
+    oracle=f"""
     SELECT
         l_linestatus,
         CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-        round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_value,
+        {money_sum_if_sql("l_returnflag = 'R'", 'l_extendedprice')} AS returned_value,
         round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 4) AS avg_bulk_price
     FROM lineitem
     GROUP BY l_linestatus
@@ -91,16 +95,20 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_filtered_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered aggregation via CASE inside SUM/AVG (CASE :20) — the
-    classic pivot-ish conditional aggregate."""
+    classic pivot-ish conditional aggregate.  The conditional money
+    sum is exact LONG cents (fifth exactsum wave, r11): the sf10
+    full-registry sweep caught the float form mismatching — 3
+    whole-table groups at 60M rows sit far past the margin floor.
+    The 4dp bulk-price AVG stays float (probe-measured safe family:
+    the divide normalizes the delta)."""
     li = Tables(spark, sf_dir).lineitem
     return li.groupBy("l_linestatus").agg(
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
         .cast("bigint")
         .alias("n_discounted"),
-        F.round(
-            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)),
-            2,
-        ).alias("returned_value"),
+        money_sum_if(F.col("l_returnflag") == "R", "l_extendedprice").alias(
+            "returned_value"
+        ),
         F.round(
             F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 4
         ).alias("avg_bulk_price"),

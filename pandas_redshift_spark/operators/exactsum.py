@@ -104,6 +104,30 @@ def money_sum_sql(col: str, dp: int = 2) -> str:
     )
 
 
+def money_sum_if(cond: Column, col: str, dp: int = 2) -> Column:
+    """Exact CONDITIONAL money sum — ``round(sum(CASE WHEN cond THEN
+    <money> ELSE 0 END), dp)`` in order-free LONG cents.  Added r11:
+    the sf10 full-registry sweep caught agg_filtered_case and
+    pivot_status_by_priority mismatching via exactly this shape —
+    whole-table conditional money sums whose float margin collapses
+    at sf10 (the probe's orders_grand_total warn twin measured 10.2x
+    there)."""
+    return F.round(
+        F.sum(F.when(cond, money_cents(col)).otherwise(F.lit(0).cast("long")))
+        .cast("double")
+        / 100,
+        dp,
+    )
+
+
+def money_sum_if_sql(cond_sql: str, col: str, dp: int = 2) -> str:
+    """DuckDB twin of :func:`money_sum_if`."""
+    return (
+        f"round(CAST(sum(CASE WHEN {cond_sql} THEN {money_cents_sql(col)} "
+        f"ELSE 0 END) AS DOUBLE) / 100, {dp})"
+    )
+
+
 def discount_revenue_sum_sql(qual: str = "", dp: int = 2) -> str:
     """DuckDB twin of :func:`discount_revenue_sum`."""
     return (

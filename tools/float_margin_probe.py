@@ -217,6 +217,31 @@ def main() -> None:
     )
 
     # ---- remaining float-sum sites (r10 sweep) ----
+    # r11 conversions — caught LIVE by the sf10 full-registry sweep
+    # (both mismatched their oracles at sf10 before conversion; the
+    # float twins stay probed to document the collapse)
+    probe(
+        "filtered_case_returned_value(2dp, converted r11)",
+        t.lineitem.groupBy("l_linestatus").agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)
+            ).alias("s")
+        ),
+        "SELECT l_linestatus, sum(CASE WHEN l_returnflag='R' THEN l_extendedprice "
+        "ELSE 0 END) FROM lineitem GROUP BY 1",
+        1e-2,
+        kind="twin",
+    )
+    probe(
+        "pivot_status_total(2dp, converted r11)",
+        t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.sum("o_totalprice").alias("s")
+        ),
+        "SELECT o_orderpriority, o_orderstatus, sum(o_totalprice) "
+        "FROM orders GROUP BY 1, 2",
+        1e-2,
+        kind="twin",
+    )
     probe(
         "orders_grand_total(2dp: schema_evolution-unbounded twin)",
         t.orders.groupBy(F.lit(1).alias("g")).agg(F.sum("o_totalprice").alias("s")),
