@@ -78,6 +78,13 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 REVERIFY_NAMES: set[str] = {
     "agg_filtered_case",
     "pivot_status_by_priority",
+    # SQL-text siblings of the same dying class, found by the
+    # follow-up sweep of sums living in SQL strings (invisible to the
+    # F.sum-oriented r9/r10 greps): per-month and per-nation
+    # whole-table money sums, both hash-green at sf0.01 AND sf10
+    # post-conversion
+    "recursive_cte_month_spine",
+    "sql_text_interface",
 }
 
 

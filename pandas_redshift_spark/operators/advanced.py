@@ -382,7 +382,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT strftime(months.m, '%Y-%m') AS month,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_price
+           round(CAST(coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0) AS DOUBLE) / 100, 2) AS total_price
     FROM months LEFT JOIN orders o
       ON strftime(o.o_orderdate, '%Y-%m') = strftime(months.m, '%Y-%m')
     GROUP BY month
@@ -397,7 +397,15 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     it broadcasts and the fact side aggregates without ever shuffling
     more than month-group rows.  Redshift (PG8-derived) accepts the
     same construct, so this is delegated-dialect surface
-    (pandas_redshift/core.py:84), not just an extension."""
+    (pandas_redshift/core.py:84), not just an extension.
+
+    Fifth exactsum wave (r11): the per-month totals sum exact LONG
+    cents — caught mismatching by the sf10 full-registry sweep
+    (per-month groups grow with SF; the `CAST(round(col*100,0) AS
+    BIGINT)` cents text is valid in BOTH dialects, so the Spark SQL
+    and the oracle carry the identical fragment).  This site was
+    missed by the r9/r10 grep inventory because the sum lives in SQL
+    TEXT, not an F.sum call."""
     t = Tables(spark, sf_dir)
     t.register_views()
     return spark.sql(
@@ -410,7 +418,7 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT date_format(months.m, 'yyyy-MM') AS month,
                count(o.o_orderkey) AS n_orders,
-               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_price
+               round(CAST(coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0) AS DOUBLE) / 100, 2) AS total_price
         FROM months LEFT JOIN orders o
           ON date_format(o.o_orderdate, 'yyyy-MM') = date_format(months.m, 'yyyy-MM')
         GROUP BY month

@@ -273,7 +273,7 @@ def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_spend
+           round(CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_spend
     FROM nation n
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -288,7 +288,13 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql`` over registered temp views — proving the SQL-string
     path (parser -> Catalyst -> same physical plans as the DataFrame
     API) end-to-end, not just the DataFrame surface.  The oracle is
-    the IDENTICAL statement, which is the whole point."""
+    the IDENTICAL statement, which is the whole point.
+
+    Fifth exactsum wave (r11): per-nation total_spend sums exact
+    LONG cents in BOTH statements (25 whole-table-scale groups —
+    the same SF-growing class the sf10 sweep caught in
+    agg_filtered_case; this SQL-text site was invisible to the
+    F.sum-oriented inventory greps)."""
     t = Tables(spark, sf_dir)
     t.nation.createOrReplaceTempView("v_nation")
     t.customer.createOrReplaceTempView("v_customer")
@@ -298,7 +304,7 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name AS nation,
                count(DISTINCT c.c_custkey) AS n_customers,
                count(o.o_orderkey) AS n_orders,
-               round(sum(o.o_totalprice), 2) AS total_spend
+               round(CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_spend
         FROM v_nation n
         JOIN v_customer c ON c.c_nationkey = n.n_nationkey
         JOIN v_orders o ON o.o_custkey = c.c_custkey
