@@ -64,28 +64,30 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: (tests/test_oracle_parity.py pins the pending <= reverify <=
 #: rows-only <= verified tier order and that every member is a live
 #: registered name, so a stale entry fails the suite).
-#: r11: the CORRECTNESS_r10 sweep re-verified ALL 25 r10 conversions
-#: hash-green, draining the r10 set.  The r11 entries are the FIFTH
-#: exactsum wave — the first conversions driven by an actual caught
-#: mismatch rather than a probe forecast: the round's new
-#: full-registry sf10 sweep (benchruns/cert_sf10_r11.log) caught
-#: both queries' whole-table conditional/pivot money sums
-#: hash-mismatching at sf10 (float margins collapsed exactly where
-#: the probe's unbounded-sum warn twin, orders_grand_total at 10.2x,
-#: said the shape dies).  Both now sum exact LONG cents
-#: (operators/exactsum.py money_sum_if) and are hash-green at sf0.01
-#: AND sf10; oracle TEXT changed, so they re-enter the reverify tier.
-REVERIFY_NAMES: set[str] = {
-    "agg_filtered_case",
-    "pivot_status_by_priority",
-    # SQL-text siblings of the same dying class, found by the
-    # follow-up sweep of sums living in SQL strings (invisible to the
-    # F.sum-oriented r9/r10 greps): per-month and per-nation
-    # whole-table money sums, both hash-green at sf0.01 AND sf10
-    # post-conversion
-    "recursive_cte_month_spine",
-    "sql_text_interface",
+#: r12: CORRECTNESS_r11 re-verified all four r11 entries hash-green
+#: (verified this round), draining the r11 set per the contract.  The
+#: one r12 entry is the SIXTH exactsum conversion — and the first
+#: found by the new MECHANICAL census (tools/float_sum_census.py,
+#: VERDICT r11 item 2) rather than a grep or a caught mismatch:
+#: tpch_q11's per-partkey float money sum is the same
+#: many-small-groups 2dp lottery as the converted q15 per-suppkey
+#: shape (q15's float twin measures 670x at sf10, under the 1000x
+#: floor).  Now exact LONG cents with the 1.5x-mean threshold
+#: compared in the cents domain; hash-green at sf0.01, sf1, sf3 and
+#: sf10 (benchruns/cert_sf10_q11_r12.log).  Oracle TEXT changed, so
+#: it re-enters the reverify tier.
+#: name -> round in which the result-changing edit was made.  The
+#: round number makes staleness MECHANICAL
+#: (tests/test_oracle_parity.py::test_reverify_drained): as soon as a
+#: CORRECTNESS_r{M}.json with M >= the recorded round shows the name
+#: hash-green, the driver has re-verified the NEW output and the entry
+#: must be dropped — the suite fails until it is, so draining no
+#: longer needs a verdict to catch (VERDICT r11 item 3).
+REVERIFY_ADDED: dict[str, int] = {
+    "tpch_q11_important_stock": 12,
 }
+
+REVERIFY_NAMES: set[str] = set(REVERIFY_ADDED)
 
 
 def _ordered_specs():

@@ -24,6 +24,7 @@ from pyspark.sql.functions import broadcast
 from pandas_redshift_spark.operators.exactsum import (
     discount_revenue_sum,
     discount_revenue_sum_sql,
+    money_cents,
     money_sum,
     money_sum_sql,
     revenue_scaled,
@@ -658,15 +659,19 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11_important_stock",
     oracle="""
     WITH partval AS (
-        SELECT l_partkey, sum(l_extendedprice) AS value
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS value_cents
         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS p_partkey, round(value, 2) AS value
+    SELECT l_partkey AS p_partkey,
+           round(CAST(value_cents AS DOUBLE) / 100, 2) AS value
     FROM partval
-    WHERE value > (SELECT 1.5 * avg(value) FROM partval)
+    WHERE CAST(value_cents AS DOUBLE) > (
+        SELECT 1.5 * (CAST(sum(value_cents) AS DOUBLE) / count(*)) FROM partval
+    )
     ORDER BY value DESC, p_partkey
     """,
 )
@@ -680,7 +685,16 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW over that |parts|-row aggregate (r4: the re-aggregate +
     broadcast-back shape planted the partval subtree and its lineitem
     scan in the plan twice; ReuseExchange never deduped the
-    differently-shaped consumers) — lineitem is scanned once."""
+    differently-shaped consumers) — lineitem is scanned once.
+
+    r12: converted to exact LONG cents — the per-partkey float sum is
+    the same many-small-groups rounding lottery as the converted q15
+    per-suppkey shape (670x at sf10, under the 1000x floor): group
+    size is SF-invariant but the 2dp boundary min is drawn over an
+    SF-growing number of parts.  Caught by the mechanical census
+    (tools/float_sum_census.py), not a grep.  The threshold compare
+    runs on the exact cents: both engines divide the same exact
+    integer sum by the same count — one double division each side."""
     t = Tables(spark, sf_dir)
     supp = broadcast(
         t.supplier.join(broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -690,15 +704,22 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     partval = (
         t.lineitem.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("value"))
+        .agg(F.sum(money_cents("l_extendedprice")).alias("value_cents"))
     )
-    threshold = (1.5 * F.avg("value").over(Window.partitionBy())).alias("threshold")
+    w = Window.partitionBy()
+    threshold = (
+        1.5
+        * (
+            F.sum("value_cents").over(w).cast("double")
+            / F.count("value_cents").over(w)
+        )
+    ).alias("threshold")
     return (
         partval.withColumn("threshold", threshold)
-        .filter(F.col("value") > F.col("threshold"))
+        .filter(F.col("value_cents").cast("double") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("value", 2).alias("value"),
+            F.round(F.col("value_cents").cast("double") / 100, 2).alias("value"),
         )
         .orderBy(F.col("value").desc(), "p_partkey")
     )

@@ -1,0 +1,146 @@
+"""Failing gate for the MECHANICAL float-round-agg census
+(VERDICT r11 "wrong" item 1 / "next round" item 2).
+
+Five grep-driven conversion waves each missed sites (r11: the CASE and
+pivot call sites, then two sums living in SQL text).  This gate makes
+the class structurally un-missable: ``tools/float_sum_census.py``
+derives the inventory from every registered query's ANALYZED plan
+(type-exact Catalyst walk, including subquery plans and split-form
+``agg().select(round(...))`` dataflow) plus each oracle's SQL text,
+and this test fails the suite unless the flagged set EXACTLY matches
+the measured/justified map ``FLOAT_AGG_SITES`` — every entry of which
+must point at a live probe site in the committed top-rung margin
+artifact or carry a structural safe-by-design rationale.
+
+Registering a new ``round(sum(<float money>))`` query therefore fails
+here until the site is probed or converted to
+``operators/exactsum.py``; converting a query removes its census flag
+and forces its map entry to be dropped (stale entries fail too).  The
+synthetic-detection tests below prove the detector actually fires on
+the unconverted shape and stays silent on the converted one — the
+gate cannot rot into a vacuous pass.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from float_sum_census import (  # noqa: E402
+    FLOAT_AGG_SITES,
+    base_column_types,
+    census_oracle,
+    census_plan,
+    run_census,
+)
+from tests.test_float_margin_gate import _top_artifact  # noqa: E402
+
+from pandas_redshift_spark.operators.exactsum import money_sum  # noqa: E402
+
+
+def test_census_detects_unconverted_money_sum(spark, sf_dir):
+    """The plan channel fires on the exact shape that bit r4/r9/r11 —
+    and goes silent once the site is converted to LONG cents."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    bad = orders.groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    assert census_plan(bad), "unconverted round(sum(double)) not flagged"
+
+    good = orders.groupBy("o_orderstatus").agg(
+        money_sum("o_totalprice").alias("total")
+    )
+    assert census_plan(good) == [], "converted exactsum shape flagged"
+
+
+def test_census_detects_split_form_and_subquery(spark, sf_dir):
+    """Dataflow, not text: round() applied in a LATER select over the
+    agg output, and round() over a scalar subquery, both flag."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    split = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .select("o_orderstatus", F.round("s", 2).alias("total"))
+    )
+    assert census_plan(split), "split-form round-after-agg not flagged"
+
+    orders.createOrReplaceTempView("_census_orders")
+    subq = spark.sql(
+        "SELECT round((SELECT avg(o_totalprice) FROM _census_orders), 4) AS a"
+    )
+    assert census_plan(subq), "round over scalar-subquery avg not flagged"
+
+
+def test_census_oracle_text_channel(sf_dir):
+    """The SQL-text channel fires on float money sums and respects the
+    integer-cents exemption and integer-column typing."""
+    coltypes = base_column_types(sf_dir)
+    assert census_oracle(
+        "SELECT round(sum(o_totalprice), 2) FROM orders", coltypes
+    ), "float money sum in SQL text not flagged"
+    assert (
+        census_oracle(
+            "SELECT round(CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) "
+            "AS DOUBLE)/100, 2) FROM orders",
+            coltypes,
+        )
+        == []
+    ), "converted cents SQL flagged"
+    assert (
+        census_oracle(
+            "SELECT round(sum(o_orderkey), 2) FROM orders", coltypes
+        )
+        == []
+    ), "integer-column sum flagged"
+    # unknown aliases stay strict
+    assert census_oracle(
+        "SELECT round(sum(mystery_alias), 2) FROM t", coltypes
+    ), "unknown-alias sum must stay flagged"
+
+
+def test_census_inventory_exactly_mapped(spark, sf_dir):
+    """THE gate: full-registry census == FLOAT_AGG_SITES, both ways."""
+    flags, errors = run_census(sf_dir, spark=spark)
+    assert not errors, f"census could not analyze: {errors}"
+    flagged = set(flags)
+    unmapped = sorted(flagged - set(FLOAT_AGG_SITES))
+    stale = sorted(set(FLOAT_AGG_SITES) - flagged)
+    assert not unmapped, (
+        "round-of-float-agg sites with NO probe mapping or rationale "
+        f"(convert to exactsum or add a measured FLOAT_AGG_SITES entry): "
+        f"{unmapped} -> " + "; ".join(str(flags[q][:2]) for q in unmapped)
+    )
+    assert not stale, (
+        f"stale FLOAT_AGG_SITES entries the census no longer finds "
+        f"(drop them): {stale}"
+    )
+
+
+def test_map_probe_sites_exist_in_artifact():
+    """Every mapped probe site is really measured at the top rung —
+    the map cannot point at deleted or renamed probe sites."""
+    _, art = _top_artifact()
+    names = [s["name"] for s in art["sites"]]
+    missing = {
+        q: ref["probe_site"]
+        for q, ref in FLOAT_AGG_SITES.items()
+        if ref["probe_site"] is not None
+        and not any(n.startswith(ref["probe_site"]) for n in names)
+    }
+    assert not missing, (
+        f"FLOAT_AGG_SITES references probe sites absent from the "
+        f"top-rung artifact: {missing}"
+    )
+
+
+def test_map_keys_are_live_registered_names():
+    from pandas_redshift_spark.operators import all_queries
+
+    live = set(all_queries())
+    dead = sorted(set(FLOAT_AGG_SITES) - live)
+    assert not dead, f"FLOAT_AGG_SITES names unregistered queries: {dead}"

@@ -104,3 +104,45 @@ def test_pending_queries_ordered_first():
         t = tier.get(n, 0)
         assert t >= last, f"query {n} (tier {t}) ordered after tier {last}"
         last = t
+
+
+def test_reverify_drained():
+    """REVERIFY entries must be DROPPED once the driver re-verifies
+    the new output: an entry added in round R whose name is hash-green
+    in any CORRECTNESS_r{M}.json with M >= R has served its purpose —
+    the green row certifies the post-edit output — and keeping it
+    would hold a verified name in the early tier forever (VERDICT r11
+    item 3: the r11 set went stale exactly this way).  A green row
+    from a round BEFORE the edit does not drain (it certified the old
+    output)."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert set(e.REVERIFY_ADDED) == e.REVERIFY_NAMES
+    green_rounds: dict[str, set[int]] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not (m and isinstance(rows, dict)):
+            continue
+        rnd = int(m.group(1))
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green_rounds.setdefault(name, set()).add(rnd)
+    stale = {
+        name: sorted(r for r in green_rounds.get(name, ()) if r >= added)
+        for name, added in e.REVERIFY_ADDED.items()
+        if any(r >= added for r in green_rounds.get(name, ()))
+    }
+    assert not stale, (
+        f"REVERIFY entries already re-verified by the driver (drop them): "
+        f"{stale}"
+    )

@@ -1,0 +1,476 @@
+"""Mechanical float-round-agg site census (VERDICT r11 "wrong" item 1).
+
+Five conversion waves in, the float-money-sum inventory was still
+enumerated by grep — and greps missed twice (r11: the CASE-conditional
+and pivot call sites hid from the F.sum-oriented sweep; two more sums
+hid inside SQL *text*).  This tool derives the inventory mechanically
+from the two channels that each concealed a site:
+
+1. **Analyzed-plan walk** (type-exact, authoritative): for every
+   registered query, walk the Catalyst ANALYZED plan — including
+   subquery plans — and flag every ``round``/``bround`` expression
+   whose input derives from a float/double-typed ``Sum`` or
+   ``Average`` aggregate.  "Derives" is real dataflow, not text: an
+   attribute produced by a float agg taints the aliases that reference
+   it (fixpoint), so the split form ``agg(...).select(F.round(...))``
+   is caught the same as the fused form.  Converted exactsum sites do
+   NOT flag: their Sum child is LONG cents, and long sums are
+   associative (order-free), which is the whole point of the
+   conversion.
+
+2. **Oracle-SQL text scan** (the channel the Spark-side grep can't
+   see): every ``round(...)`` whose balanced argument contains a
+   ``sum(``/``avg(`` is flagged unless the aggregate's own argument is
+   provably safe — it carries the exactsum BIGINT/HUGEINT cents cast,
+   or it references only integer-typed base-table columns with no
+   float literal and no ``/`` (integer sums are exact in
+   BIGINT/HUGEINT; a division inside the agg argument makes doubles).
+   Aggregates over *unknown* identifiers (subquery aliases) stay
+   flagged — strict by default.
+
+``tests/test_float_sum_census.py`` turns this into a failing gate:
+every flagged (query, channel) site must appear in
+:data:`FLOAT_AGG_SITES` with either the probe site that measures its
+margin (``benchruns/float_margin_<rung>.json``) or a structural
+safe-by-design rationale — and the map may not contain stale entries
+the census no longer finds.  Registering a new ``round(sum(<float>))``
+query therefore fails the suite until the site is measured or
+converted: the class cannot exist unprobed.
+
+CLI::
+
+    python tools/float_sum_census.py [sf_dir]   # default sf0.001
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Channel 1: analyzed-plan walk (py4j over Catalyst)
+# ---------------------------------------------------------------------------
+
+_ROUND_CLASSES = (
+    "org.apache.spark.sql.catalyst.expressions.Round",
+    "org.apache.spark.sql.catalyst.expressions.BRound",
+)
+_AGGEXPR_CLASS = (
+    "org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression"
+)
+_FLOAT_AGG_FNS = (
+    "org.apache.spark.sql.catalyst.expressions.aggregate.Sum",
+    "org.apache.spark.sql.catalyst.expressions.aggregate.Average",
+)
+_ALIAS_CLASS = "org.apache.spark.sql.catalyst.expressions.Alias"
+_ATTR_CLASS = "org.apache.spark.sql.catalyst.expressions.AttributeReference"
+
+
+def _seq(jseq):
+    """Materialize a Scala Seq of py4j objects."""
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _expr_tree(e):
+    """All nodes of one expression tree (pre-order)."""
+    out, stack = [], [e]
+    while stack:
+        x = stack.pop()
+        out.append(x)
+        stack.extend(_seq(x.children()))
+    return out
+
+
+def _plan_nodes(jplan):
+    """All plan nodes, descending into expression-embedded subplans
+    (scalar/EXISTS/IN/lateral subqueries, CTE defs ride ``children``)."""
+    out, stack = [], [jplan]
+    while stack:
+        node = stack.pop()
+        out.append(node)
+        stack.extend(_seq(node.children()))
+        for e in _seq(node.expressions()):
+            for x in _expr_tree(e):
+                if "Subquery" in x.getClass().getName() or "ListQuery" in x.getClass().getName():
+                    try:
+                        stack.append(x.plan())
+                    except Exception:
+                        pass
+    return out
+
+
+def _is_float_agg(expr) -> bool:
+    """expr is AggregateExpression(Sum|Average) over float/double."""
+    if expr.getClass().getName() != _AGGEXPR_CLASS:
+        return False
+    af = expr.aggregateFunction()
+    if af.getClass().getName() not in _FLOAT_AGG_FNS:
+        return False
+    child = af.children().apply(0)
+    return child.dataType().simpleString() in ("double", "float")
+
+
+def census_plan(df) -> list[str]:
+    """Flagged round-of-float-agg sites in ``df``'s analyzed plan.
+
+    Returns one human-readable descriptor per flagged ``round`` site
+    (empty list = clean).  Pure analysis — never executes the query.
+    """
+    jplan = df._jdf.queryExecution().analyzed()
+    # cheap pre-filter: no round in the plan text -> nothing to walk
+    if "round(" not in jplan.toString().lower():
+        return []
+    nodes = _plan_nodes(jplan)
+    all_exprs: list = []
+    for n in nodes:
+        for e in _seq(n.expressions()):
+            all_exprs.extend(_expr_tree(e))
+
+    # taint fixpoint: attributes whose producing alias derives from a
+    # float Sum/Average (transitively, via attribute references)
+    aliases = [e for e in all_exprs if e.getClass().getName() == _ALIAS_CLASS]
+    alias_info = []
+    for a in aliases:
+        sub = _expr_tree(a)
+        has_float_agg = any(_is_float_agg(x) for x in sub)
+        refs = {
+            x.exprId().id()
+            for x in sub
+            if x.getClass().getName() == _ATTR_CLASS
+        }
+        alias_info.append((a.exprId().id(), has_float_agg, refs))
+    tainted: set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for aid, has_agg, refs in alias_info:
+            if aid not in tainted and (has_agg or refs & tainted):
+                tainted.add(aid)
+                changed = True
+
+    def _subquery_output_tainted(x) -> bool:
+        """A scalar/IN subquery inside a round's subtree carries the
+        taint when the attribute its plan RETURNS derives from a float
+        agg — ``round(<scalar subquery: avg(o_totalprice)>)`` has no
+        AttributeReference link from the outer expression to the inner
+        alias, only the plan's output list."""
+        cname = x.getClass().getName()
+        if "Subquery" not in cname and "ListQuery" not in cname:
+            return False
+        try:
+            return any(
+                a.exprId().id() in tainted for a in _seq(x.plan().output())
+            )
+        except Exception:
+            return False
+
+    flags = []
+    for e in all_exprs:
+        if e.getClass().getName() not in _ROUND_CLASSES:
+            continue
+        sub = _expr_tree(e)
+        direct = any(_is_float_agg(x) for x in sub)
+        via_attr = any(
+            (
+                x.getClass().getName() == _ATTR_CLASS
+                and x.exprId().id() in tainted
+            )
+            or _subquery_output_tainted(x)
+            for x in sub
+        )
+        if direct or via_attr:
+            flags.append(
+                ("direct:" if direct else "via-attr:") + e.toString()[:160]
+            )
+    return flags
+
+
+# ---------------------------------------------------------------------------
+# Channel 2: oracle-SQL text scan
+# ---------------------------------------------------------------------------
+
+#: base-table column types (sf-invariant; read once from the fixture
+#: parquet by :func:`base_column_types`).  Integer-typed columns make a
+#: sum/avg argument safe (exact in BIGINT/HUGEINT) when nothing else in
+#: the argument can produce a float.
+_INT_TYPES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT")
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def base_column_types(sf_dir: str) -> dict[str, str]:
+    import duckdb
+
+    con = duckdb.connect()
+    types: dict[str, str] = {}
+    for t in _TABLES:
+        for row in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        ).fetchall():
+            types[row[0].lower()] = row[1].upper()
+    con.close()
+    return types
+
+
+def _balanced(text: str, open_idx: int) -> str:
+    """The balanced-paren argument starting at ``text[open_idx] == '('``."""
+    depth, i = 0, open_idx
+    while i < len(text):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[open_idx + 1 : i]
+        i += 1
+    return text[open_idx + 1 :]  # unbalanced: be conservative, return rest
+
+
+_IDENT_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
+_FLOAT_LIT_RE = re.compile(r"\d\.\d|\d[eE][+-]?\d")
+_SQL_KEYWORDS = {
+    "case", "when", "then", "else", "end", "and", "or", "not", "in",
+    "is", "null", "like", "between", "cast", "as", "distinct", "if",
+    "coalesce", "abs", "filter", "where",
+}
+
+
+def _agg_arg_safe(arg: str, coltypes: dict[str, str]) -> bool:
+    """True when a sum/avg ARGUMENT provably cannot be a float sum:
+    it carries the exactsum integer-cents cast, or it references only
+    integer base columns with no float literal and no division."""
+    up = arg.upper()
+    if "AS BIGINT" in up or "AS HUGEINT" in up or "::BIGINT" in up:
+        return True
+    if "/" in arg or _FLOAT_LIT_RE.search(arg):
+        return False
+    idents = [w.lower() for w in _IDENT_RE.findall(arg)]
+    cols = [w for w in idents if w in coltypes]
+    unknown = [
+        w for w in idents
+        if w not in coltypes and w not in _SQL_KEYWORDS
+    ]
+    if unknown:  # subquery aliases etc. — can't type, stay strict
+        return False
+    return bool(cols) and all(coltypes[w] in _INT_TYPES for w in cols)
+
+
+_AGG_OPEN_RE = re.compile(r"\b(sum|avg)\s*\(", re.I)
+_ROUND_OPEN_RE = re.compile(r"\bround\s*\(", re.I)
+
+
+def census_oracle(sql: str, coltypes: dict[str, str]) -> list[str]:
+    """Flagged round-over-float-aggregate sites in oracle SQL text."""
+    flags = []
+    for m in _ROUND_OPEN_RE.finditer(sql):
+        arg = _balanced(sql, m.end() - 1)
+        for am in _AGG_OPEN_RE.finditer(arg):
+            agg_arg = _balanced(arg, am.end() - 1)
+            if not _agg_arg_safe(agg_arg, coltypes):
+                snippet = re.sub(r"\s+", " ", arg[am.start():][:120]).strip()
+                flags.append(f"{am.group(1).lower()}:{snippet}")
+    return flags
+
+
+# ---------------------------------------------------------------------------
+# The measured/justified inventory: every census-flagged query maps to
+# the probe site covering its shape (tools/float_margin_probe.py ->
+# benchruns/float_margin_<rung>.json) or a structural rationale.  The
+# gate test enforces flagged == FLOAT_AGG_SITES.keys() exactly, and
+# that every named probe_site exists in the committed top-rung
+# artifact — so this map cannot drift from either reality.
+# ---------------------------------------------------------------------------
+
+#: query name -> {"probe_site": artifact site-name PREFIX or None,
+#:                "rationale": why the float form is acceptable}
+#:
+#: Sites the census flags that are NOT here fail the gate; converting
+#: a query to exactsum removes it from the census (long sums don't
+#: flag) and its entry here must then be dropped (stale entries also
+#: fail).  sf10 margins quoted from benchruns/float_margin_sf10.json.
+FLOAT_AGG_SITES: dict[str, dict[str, str | None]] = {
+    # -- money sums over SF-invariant group sizes, measured live --
+    "agg_groupby_having": {
+        "probe_site": "customer_totalprice",
+        "rationale": "per-custkey sum: group size SF-invariant (~10 "
+        "orders/customer); 2.7e6x at sf10 + having_threshold_10000 "
+        "membership probe 1.2e13x",
+    },
+    "events_sessionization": {
+        "probe_site": "events_user_value(2dp",
+        "rationale": "per-session value sums: session size "
+        "SF-invariant; probed per-user family 1.8e9x at sf10",
+    },
+    "events_rfm_segmentation": {
+        "probe_site": "events_user_value(4dp",
+        "rationale": "per-user monetary at 4dp: 1.8e7x at sf10",
+    },
+    "streaming_session_value": {
+        "probe_site": "events_user_value(2dp",
+        "rationale": "oracle twin of the batch per-session sum; same "
+        "events.value per-user/session family (1.8e9x at sf10)",
+    },
+    "streaming_user_running_totals": {
+        "probe_site": "events_user_value(2dp",
+        "rationale": "per-user running totals: same events.value "
+        "family; per-user partials are SF-invariant groups",
+    },
+    # -- avg family: cross-engine delta DECAYS ~1/sqrt(n) (sum error "
+    # -- grows ~sqrt(n), divided by n), measured live --
+    "agg_filtered_case": {
+        "probe_site": "events_type_avg",
+        "rationale": "round(avg(CASE...money),4) over SF-growing "
+        "groups: avg deltas shrink with n; probed avg family 7.3e6x "
+        "at sf10 (the money SUM half was converted r11)",
+    },
+    "skew_salted_join": {
+        "probe_site": "events_type_avg",
+        "rationale": "round(avg(value),4) per event_type — exactly "
+        "the probed site (7.3e6x at sf10)",
+    },
+    "join_dynamic_partition_prune": {
+        "probe_site": "dpp_having_avg_gt_50",
+        "rationale": "avg(value) per type + HAVING avg>50 membership "
+        "— both probed live (7.3e6x / 4.2e10x at sf10)",
+    },
+    "subquery_scalar": {
+        "probe_site": "events_type_avg",
+        "rationale": "whole-table round(avg(o_totalprice),4) scalar "
+        "subquery: single-group avg, delta ~1/sqrt(n) decay; probed "
+        "avg family holds 7.3e6x at sf10",
+    },
+    # -- embedding/text avgs, measured live (bitwise 0 delta at sf10) --
+    "embed_dim_stats": {
+        "probe_site": "embed_dim_mean",
+        "rationale": "per-dim corpus avg at 6dp: measured delta "
+        "exactly 0 at sf10",
+    },
+    "embed_bias_outliers": {
+        "probe_site": "embed_bias_mu",
+        "rationale": "whole-corpus component-sum avg: delta 0 at sf10",
+    },
+    "sim_centroid_by_label": {
+        "probe_site": "embed_dim_mean",
+        "rationale": "per-(label,dim) avg: label partitions are "
+        "sub-sums of the probed per-dim corpus avg (delta 0 at sf10)",
+    },
+    "sim_centroid_drift": {
+        "probe_site": "embed_dim_mean",
+        "rationale": "inner per-dim split avgs = probed family (delta "
+        "0 at sf10); outer drift sum runs over the FIXED 64-dim axis "
+        "— term count SF-invariant",
+    },
+    "text_unigram_logprob": {
+        "probe_site": "doc_score_cut",
+        "rationale": "per-doc avg then corpus avg+stddev tail cut — "
+        "the probed doc_score_cut shape verbatim (2.4e6x at sf10)",
+    },
+    "profile_drift_psi": {
+        "probe_site": None,
+        "rationale": "SAFE_BY_DESIGN (probe): 6dp over <=20 "
+        "SF-invariant fixed-width bins of O(1) log terms",
+    },
+    # -- per-row window folds, gated bitwise-deterministic --
+    "window_sliding_avg": {
+        "probe_site": "window_sliding_avg3",
+        "rationale": "per_row_live probe: max cross-engine delta "
+        "exactly 0 at sf10 (gated)",
+    },
+    "window_range_frame": {
+        "probe_site": "window_range_avg5000",
+        "rationale": "per_row_live probe: max delta exactly 0 at sf10",
+    },
+    # -- integer-valued doubles: sums exact in double below 2^53 --
+    "q1_pricing_summary": {
+        "probe_site": None,
+        "rationale": "SAFE_BY_DESIGN (probe): l_quantity holds "
+        "integers 1..50; sum exact below 2^53 (~sf3e5), avg = exact "
+        "sum / count, one deterministic division",
+    },
+    "tpch_q18_large_volume_customer": {
+        "probe_site": None,
+        "rationale": "sum(l_quantity) per order: integer terms exact "
+        "in double; ~4-row groups",
+    },
+    # -- bounded term counts (SF-invariant summation length) --
+    "source_schema_evolution": {
+        "probe_site": "orders_grand_total",
+        "rationale": "SAFE_BY_DESIGN (probe): group bounded by fixed "
+        "key range o_orderkey<1000 — SF-invariant row set; the "
+        "unbounded twin is probed as a standing warn",
+    },
+    "text_zipf_slope": {
+        "probe_site": None,
+        "rationale": "OLS slope over the top-1000 rank window: term "
+        "count fixed at 1000 regardless of SF, so the cross-engine "
+        "delta cannot grow with data size",
+    },
+    # -- text-channel flags on ALREADY-CONVERTED queries: the flagged
+    # -- aggregate's argument is an exact integer-unit alias defined
+    # -- upstream in the same SQL (invisible to the regex's local
+    # -- typing, strict by design) --
+    "tpch_q8_market_share": {
+        "probe_site": None,
+        "rationale": "converted: volume := revenue_scaled_sql BIGINT "
+        "e4 units (tpch.py:371); the round site divides one exact sum",
+    },
+    "tpch_q9_product_type_profit": {
+        "probe_site": None,
+        "rationale": "converted: amount_e4 := BIGINT e4 units "
+        "(tpch.py:614)",
+    },
+    "events_experiment_abtest": {
+        "probe_site": "events_twolevel_value",
+        "rationale": "converted: purchase_cents := CASE cents BIGINT "
+        "(events.py:1153); float twin probed (502x at sf10 — the "
+        "collapse the conversion dodged)",
+    },
+    "window_trailing_30d": {
+        "probe_site": "daily_orders_revenue",
+        "rationale": "converted: day_cents := money_cents_sql "
+        "(windows.py:340); float twin probed (476x at sf10)",
+    },
+}
+
+
+def run_census(sf_dir: str = "/root/testdata/sf0.001", spark=None):
+    """(flags_by_query, errors) over the full registry at ``sf_dir``."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pandas_redshift_spark.operators import all_queries
+    from pandas_redshift_spark.session import build_session
+
+    if spark is None:
+        spark = build_session("float-sum-census")
+    coltypes = base_column_types(sf_dir)
+    flags: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, spec in all_queries().items():
+        try:
+            df = spec.fn(spark, sf_dir)
+            qf = ["plan " + f for f in census_plan(df)]
+        except Exception as exc:  # census must SEE every query
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:160]}"
+            qf = []
+        if spec.oracle:
+            qf += ["oracle " + f for f in census_oracle(spec.oracle, coltypes)]
+        if qf:
+            flags[name] = qf
+    return flags, errors
+
+
+if __name__ == "__main__":
+    import json
+    import sys as _sys
+
+    sf = _sys.argv[1] if len(_sys.argv) > 1 else "/root/testdata/sf0.001"
+    flags, errors = run_census(sf)
+    print(json.dumps({"flags": flags, "errors": errors}, indent=1))
+    print(f"# {len(flags)} flagged queries, {len(errors)} census errors")
+    unmapped = sorted(set(flags) - set(FLOAT_AGG_SITES))
+    stale = sorted(set(FLOAT_AGG_SITES) - set(flags))
+    print(f"# unmapped: {unmapped}")
+    print(f"# stale map entries: {stale}")
