@@ -47,11 +47,6 @@ import subprocess
 import sys
 import time
 
-#: round-1 end-of-round snapshot — the code the driver's BASELINE-era
-#: BENCH_r01.json (16.40 s / 22 queries / sf0.1) was recorded against
-R1_COMMIT = "d6d7ad4"
-
-
 def _loadavg() -> float | None:
     try:
         return round(os.getloadavg()[0], 2)
@@ -73,6 +68,11 @@ def _machine_state() -> dict:
     except OSError:
         pass
     return st
+
+
+#: round-1 end-of-round snapshot — the code the driver's BASELINE-era
+#: BENCH_r01.json (16.40 s / 22 queries / sf0.1) was recorded against
+R1_COMMIT = "d6d7ad4"
 
 #: Environment-era shim for the r1 worktree: r1 ran under a Spark
 #: whose parquet reader needed ``nanosAsLong`` (events.ts arrived as

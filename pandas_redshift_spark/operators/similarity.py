@@ -264,10 +264,13 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output pairs took 1484 s on 2 tasks, vs fan-out work spreading
     # with the streamed partitions after this rewrite (the
     # multimodal_phash_near_dup expansion hazard, same fix).  The
-    # broadcast side is sample x 8 narrow (id, bucket) rows; at a
-    # sample too big to broadcast the hint comes off and the shuffle
-    # join + AQE skew-split is the fallback — the candidate-count
-    # math (sum of per-bucket squares) is unchanged either way
+    # broadcast side is sample x 8 narrow (id, bucket) rows.  NOTE:
+    # an explicit broadcast() hint is honored regardless of
+    # autoBroadcastJoinThreshold — there is NO automatic fallback; if
+    # the sample ever outgrows the 8 GB broadcast limit the hint must
+    # be REMOVED (or made conditional on an estimated sample size) to
+    # fall back to the shuffle join + AQE skew-split, whose
+    # candidate-count math (sum of per-bucket squares) is identical
     cand_ids = (
         ensure_parallelism(buckets).alias("x")
         .join(

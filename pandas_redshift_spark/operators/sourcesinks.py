@@ -674,8 +674,13 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Redshift, core.py:51-60), where the identical plan — distributed
     write, pushed-down filtered read — is exactly what runs; Spark's
     jars ship only Derby's embedded engine + ClientDriver, no network
-    server, so no in-sandbox server-mode stand-in exists.  The live
-    multi-partition + pushdown evidence is test_jdbc_integration
+    server (the DRDA server lives in derbynet.jar, a separate Apache
+    Derby artifact Spark does not bundle — classpath-probed every run
+    by tests/test_local_cluster.py::
+    test_derby_network_server_absence_justifies_waiver, which FAILS
+    with retire-the-waiver instructions the moment an environment
+    ships one), so no in-sandbox server-mode stand-in exists.  The
+    live multi-partition + pushdown evidence is test_jdbc_integration
     (single-JVM local mode, numPartitions=4, PushedFilters
     asserted)."""
     import os as _os

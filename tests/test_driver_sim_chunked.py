@@ -81,3 +81,29 @@ def test_chunked_digest_agrees_with_canon_hash(spark, sf_dir, name) -> None:
     # and the hash-green queries stay green under the chunked compare
     assert (sn, sh) == (on, oh), name
     assert ds.canon_hash(sdf.copy()) == ds.canon_hash(con.sql(oracles[name]).df())
+
+
+def test_nullable_int_chunk_dtype_invariance() -> None:
+    """ADVICE r11: a nullable integer column arrives as float64 only
+    in chunks that CONTAIN a null, and chunk boundaries differ between
+    engines — the digest must not depend on which chunk a row landed
+    in.  Simulate both arrivals of the same logical rows."""
+    # logical column: INT [5, 7, null, 9]
+    int_cols = frozenset({"v"})
+    as_int = pd.DataFrame({"v": pd.array([5, 7], dtype="int64")})
+    as_float_with_null = pd.DataFrame({"v": [None, 9.0]}).astype("float64")
+    one_chunk_nullable = pd.DataFrame(
+        {"v": [5.0, 7.0, None, 9.0]}
+    ).astype("float64")
+
+    na, ha = ds.row_hash_sum(as_int.copy(), int_cols)
+    nb, hb = ds.row_hash_sum(as_float_with_null.copy(), int_cols)
+    nc, hc = ds.row_hash_sum(one_chunk_nullable.copy(), int_cols)
+    assert (na + nb, (ha + hb) % (1 << 128)) == (nc, hc)
+
+    # and WITHOUT the schema hint the split rendering diverges — the
+    # exact false-red this guards against
+    xa, ya = ds.row_hash_sum(as_int.copy())
+    xb, yb = ds.row_hash_sum(as_float_with_null.copy())
+    xc, yc = ds.row_hash_sum(one_chunk_nullable.copy())
+    assert (xa + xb) == xc and (ya + yb) % (1 << 128) != yc

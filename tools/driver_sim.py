@@ -43,22 +43,46 @@ SKIP_SUBSTRS = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
 ONLY_NAMES = {s for s in os.environ.get("SIM_NAMES", "").split(",") if s}
 
 
-#: results with more rows than this use the CHUNKED multiset-digest
-#: compare instead of a full toPandas + canon_hash (0 = off).  The
-#: chunked path never materializes the result in the driver, so
-#: 15M-row per-row certs (window_running_sum at sf10) fit a vanilla
-#: heap (VERDICT r10 item 2).  Off by default: the row-count probe it
-#: needs runs each query once more, which the small-SF sweeps
-#: shouldn't pay.
+#: nonzero = CHUNKED MODE: every oracle-backed query compares via the
+#: multiset digest instead of toPandas + canon_hash.  The chunked
+#: path never materializes the result in the driver, so 15M-row
+#: per-row certs (window_running_sum at sf10) fit a vanilla heap
+#: (VERDICT r10 item 2).  r12 (ADVICE r11): the mode used to gate on
+#: a frame.count() probe per query — an extra full execution even for
+#: tiny results — but the digest compare is equally strict for ANY
+#: size (counts + sorted column names + value multiset), so chunked
+#: mode now digests everything and runs each side exactly once.  Off
+#: by default only because the small-SF sweeps keep the full path's
+#: DTYPE-DIFF diagnostics.
 CHUNK_THRESHOLD = int(os.environ.get("SIM_CHUNK_THRESHOLD", "0"))
 
+#: logical-schema integer types per engine — see ``_canon_frame``'s
+#: ``int_cols`` (ADVICE r11: chunk-local dtype repair)
+_SPARK_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+_DUCK_INT_TYPES = (
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+)
 
-def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+
+def _canon_frame(df: pd.DataFrame, int_cols=()) -> pd.DataFrame:
     """Shared canonical formatting: column-name order, floats at
-    round(6)/%.6f, everything else str()."""
+    round(6)/%.6f, everything else str().
+
+    ``int_cols`` names columns that are INTEGER in the logical result
+    schema (ADVICE r11): Arrow batches and fetch_df_chunk promote a
+    nullable integer column to float64 only in chunks that contain a
+    null, so per-chunk pandas dtype is not canonical — the same
+    logical 5 would render '5' in one chunk and '5.000000' in
+    another, and chunk boundaries differ between engines.  Columns
+    listed here always render as integers ('%d', nulls as '<NA>' to
+    match pandas' own Int64 string form) regardless of the dtype this
+    particular chunk arrived with."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
+        if c in int_cols and pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].map(lambda v: "%d" % v if pd.notna(v) else "<NA>")
+        elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6).map(lambda v: "%.6f" % v if pd.notna(v) else "NaN")
         else:
             df[c] = df[c].astype(str)
@@ -74,7 +98,7 @@ def canon_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
-def row_hash_sum(df: pd.DataFrame) -> tuple[int, int]:
+def row_hash_sum(df: pd.DataFrame, int_cols=()) -> tuple[int, int]:
     """(rows, per-row-sha256 multiset digest) over one chunk.
 
     Each canonical row string hashes to sha256[:16] read as a 128-bit
@@ -82,7 +106,7 @@ def row_hash_sum(df: pd.DataFrame) -> tuple[int, int]:
     order-independent AND multiset-faithful (XOR would cancel
     duplicate rows), and chunks combine associatively — the whole
     result never needs to sit in one process."""
-    df = _canon_frame(df)
+    df = _canon_frame(df, int_cols)
     if len(df) == 0:
         return 0, 0
     tot = 0
@@ -96,12 +120,20 @@ def row_hash_sum(df: pd.DataFrame) -> tuple[int, int]:
 def spark_chunk_digest(sdf) -> tuple[int, int]:
     """Distributed multiset digest of a Spark DataFrame: one
     mapInPandas pass emits a (rows, digest) row PER ARROW BATCH; only
-    those tiny partials cross the driver."""
+    those tiny partials cross the driver.  Integer columns are named
+    from the Spark schema so a null-bearing Arrow batch's float64
+    promotion can't change the rendering (ADVICE r11)."""
     import pandas as _pd
+
+    int_cols = frozenset(
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in _SPARK_INT_TYPES
+    )
 
     def part(it):
         for pdf in it:
-            n, h = row_hash_sum(pdf)
+            n, h = row_hash_sum(pdf, int_cols)
             yield _pd.DataFrame({"n": [n], "h": [str(h)]})
 
     rows = sdf.mapInPandas(part, schema="n long, h string").collect()
@@ -112,14 +144,20 @@ def spark_chunk_digest(sdf) -> tuple[int, int]:
 
 def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
     """Streaming multiset digest of a DuckDB result (fetch_df_chunk —
-    never materializes the frame)."""
+    never materializes the frame).  Integer columns come from the
+    relation's own result types, mirroring ``spark_chunk_digest``."""
     rel = con.sql(sql)
+    int_cols = frozenset(
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in _DUCK_INT_TYPES
+    )
     n_tot, h_tot = 0, 0
     while True:
         chunk = rel.fetch_df_chunk(16)
         if len(chunk) == 0:
             break
-        n, h = row_hash_sum(chunk)
+        n, h = row_hash_sum(chunk, int_cols)
         n_tot += n
         h_tot = (h_tot + h) % (1 << 128)
     return n_tot, h_tot
@@ -190,13 +228,12 @@ def main():
         t0 = time.perf_counter()
         try:
             frame = fn(spark, SF_DIR)
-            if (
-                CHUNK_THRESHOLD
-                and name in oracles
-                and frame.count() > CHUNK_THRESHOLD
-            ):
+            if CHUNK_THRESHOLD and name in oracles:
                 # chunked multiset-digest compare: nothing
-                # result-sized ever reaches the driver on either side
+                # result-sized ever reaches the driver on either side,
+                # and each side executes exactly once (the old
+                # frame.count() size probe doubled every query's cost
+                # — ADVICE r11)
                 sn, sh = spark_chunk_digest(frame)
                 try:
                     ocols = sorted(con.sql(oracles[name]).columns)
