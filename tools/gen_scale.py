@@ -95,16 +95,24 @@ def main() -> None:
         src_path = os.path.join(SRC, f"{name}.parquet")
         schema = pq.read_schema(src_path)
         df = pd.read_parquet(src_path)
-        if name in ("region", "nation"):
-            reps = [df]  # fixed-size dimensions: single copy
-        else:
-            reps = [replicate(name, df, k) for k in range(K)]
-        big = pd.concat(reps, ignore_index=True)
-        # preserve the source arrow schema bit-for-bit (float[] lists,
-        # int32 vs int64, timestamp units) so reads behave identically
-        table = pa.Table.from_pandas(big, schema=schema, preserve_index=False)
-        pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
-        print(f"{name}: {len(df)} -> {len(big)} rows", file=sys.stderr)
+        n_reps = 1 if name in ("region", "nation") else K
+        # stream one replica per row group through a ParquetWriter —
+        # the r11 version concat'ed all K replicas into one pandas
+        # frame first, which stops fitting in memory around K=300
+        # (sf30: 180M lineitem rows).  Same rows in the same order,
+        # same arrow schema bit-for-bit (float[] lists, int32 vs
+        # int64, timestamp units) so reads behave identically; only
+        # the row-group boundaries differ, which parquet readers
+        # don't observe.
+        total = 0
+        with pq.ParquetWriter(os.path.join(OUT, f"{name}.parquet"), schema) as w:
+            for k in range(n_reps):
+                rep = df if n_reps == 1 else replicate(name, df, k)
+                w.write_table(
+                    pa.Table.from_pandas(rep, schema=schema, preserve_index=False)
+                )
+                total += len(rep)
+        print(f"{name}: {len(df)} -> {total} rows", file=sys.stderr)
     print(OUT)
 
 
