@@ -144,3 +144,26 @@ def test_map_keys_are_live_registered_names():
     live = set(all_queries())
     dead = sorted(set(FLOAT_AGG_SITES) - live)
     assert not dead, f"FLOAT_AGG_SITES names unregistered queries: {dead}"
+
+
+def test_census_oracle_split_form_alias(sf_dir):
+    """The split form q11's pre-conversion oracle had: the float sum
+    lives behind a CTE alias and only the bare name reaches round().
+    The alias channel must flag it — and go silent once the alias is
+    defined in exact integer cents."""
+    coltypes = base_column_types(sf_dir)
+    old_q11_shape = (
+        "WITH partval AS (SELECT l_partkey, sum(l_extendedprice) AS value "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT round(value, 2) AS value FROM partval"
+    )
+    assert any(
+        f.startswith("alias:") for f in census_oracle(old_q11_shape, coltypes)
+    ), "split-form float-sum alias not flagged"
+    converted = (
+        "WITH partval AS (SELECT l_partkey, "
+        "sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS value_cents "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT round(CAST(value_cents AS DOUBLE)/100, 2) AS value FROM partval"
+    )
+    assert census_oracle(converted, coltypes) == []

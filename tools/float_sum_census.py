@@ -237,10 +237,13 @@ _SQL_KEYWORDS = {
 }
 
 
-def _agg_arg_safe(arg: str, coltypes: dict[str, str]) -> bool:
+def _agg_arg_safe(
+    arg: str, coltypes: dict[str, str], safe_idents: set[str] = frozenset()
+) -> bool:
     """True when a sum/avg ARGUMENT provably cannot be a float sum:
     it carries the exactsum integer-cents cast, or it references only
-    integer base columns with no float literal and no division."""
+    integer base columns / known-safe aliases with no float literal
+    and no division."""
     up = arg.upper()
     if "AS BIGINT" in up or "AS HUGEINT" in up or "::BIGINT" in up:
         return True
@@ -248,21 +251,63 @@ def _agg_arg_safe(arg: str, coltypes: dict[str, str]) -> bool:
         return False
     idents = [w.lower() for w in _IDENT_RE.findall(arg)]
     cols = [w for w in idents if w in coltypes]
+    known_safe = [w for w in idents if w in safe_idents]
     unknown = [
         w for w in idents
-        if w not in coltypes and w not in _SQL_KEYWORDS
+        if w not in coltypes and w not in _SQL_KEYWORDS and w not in safe_idents
     ]
     if unknown:  # subquery aliases etc. — can't type, stay strict
         return False
-    return bool(cols) and all(coltypes[w] in _INT_TYPES for w in cols)
+    return bool(cols or known_safe) and all(
+        coltypes[w] in _INT_TYPES for w in cols
+    )
 
 
 _AGG_OPEN_RE = re.compile(r"\b(sum|avg)\s*\(", re.I)
 _ROUND_OPEN_RE = re.compile(r"\bround\s*\(", re.I)
+_AS_ALIAS_RE = re.compile(r"^\s*AS\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.I)
+
+
+#: ``CAST(expr AS <type>)`` also matches the ``AS name`` alias regex —
+#: never treat a type keyword as an alias
+_SQL_TYPE_NAMES = {
+    "tinyint", "smallint", "integer", "int", "bigint", "hugeint",
+    "double", "float", "real", "decimal", "numeric", "varchar",
+    "text", "date", "timestamp", "boolean", "blob",
+}
+
+
+def _unsafe_agg_aliases(sql: str, coltypes: dict[str, str]) -> set[str]:
+    """Aliases defined as ``sum(...)/avg(...) AS name`` whose aggregate
+    argument is NOT provably integer-exact — the split form where the
+    float sum lives in a CTE/subquery and only the bare alias reaches
+    the ``round()`` (q11's pre-conversion oracle: ``sum(
+    l_extendedprice) AS value ... round(value, 2)``).
+
+    Two passes: the first collects SAFE aliases (integer-cents or
+    integer-column aggregate args), the second classifies — so
+    ``sum(value_cents) AS total`` stays safe when ``value_cents`` was
+    itself defined as a BIGINT-cents aggregate one level up.  Deeper
+    alias-of-alias chains stay covered by the strict
+    unknown-identifier rule in :func:`_agg_arg_safe`."""
+    defs: list[tuple[str, str]] = []  # (alias, agg arg)
+    for am in _AGG_OPEN_RE.finditer(sql):
+        arg = _balanced(sql, am.end() - 1)
+        rest = sql[am.end() + len(arg) + 1 :]
+        alias = _AS_ALIAS_RE.match(rest)
+        if alias and alias.group(1).lower() not in _SQL_TYPE_NAMES:
+            defs.append((alias.group(1).lower(), arg))
+    safe = {a for a, arg in defs if _agg_arg_safe(arg, coltypes)}
+    return {
+        a
+        for a, arg in defs
+        if a not in safe and not _agg_arg_safe(arg, coltypes, safe)
+    }
 
 
 def census_oracle(sql: str, coltypes: dict[str, str]) -> list[str]:
     """Flagged round-over-float-aggregate sites in oracle SQL text."""
+    unsafe_aliases = _unsafe_agg_aliases(sql, coltypes)
     flags = []
     for m in _ROUND_OPEN_RE.finditer(sql):
         arg = _balanced(sql, m.end() - 1)
@@ -271,6 +316,12 @@ def census_oracle(sql: str, coltypes: dict[str, str]) -> list[str]:
             if not _agg_arg_safe(agg_arg, coltypes):
                 snippet = re.sub(r"\s+", " ", arg[am.start():][:120]).strip()
                 flags.append(f"{am.group(1).lower()}:{snippet}")
+        hit = unsafe_aliases & {
+            w.lower() for w in _IDENT_RE.findall(arg)
+        }
+        if hit:
+            snippet = re.sub(r"\s+", " ", arg[:120]).strip()
+            flags.append(f"alias:{sorted(hit)}:{snippet}")
     return flags
 
 
