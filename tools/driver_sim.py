@@ -190,6 +190,19 @@ def main():
     print(f"SMOKE entry: {n} rows, schema: {[f.name for f in res.schema.fields]}")
 
     con = duckdb.connect()
+    # Large-SF oracle replays can build >RAM-sized join intermediates
+    # (first hit: dedup_semantic_ivf's within-cell pair join at sf10
+    # carried 64-dim lists through ~25M pairs and the default
+    # 80%-of-RAM limit let the process balloon to 110 GB before the
+    # kernel OOM-killed the whole sweep, r12).  Cap the budget and
+    # give DuckDB a spill directory so big replays page to disk
+    # instead of taking the box down.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SIM_DUCK_MEM', '24GB')}'"
+    )
+    spill = os.environ.get("SIM_DUCK_SPILL", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
