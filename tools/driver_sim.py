@@ -189,24 +189,33 @@ def main():
     n = res.count()
     print(f"SMOKE entry: {n} rows, schema: {[f.name for f in res.schema.fields]}")
 
-    con = duckdb.connect()
-    # Large-SF oracle replays can build >RAM-sized join intermediates
-    # (first hit: dedup_semantic_ivf's within-cell pair join at sf10
-    # carried 64-dim lists through ~25M pairs and the default
-    # 80%-of-RAM limit let the process balloon to 110 GB before the
-    # kernel OOM-killed the whole sweep, r12).  Cap the budget and
-    # give DuckDB a spill directory so big replays page to disk
-    # instead of taking the box down.
-    con.execute(
-        f"SET memory_limit='{os.environ.get('SIM_DUCK_MEM', '24GB')}'"
-    )
-    spill = os.environ.get("SIM_DUCK_SPILL", "/tmp/duckdb_spill")
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+    def duck_connect():
+        """Fresh DuckDB connection with the sweep's resource bounds.
+
+        Budget cap + spill (r12): an sf10 oracle replay built a >RAM
+        join intermediate and the default 80%-of-RAM limit ballooned
+        the sweep process to 110 GB before the kernel OOM-killed it.
+        Factored into a function because a connection that HAS hit its
+        budget is poisoned — after one OutOfMemoryException every
+        later allocation fails ('bad allocation' at 2 KB; observed
+        r12: one phash OOM turned the next 6 queries into false
+        ERRORs) — so the sweep reconnects after any oracle-side
+        failure instead of fate-sharing the whole tail."""
+        c = duckdb.connect()
+        c.execute(
+            f"SET memory_limit='{os.environ.get('SIM_DUCK_MEM', '24GB')}'"
         )
+        spill = os.environ.get("SIM_DUCK_SPILL", "/tmp/duckdb_spill")
+        os.makedirs(spill, exist_ok=True)
+        c.execute(f"SET temp_directory='{spill}'")
+        for t in TABLES:
+            c.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return c
+
+    con = duck_connect()
 
     qs = e.queries()
     oracles = e.oracle_sql()
@@ -256,6 +265,11 @@ def main():
                         f"ERROR {name} (oracle): {type(exc).__name__}: {str(exc)[:200]}"
                     )
                     failures.append(name)
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
+                    con = duck_connect()  # poisoned after OOM — see duck_connect
                     continue
                 dt = time.perf_counter() - t0
                 probs = []
@@ -285,6 +299,11 @@ def main():
         except Exception as exc:
             print(f"ERROR {name} (oracle): {type(exc).__name__}: {str(exc)[:200]}")
             failures.append(name)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duck_connect()  # poisoned after OOM — see duck_connect
             continue
         probs = []
         if len(sdf) != len(odf):
