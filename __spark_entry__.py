@@ -64,18 +64,9 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: (tests/test_oracle_parity.py pins the pending <= reverify <=
 #: rows-only <= verified tier order and that every member is a live
 #: registered name, so a stale entry fails the suite).
-#: r12: CORRECTNESS_r11 re-verified all four r11 entries hash-green
-#: (verified this round), draining the r11 set per the contract.  The
-#: one r12 entry is the SIXTH exactsum conversion — and the first
-#: found by the new MECHANICAL census (tools/float_sum_census.py,
-#: VERDICT r11 item 2) rather than a grep or a caught mismatch:
-#: tpch_q11's per-partkey float money sum is the same
-#: many-small-groups 2dp lottery as the converted q15 per-suppkey
-#: shape (q15's float twin measures 670x at sf10, under the 1000x
-#: floor).  Now exact LONG cents with the 1.5x-mean threshold
-#: compared in the cents domain; hash-green at sf0.01, sf1, sf3 and
-#: sf10 (benchruns/cert_sf10_q11_r12.log).  Oracle TEXT changed, so
-#: it re-enters the reverify tier.
+#: r13: CORRECTNESS_r12 re-verified tpch_q11 hash-green (its exactsum
+#: conversion was the lone r12 entry), draining the r12 set per the
+#: contract.  No r13 result-changing edits so far.
 #: name -> round in which the result-changing edit was made.  The
 #: round number makes staleness MECHANICAL
 #: (tests/test_oracle_parity.py::test_reverify_drained): as soon as a
@@ -83,9 +74,14 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: hash-green, the driver has re-verified the NEW output and the entry
 #: must be dropped — the suite fails until it is, so draining no
 #: longer needs a verdict to catch (VERDICT r11 item 3).
-REVERIFY_ADDED: dict[str, int] = {
-    "tpch_q11_important_stock": 12,
-}
+#: GRANULARITY CAVEAT (ADVICE r12): the marker is a round number, so a
+#: green row recorded in round R BEFORE an edit made later in the same
+#: round R is indistinguishable from a post-edit re-verification.
+#: Contract addendum: a result-changing edit that lands AFTER the
+#: current round's driver sweep has already produced its
+#: CORRECTNESS_r{R}.json must be tagged R+1, not R — tag with the
+#: first round whose sweep can possibly see the new output.
+REVERIFY_ADDED: dict[str, int] = {}
 
 REVERIFY_NAMES: set[str] = set(REVERIFY_ADDED)
 

@@ -225,25 +225,58 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
         fn = specs[name].fn
-        best = float("inf")
+        # per-query untimed warm-up (VERDICT r12 item 6): the first
+        # execution of each PLAN pays its own codegen compile +
+        # shuffle-file creation; warming it out of band makes all 3
+        # timed runs same-state, so the min/median spread separates a
+        # real plan regression (both shift) from cache luck (median
+        # jitters, min holds)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
         for _ in range(3):  # best-of-3: damp JIT/GC/scheduler jitter
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     spark.stop()
     machine["loadavg_end_1m"] = _loadavg()
 
+    median_total = round(sum(medians.values()), 3)
+    # per-query spread (VERDICT r12 item 6): full min/median per query
+    # goes to a sibling file + its OWN stdout line (the final line
+    # must stay inside the driver's ~2.5 KB tail capture — the r8
+    # lesson); the final line carries the aggregate spread plus only
+    # the NOISY queries (median >15% over min), so a reader of
+    # BENCH_r{N}.json can tell a real regression from cache luck
+    # without leaving the artifact.
+    spread = {
+        "metric": "per_query_spread",
+        "queries_min": timings,
+        "queries_median": medians,
+    }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "bench_spread.json"), "w") as f:
+        json.dump(spread, f)
+    print(json.dumps(spread))
     result = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "median_total_sec": median_total,
+        "noisy_queries": {
+            n: medians[n]
+            for n in timings
+            if timings[n] > 0 and medians[n] / timings[n] > 1.15
+        },
+        "spread_blob": "bench_spread.json",
         # ambient-machine state (VERDICT r10 item 6): four r10 paired
         # runs spanned 0.609-0.791 purely on load/page-cache swing —
         # these fields let future drift triage itself from the artifact

@@ -530,7 +530,69 @@ _CLUSTER_ORACLE = f"""
     """
 
 
-@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def _cluster_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
+    """Big-SF certification oracle for dedup_cluster_components
+    (VERDICT r12 item 5): the primary oracle's recursive-CTE
+    transitive closure materializes the full REACHABILITY relation —
+    O(sum |component|^2) rows — and at sf30 exhausts memory WITHOUT
+    spilling (recursive CTEs are non-spillable in DuckDB; fails at
+    26 GB and 55 GB budgets, CERT_r12.md).  Recursion is the only
+    infeasible piece, so this oracle replaces just that: DuckDB still
+    computes the >=0.2 jaccard pair graph independently (the
+    linear-feasible part — certified through dedup_ngram_jaccard at
+    sf10/sf30), the closure runs as UNION-FIND over the fetched edge
+    list in Python (path-halving, O(E a(N)) — exact, no recursion
+    depth, nothing quadratic), labels are canonicalized to the
+    component MINIMUM (the same fixpoint min-label propagation
+    converges to), and the returned SQL formats (component_id,
+    n_members, members) from the registered labels.  Unlike the other
+    cert oracles this pins NOTHING from Spark — the whole computation
+    is still engine-independent.
+    tests/test_cert_oracles.py pins it == the recursive primary
+    oracle == the Spark result at sf0.001."""
+    import pandas as pd
+
+    edges = con.sql(
+        f"WITH {jaccard_pairs_cte_sql(0.2)} SELECT doc_a, doc_b FROM pairs"
+    ).df()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["doc_a"].astype(int), edges["doc_b"].astype(int)):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, r), n)  # canonical min-label
+    labels = pd.DataFrame(
+        {
+            "node": list(parent),
+            "component_id": [roots[find(n)] for n in parent],
+        }
+    )
+    con.register("cert_cc_labels", labels)
+    return """
+    SELECT component_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM cert_cc_labels GROUP BY component_id
+    """
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=_CLUSTER_ORACLE,
+    cert_oracle=_cluster_cert_oracle,
+)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph — the step
     that turns pairwise Jaccard matches into dedup GROUPS (transitive

@@ -829,7 +829,87 @@ def _dedup_cascade_oracle() -> str:
     """
 
 
-@query("pipe_dedup_cascade", oracle=_dedup_cascade_oracle())
+def _cascade_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
+    """Big-SF certification oracle for pipe_dedup_cascade (VERDICT r12
+    item 3): the primary oracle's recursive-CTE transitive closure over
+    the full pair graph is the sandbox-infeasible piece at sf10 (the
+    closure does not spill — CERT_r12.md).  This oracle PINS exactly
+    one intermediate: the (node, component_id) membership exported
+    from Spark's dedup_cluster_components — itself hash-certified
+    against the full recursive closure in the SAME sweep (green at
+    sf3/sf10) — and recomputes everything else independently in
+    DuckDB: exact-dup marks, the full shingle/jaccard >= 0.5 near-dup
+    marks, and the cumulative set-difference funnel.
+    tests/test_cert_oracles.py pins this oracle == the primary oracle
+    == the Spark result at sf0.001."""
+    import pyspark.sql.functions as F
+
+    from pandas_redshift_spark.operators.dedup import (
+        dedup_cluster_components,
+        jaccard_pairs_cte_sql,
+    )
+
+    comp_pd = (
+        dedup_cluster_components(spark, sf_dir)
+        .select(
+            "component_id",
+            F.explode(F.split("members", ",")).alias("node_s"),
+        )
+        .select(
+            F.col("node_s").cast("bigint").alias("node"),
+            F.col("component_id").cast("bigint").alias("component_id"),
+        )
+        .toPandas()
+    )
+    con.register("cert_cascade_comp", comp_pd)
+    return f"""
+    WITH {jaccard_pairs_cte_sql(0.2)},
+    comp AS (SELECT node, component_id FROM cert_cascade_comp),
+    r1 AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn > 1
+    ),
+    near AS (
+        SELECT DISTINCT i.doc_b AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
+    ),
+    r2 AS (
+        SELECT doc_id FROM near
+        WHERE doc_id NOT IN (SELECT doc_id FROM r1)
+    ),
+    clus AS (SELECT node AS doc_id FROM comp WHERE node <> component_id),
+    r3 AS (
+        SELECT doc_id FROM clus
+        WHERE doc_id NOT IN (SELECT doc_id FROM r1 UNION SELECT doc_id FROM r2)
+    ),
+    cnt AS (
+        SELECT (SELECT count(*) FROM r1) AS c1,
+               (SELECT count(*) FROM r2) AS c2,
+               (SELECT count(*) FROM r3) AS c3,
+               (SELECT count(*) FROM documents) AS n_raw
+    )
+    SELECT 1 AS stage_order, 'raw' AS stage,
+           CAST(0 AS BIGINT) AS n_removed, CAST(n_raw AS BIGINT) AS n_remaining
+    FROM cnt
+    UNION ALL SELECT 2, 'exact_dup', CAST(c1 AS BIGINT), CAST(n_raw - c1 AS BIGINT) FROM cnt
+    UNION ALL SELECT 3, 'near_dup_keepfirst', CAST(c2 AS BIGINT),
+           CAST(n_raw - c1 - c2 AS BIGINT) FROM cnt
+    UNION ALL SELECT 4, 'cluster_transitive', CAST(c3 AS BIGINT),
+           CAST(n_raw - c1 - c2 - c3 AS BIGINT) FROM cnt
+    """
+
+
+@query(
+    "pipe_dedup_cascade",
+    oracle=_dedup_cascade_oracle(),
+    cert_oracle=_cascade_cert_oracle,
+)
 def pipe_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup CASCADE report — the stage-by-stage shrinkage
     accounting a production corpus pass publishes: exact dedup, then

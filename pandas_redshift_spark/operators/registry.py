@@ -38,6 +38,20 @@ class QuerySpec:
     #: directory, a boundary of the stand-in, not of the Spark plan
     #: (VERDICT r10 "wrong" item 1).
     single_jvm_only: str | None = None
+    #: Big-SF CERTIFICATION oracle (VERDICT r12 item 3): a callable
+    #: ``(spark, sf_dir, duckdb_con) -> sql`` used by the cert sweep
+    #: (tools/driver_sim.py, SIM_CERT_ORACLES=1) when the primary SQL
+    #: oracle is sandbox-infeasible at the rung (e.g. an iterated
+    #: Lloyd-training replay that spills >71 GB at sf10).  The callable
+    #: may register DuckDB temp tables holding PINNED INTERMEDIATES —
+    #: Spark-side artifacts that are themselves certified elsewhere
+    #: (bit-exact full replay at lower rungs, or a same-sweep
+    #: hash-green sibling query) — and returns SQL that independently
+    #: replays everything DOWNSTREAM of the pins.  The external
+    #: driver never sees this field; ``oracle`` remains the full
+    #: independent replay.  tests/test_cert_oracles.py pins
+    #: cert-oracle == primary-oracle result at a small SF.
+    cert_oracle: Callable | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -47,13 +61,15 @@ def query(
     name: str,
     oracle: str | None = None,
     single_jvm_only: str | None = None,
+    cert_oracle: Callable | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering an operator implementation.
 
     ``oracle`` is the DuckDB-executable ANSI SQL equivalent; omit it
     only for genuinely non-SQL-expressible operators (LSH, streaming).
     ``single_jvm_only`` declares a documented multi-JVM waiver for the
-    query's test stand-in (see :class:`QuerySpec`).
+    query's test stand-in; ``cert_oracle`` a big-SF certification
+    oracle builder (see :class:`QuerySpec` for both).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -62,6 +78,7 @@ def query(
         _REGISTRY[name] = QuerySpec(
             name, fn, oracle, (fn.__doc__ or "").strip(),
             single_jvm_only=single_jvm_only,
+            cert_oracle=cert_oracle,
         )
         return fn
 

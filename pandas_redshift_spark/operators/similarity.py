@@ -2111,8 +2111,91 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
+    """Big-SF certification oracle for dedup_semantic_ivf (VERDICT r12
+    item 3): the primary oracle's Lloyd-training replay (sample x K
+    cross joins, materialized per iteration) spills >71 GB at sf10,
+    while every LIVE stage of it is already certified elsewhere —
+    :func:`train_kmeans_centroids` is replayed BIT-EXACTLY by
+    :func:`_kmeans_ctes` at sf0.01/sf1/sf3 and through sim_ivf_topk at
+    sf10.  So this oracle PINS exactly one intermediate — the trained
+    child codebook, exported from the same memoized trainer the query
+    uses — and replays everything downstream INDEPENDENTLY in SQL:
+    super-centroid training from the pinned codebook, two-level
+    nearest-cell assignment of every vector, the within-cell pairwise
+    cosine >= tau sweep, and the min-id-wins keep rule.  Cost is
+    O(N*(S + K/S)) dots + O(sum |cell|^2) pairs — linear under the
+    K = N/125 schedule, no iterated cross joins, nothing to spill.
+    Two cheap training sanity checks run inline (unit-norm centroids,
+    seed ids drawn from the sample stratum) so a corrupted export
+    fails loudly rather than certifying garbage.
+    tests/test_cert_oracles.py pins this oracle == the primary oracle
+    == the Spark result at sf0.001."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    emb = _emb_double(t).select("vec_id", "emb_n")
+    n_vecs = table_rows(t, "embeddings")
+    k_cells = max(16, math.ceil(n_vecs / 125.0))
+    if k_cells > KMEANS_FLAT_TRAIN_MAX_K:
+        raise NotImplementedError(
+            "cert oracle covers the flat-trainer regime only "
+            f"(k={k_cells} > {KMEANS_FLAT_TRAIN_MAX_K}); no fixture SF "
+            "reaches the hierarchical trainer"
+        )
+    cents = train_kmeans_centroid_values(
+        spark, emb, k_cells, cache_key=("kmeans", sf_dir)
+    )
+    cents_pd = pd.DataFrame(
+        {
+            "cell": [int(c) for c, _ in cents],
+            "c_en": [[float(x) for x in v] for _, v in cents],
+        }
+    )
+    con.register("cert_semdedup_cents", cents_pd)
+    # training sanity on the pinned export: spherical k-means emits
+    # unit-norm centroids; seeds (and thus cell ids) come from the
+    # vec_id % sample_mod == 0 stratum
+    bad_norm, bad_seed = con.sql(
+        f"""
+        SELECT
+            sum(CASE WHEN abs(list_inner_product(CAST(c_en AS DOUBLE[]),
+                                                 CAST(c_en AS DOUBLE[])) - 1.0)
+                          > 1e-9 THEN 1 ELSE 0 END),
+            sum(CASE WHEN cell % {KMEANS_SAMPLE_MOD} <> 0 THEN 1 ELSE 0 END)
+        FROM cert_semdedup_cents
+        """
+    ).fetchone()
+    if bad_norm or bad_seed:
+        raise AssertionError(
+            f"pinned codebook failed training sanity: {bad_norm} non-unit "
+            f"centroids, {bad_seed} off-stratum cell ids"
+        )
+    return f"""
+    WITH {_EN_CTE},
+    kk AS (SELECT CAST({k_cells} AS BIGINT) AS k),
+    kdims AS (SELECT unnest(range(1, {EMBEDDING_DIMS + 1})) AS dim),
+    cents AS MATERIALIZED (
+        SELECT cell, CAST(c_en AS DOUBLE[]) AS c_en FROM cert_semdedup_cents
+    ),
+    {_super_ctes()},
+    m AS (
+        SELECT a.vec_id, a.cell, e.en
+        FROM assigned a JOIN e ON a.vec_id = e.vec_id
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.en, b.en) >= 0.3
+    )
+    SELECT m.vec_id, m.cell, d.vec_id IS NULL AS kept
+    FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+    """
+
+
 @query(
     "dedup_semantic_ivf",
+    cert_oracle=_semdedup_cert_oracle,
     oracle=f"""
     WITH {_EN_CTE},
     kk AS (

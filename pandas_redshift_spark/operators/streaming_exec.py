@@ -3,8 +3,10 @@ streaming extension, promoted from pytest-only to oracle-checked in
 round 4).
 
 Each query here runs a REAL streaming job — ``readStream`` over the
-events parquet, Trigger.AvailableNow, in-memory sink, block until the
-stream drains — and returns the sink table, so the external driver
+events parquet, Trigger.AvailableNow, parquet file sink (distributed
+executor-side writes; the driver-heap memory sink wedged at sf30 —
+see _run), block until the stream drains — and returns the sink
+directory read back, so the external driver
 hash-compares an actual Structured Streaming execution against batch
 ANSI SQL in DuckDB.  AvailableNow processes exactly the data present
 at start and then stops (the batch-parity trigger); ``complete``
@@ -15,7 +17,7 @@ tests/test_streaming.py, which drive multi-batch timelines through the
 same plans).
 
 Scale note: these plans are the production streaming shapes — the
-memory sink and AvailableNow trigger are the test harness, swapped for
+file sink and AvailableNow trigger are the test harness, swapped for
 Kafka + a real sink in production without touching the aggregation
 plan.  Reference has no streaming surface at all (psycopg2 batch SQL
 only, core.py:82-87).
@@ -36,14 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.streaming.windows import (
     read_events_stream,
-    run_to_memory,
+    run_to_files,
     sliding_counts,
     stream_dedup,
     tumbling_counts,
 )
 
-#: pid-scoped root for memory-sink parquet snapshots: uuid dirs per
-#: call.  At import, reap snapshot dirs left by DEAD prior sessions
+#: pid-scoped root for streaming parquet sink + checkpoint dirs: uuid
+#: dirs per call.  At import, reap dirs left by DEAD prior sessions
 #: (a pid-scoped rmtree of our own — nonexistent — dir would reclaim
 #: nothing, ADVICE r5); live processes' dirs are left alone by
 #: checking /proc, and our own dir is registered for atexit cleanup
@@ -82,39 +84,41 @@ _atexit.register(_shutil.rmtree, _SNAP_ROOT, ignore_errors=True)
 def _run(
     stream_df: DataFrame, mode: str, state_partitions: int | None = None
 ) -> DataFrame:
-    """Drain ``stream_df`` into a uniquely-named memory sink, snapshot
-    the sink, and DROP the sink's temp view before returning —
-    otherwise every invocation (driver retry, bench best-of-3) leaks
-    sink rows plus a catalog entry into driver memory for the session
-    lifetime.
+    """Drain ``stream_df`` into a uuid-named PARQUET directory (file
+    sink for append, foreachBatch overwrite/append for complete/
+    update — streaming/windows.run_to_files) and read the directory
+    back with the stream's own schema (explicit schema keeps a
+    zero-row drain readable).
 
-    Snapshot mechanics (r5, twice-revised): collect +
-    createDataFrame measured ~2x the whole query at sf1 sink sizes
-    (Python round-trip); an eager ``localCheckpoint`` fixed that but
-    OOMed a DEFAULT-1g-driver session at sf1 (~95k session rows: the
-    block-manager unroll needs sink + checkpoint copies in heap
-    simultaneously).  A parquet write+read to process-scoped /tmp
-    staging measures the same as localCheckpoint at bench shape
-    (2.3s vs 2.2s, sf0.1) and is DISK-backed, so the snapshot
-    survives any driver heap size — the pattern that actually scales.
-    Snapshot dirs are uuid-named under a pid-scoped root (cleaned at
-    import; a few MB per call, same /tmp lifecycle as the Derby
-    staging note in operators/sourcesinks.py)."""
+    History (r5 -> r13): the original memory-sink + snapshot pipeline
+    collected every emitted row onto the DRIVER heap per micro-batch
+    before the parquet snapshot could even start — a ``collect()`` in
+    disguise that wedged the three windowed/stateful executions at
+    sf30 (30M events; BENCH_scale_r12.md §3.5, VERDICT r12 item 2).
+    run_to_files makes the parquet directory BE the sink: every mode
+    lands as a distributed executor-side write, result size never
+    touches the driver, and the read-back is lazy.  Measured at bench
+    shape the drain is the same cost as the old snapshot (the write
+    happened either way); at sf30 it is the difference between
+    finishing and hanging.  Snapshot + checkpoint dirs are uuid-named
+    under a pid-scoped root (reaped at import; same /tmp lifecycle as
+    the Derby staging note in operators/sourcesinks.py)."""
     import os
 
     name = f"prs_stream_{uuid.uuid4().hex[:12]}"
-    q = run_to_memory(
-        stream_df, name, output_mode=mode, state_partitions=state_partitions
-    )
     spark = stream_df.sparkSession
     snap = os.path.join(_SNAP_ROOT, name)
-    spark.table(name).write.mode("overwrite").parquet(snap)
+    q = run_to_files(
+        stream_df,
+        snap,
+        output_mode=mode,
+        state_partitions=state_partitions,
+        checkpoint_dir=os.path.join(_SNAP_ROOT, name + "_ckpt"),
+    )
     # the query has terminated (AvailableNow) — stop() releases the
-    # listener bookkeeping, dropTempView drops the sink's catalog entry
-    # (and with it the sink rows held in driver memory)
+    # listener bookkeeping
     q.stop()
-    spark.catalog.dropTempView(name)
-    return spark.read.parquet(snap)
+    return spark.read.schema(stream_df.schema).parquet(snap)
 
 
 @query(
@@ -131,7 +135,7 @@ def _run(
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling-window counts computed by an actual streaming
     job (streaming/windows.tumbling_counts plan: watermark + window
-    aggregate), drained with AvailableNow into a memory sink — the
+    aggregate), drained with AvailableNow into a parquet sink — the
     driver's hash check therefore certifies the STREAMING execution
     path, not a batch twin."""
     ev = read_events_stream(spark, sf_dir)
@@ -304,7 +308,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join must keep both streams forever; with a single
     AvailableNow batch nothing is evicted mid-comparison, so the
     equivalence to the batch join is exact.  In production the same
-    plan runs against Kafka with the memory sink swapped out;
+    plan runs against Kafka with the drain sink swapped out;
     reference has no streaming surface at all (core.py:82-87)."""
     from pandas_redshift_spark.streaming.windows import attribution_join
 

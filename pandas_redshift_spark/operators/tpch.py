@@ -711,7 +711,12 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.5
         * (
             F.sum("value_cents").over(w).cast("double")
-            / F.count("value_cents").over(w)
+            # count(lit(1)) mirrors the oracle's count(*) exactly;
+            # count("value_cents") counts non-nulls, which agrees only
+            # because a sum over non-null money is never NULL here —
+            # a latent divergence if reused over a nullable column
+            # (ADVICE r12)
+            / F.count(F.lit(1)).over(w)
         )
     ).alias("threshold")
     return (

@@ -212,6 +212,111 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+class _scoped_state_confs:
+    """Context manager scoping the two streaming-execution confs
+    (state parallelism + RocksDB provider) to one drain, restoring the
+    session's batch settings on exit — shared by run_to_memory and
+    run_to_files; rationale in run_to_memory's docstring."""
+
+    _PROV_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+    def __init__(self, spark: SparkSession, state_partitions: int | None):
+        self.spark = spark
+        if state_partitions is None:
+            state_partitions = min(spark.sparkContext.defaultParallelism, 64)
+        self.state_partitions = state_partitions
+
+    def __enter__(self):
+        self._before = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self._before_prov = self.spark.conf.get(self._PROV_KEY, None)
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(self.state_partitions)
+        )
+        self.spark.conf.set(self._PROV_KEY, self._ROCKSDB)
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._before)
+        if self._before_prov is None:
+            self.spark.conf.unset(self._PROV_KEY)
+        else:
+            self.spark.conf.set(self._PROV_KEY, self._before_prov)
+        return False
+
+
+def run_to_files(
+    stream_df: DataFrame,
+    out_dir: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Execute a streaming plan against all currently-available input
+    (Trigger.AvailableNow) into a PARQUET DIRECTORY and block until
+    done.  Returns the terminated StreamingQuery; read the result with
+    ``spark.read.schema(stream_df.schema).parquet(out_dir)`` (the
+    explicit schema makes a zero-row drain readable).
+
+    This is the scale-safe drain: the in-memory sink collects every
+    emitted row onto the DRIVER heap per micro-batch — a ``collect()``
+    in disguise that wedged the windowed/stateful executions outright
+    at sf30 (30M events; 9.5M session rows had already squeezed
+    through at sf10 — BENCH_scale_r12.md §3.5, VERDICT r12 item 2).
+    Here every mode lands as a distributed executor-side parquet
+    write, so result size never touches the driver:
+
+    - ``append``: the NATIVE file sink (the only mode it supports) —
+      exactly-once via the sink's ``_spark_metadata`` commit log,
+      which ``spark.read`` consults on read-back so an uncommitted
+      task's orphan files are invisible.
+    - ``complete``: ``foreachBatch`` + ``mode("overwrite")`` — each
+      micro-batch rewrites the full-result-so-far, so the directory
+      ends as the final complete result.  Idempotent under batch
+      replay (a re-run batch overwrites itself).
+    - ``update``: ``foreachBatch`` + ``mode("append")`` — one row per
+      updated key per micro-batch, the same multiset the memory sink
+      exposed (callers reduce to the final row per key downstream).
+      A batch replayed after a sink-side failure would append twice —
+      the epoch-keyed variant (write_foreach_batch_idempotent) is the
+      exactly-once recipe; for an AvailableNow drain into a fresh
+      uuid directory the window for that is the drain itself.
+
+    ``state_partitions`` / RocksDB scoping: same contract as
+    run_to_memory (see its docstring for the measurements)."""
+    import os
+
+    spark = stream_df.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    if checkpoint_dir is None:
+        checkpoint_dir = out_dir.rstrip("/") + "_ckpt"
+    with _scoped_state_confs(spark, state_partitions):
+        if output_mode == "append":
+            writer = (
+                stream_df.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+            )
+        else:
+            batch_mode = "overwrite" if output_mode == "complete" else "append"
+
+            def _sink(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode(batch_mode).parquet(out_dir)
+
+            writer = stream_df.writeStream.foreachBatch(_sink).outputMode(
+                output_mode
+            )
+        q = (
+            writer.option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return q
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
@@ -222,6 +327,10 @@ def run_to_memory(
     (Trigger.AvailableNow) into an in-memory sink and block until done.
     Returns the StreamingQuery (results via spark.sql(select * from
     query_name)).
+
+    SCALE WARNING: the memory sink buffers every emitted row on the
+    driver heap — use it only for bounded-cardinality aggregates and
+    tests; run_to_files is the production drain (VERDICT r12 item 2).
 
     ``state_partitions`` sizes the stateful-operator parallelism: a
     streaming query bakes ``spark.sql.shuffle.partitions`` into its
@@ -249,17 +358,7 @@ def run_to_memory(
     measures equal-or-FASTER at bench shape (sf0.1 session drain
     2.0s vs 2.6s).  Scoped and restored like the partition conf."""
     spark = stream_df.sparkSession
-    if state_partitions is None:
-        state_partitions = min(spark.sparkContext.defaultParallelism, 64)
-    prov_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    )
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    before_prov = spark.conf.get(prov_key, None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    spark.conf.set(prov_key, rocksdb)
-    try:
+    with _scoped_state_confs(spark, state_partitions):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
@@ -268,12 +367,6 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-        if before_prov is None:
-            spark.conf.unset(prov_key)
-        else:
-            spark.conf.set(prov_key, before_prov)
     return q
 
 

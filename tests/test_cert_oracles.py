@@ -1,0 +1,83 @@
+"""Big-SF certification oracles (registry.QuerySpec.cert_oracle,
+VERDICT r12 item 3) must agree with BOTH the primary SQL oracle and
+the Spark result at a small SF where all three are runnable — that
+triangle is what licenses swapping the cert oracle in at sf10+ where
+the primary replay is sandbox-infeasible."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from pandas_redshift_spark.operators import all_queries  # noqa: E402
+from tools.driver_sim import TABLES, canon_hash  # noqa: E402
+
+
+def _cert_specs():
+    return [s for s in all_queries().values() if s.cert_oracle is not None]
+
+
+def test_cert_oracle_coverage():
+    """Exactly the documented big-SF oracle-replay orphans carry a
+    cert oracle (update this list deliberately when adding one)."""
+    assert sorted(s.name for s in _cert_specs()) == [
+        "dedup_cluster_components",
+        "dedup_semantic_ivf",
+        "pipe_dedup_cascade",
+    ]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_semantic_ivf", "pipe_dedup_cascade", "dedup_cluster_components"],
+)
+def test_cert_oracle_triangle(spark, sf_dir, name):
+    spec = all_queries()[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    primary = con.sql(spec.oracle).df()
+    cert_sql = spec.cert_oracle(spark, sf_dir, con)
+    cert = con.sql(cert_sql).df()
+    assert sorted(cert.columns) == sorted(primary.columns) == sorted(sdf.columns)
+    h_spark, h_primary, h_cert = (
+        canon_hash(sdf.copy()),
+        canon_hash(primary.copy()),
+        canon_hash(cert.copy()),
+    )
+    assert h_cert == h_primary, f"{name}: cert oracle != primary oracle"
+    assert h_cert == h_spark, f"{name}: cert oracle != Spark result"
+
+
+def test_semdedup_cert_oracle_sanity_rejects_bad_export(spark, sf_dir, monkeypatch):
+    """The inline training sanity must fail loudly on a corrupted
+    codebook export (a silent pass would certify garbage)."""
+    import pandas_redshift_spark.operators.similarity as sim
+
+    real = sim.train_kmeans_centroid_values
+
+    def corrupt(*a, **kw):
+        cents = [(c, list(v)) for c, v in real(*a, **kw)]
+        cents[0] = (cents[0][0], [x * 2.0 for x in cents[0][1]])  # non-unit
+        return cents
+
+    monkeypatch.setattr(sim, "train_kmeans_centroid_values", corrupt)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    with pytest.raises(AssertionError, match="training sanity"):
+        sim._semdedup_cert_oracle(spark, sf_dir, con)

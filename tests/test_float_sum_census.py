@@ -101,6 +101,38 @@ def test_census_oracle_text_channel(sf_dir):
     assert census_oracle(
         "SELECT round(sum(mystery_alias), 2) FROM t", coltypes
     ), "unknown-alias sum must stay flagged"
+    # ADVICE r12: the cast must be OUTERMOST — a BIGINT cast on one
+    # FACTOR of a float product does not make the sum exact
+    assert census_oracle(
+        "SELECT round(sum(l_extendedprice * CAST(l_linenumber AS BIGINT)), 2) "
+        "FROM lineitem",
+        coltypes,
+    ), "inner-factor cast wrongly exempted (substring-match regression)"
+    # ...while a PRODUCT of outermost casts is an exact integer sum
+    assert (
+        census_oracle(
+            "SELECT round(CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)"
+            " * CAST(round((1-l_discount)*100,0) AS BIGINT)) AS DOUBLE)"
+            " / 10000, 2) FROM lineitem",
+            coltypes,
+        )
+        == []
+    ), "integer-product cents sum flagged"
+    # CASE branches: exact branch -> safe; float branch -> flagged
+    assert (
+        census_oracle(
+            "SELECT round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN "
+            "CAST(round(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) "
+            "AS DOUBLE) / 100, 2) FROM lineitem",
+            coltypes,
+        )
+        == []
+    ), "exact CASE-branch cents sum flagged"
+    assert census_oracle(
+        "SELECT round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice "
+        "ELSE 0 END), 2) FROM lineitem",
+        coltypes,
+    ), "float CASE branch not flagged"
 
 
 def test_census_inventory_exactly_mapped(spark, sf_dir):

@@ -42,6 +42,14 @@ SKIP_SUBSTRS = [s for s in os.environ.get("SIM_SKIP", "").split(",") if s]
 #: representative-subset sweeps, e.g. the local-cluster pytest guard
 ONLY_NAMES = {s for s in os.environ.get("SIM_NAMES", "").split(",") if s}
 
+#: SIM_CERT_ORACLES=1 — certification sweeps at big SF: queries whose
+#: QuerySpec carries a ``cert_oracle`` builder use IT instead of the
+#: primary SQL oracle (the primary replay is sandbox-infeasible at the
+#: rung; the cert oracle pins a certified intermediate and replays the
+#: rest — registry.py QuerySpec.cert_oracle).  Rows print as
+#: ok(cert)/ok(chunked,cert) so cert logs show which gate ran.
+USE_CERT_ORACLES = os.environ.get("SIM_CERT_ORACLES") == "1"
+
 
 #: nonzero = CHUNKED MODE: every oracle-backed query compares via the
 #: multiset digest instead of toPandas + canon_hash.  The chunked
@@ -81,7 +89,24 @@ def _canon_frame(df: pd.DataFrame, int_cols=()) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if c in int_cols and pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].map(lambda v: "%d" % v if pd.notna(v) else "<NA>")
+            # '%d' % float silently rounds at/above 2**53 (float64 has
+            # 53 mantissa bits) — two engines whose exact integers
+            # differ by less than the float quantum would then hash
+            # EQUAL (ADVICE r12).  Fail loudly instead of comparing a
+            # lossy rendering; current cents sums (~1e14 at sf10) are
+            # well under the guard.
+            def _int_render(v):
+                if not pd.notna(v):
+                    return "<NA>"
+                if abs(v) >= 2**53:
+                    raise ValueError(
+                        f"int col {c!r} value {v!r} exceeds float64 exact-"
+                        "integer range (2**53); chunk arrived as float64 so "
+                        "the digest would be precision-unsafe"
+                    )
+                return "%d" % v
+
+            df[c] = df[c].map(_int_render)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6).map(lambda v: "%.6f" % v if pd.notna(v) else "NaN")
         else:
@@ -142,10 +167,24 @@ def spark_chunk_digest(sdf) -> tuple[int, int]:
     return n, h
 
 
+#: worker processes for the oracle-side digest.  The per-chunk
+#: ``row_hash_sum`` is pure Python (canon-format + sha256 per row) and
+#: was the sf10 wall for big pair sets — multimodal_phash_near_dup's
+#: replayed pairs outran a 2 h solo box single-threaded (VERDICT r12
+#:  item 4).  The fold is an embarrassingly parallel multiset sum, so
+#: chunks fan out to a process pool; DuckDB's fetch stays sequential
+#: on the one connection (it is not the bottleneck).  1 = in-process.
+DIGEST_PROCS = int(os.environ.get("SIM_DIGEST_PROCS", "1"))
+
+
 def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
     """Streaming multiset digest of a DuckDB result (fetch_df_chunk —
     never materializes the frame).  Integer columns come from the
-    relation's own result types, mirroring ``spark_chunk_digest``."""
+    relation's own result types, mirroring ``spark_chunk_digest``.
+    With SIM_DIGEST_PROCS>1 the per-chunk hashing runs in a process
+    pool (in-flight bounded to 2x procs so queued chunks can't
+    re-materialize the result in memory); digests sum associatively,
+    so the parallel fold is exactly the sequential one."""
     rel = con.sql(sql)
     int_cols = frozenset(
         c
@@ -153,6 +192,28 @@ def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
         if str(t).upper() in _DUCK_INT_TYPES
     )
     n_tot, h_tot = 0, 0
+    if DIGEST_PROCS > 1:
+        import collections
+        from concurrent.futures import ProcessPoolExecutor
+
+        futs = collections.deque()
+        with ProcessPoolExecutor(DIGEST_PROCS) as ex:
+            def drain_one():
+                nonlocal n_tot, h_tot
+                n, h = futs.popleft().result()
+                n_tot += n
+                h_tot = (h_tot + h) % (1 << 128)
+
+            while True:
+                chunk = rel.fetch_df_chunk(16)
+                if len(chunk) == 0:
+                    break
+                futs.append(ex.submit(row_hash_sum, chunk, int_cols))
+                while len(futs) >= DIGEST_PROCS * 2:
+                    drain_one()
+            while futs:
+                drain_one()
+        return n_tot, h_tot
     while True:
         chunk = rel.fetch_df_chunk(16)
         if len(chunk) == 0:
@@ -202,9 +263,18 @@ def main():
         ERRORs) — so the sweep reconnects after any oracle-side
         failure instead of fate-sharing the whole tail."""
         c = duckdb.connect()
-        c.execute(
-            f"SET memory_limit='{os.environ.get('SIM_DUCK_MEM', '24GB')}'"
-        )
+        # Default cap: min(24GB, 60% of detected RAM) — on a small host
+        # a hardcoded 24GB would be HIGHER than DuckDB's own
+        # 80%-of-RAM default and weaken the OOM protection (ADVICE
+        # r12).  SIM_DUCK_MEM still overrides outright.
+        mem = os.environ.get("SIM_DUCK_MEM")
+        if mem is None:
+            try:
+                pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+                mem = f"{min(24, max(1, int(pages * 0.6 / 2**30)))}GB"
+            except (ValueError, OSError):
+                mem = "24GB"
+        c.execute(f"SET memory_limit='{mem}'")
         spill = os.environ.get("SIM_DUCK_SPILL", "/tmp/duckdb_spill")
         os.makedirs(spill, exist_ok=True)
         c.execute(f"SET temp_directory='{spill}'")
@@ -248,9 +318,24 @@ def main():
             print(f"SKIPPED(single-jvm waiver) {name}: {waiver}")
             continue
         t0 = time.perf_counter()
+        # resolve the oracle SQL up front: cert-oracle builders may
+        # run Spark jobs + register DuckDB temp tables (their own
+        # failures report as the oracle side, not the Spark side)
+        osql = oracles.get(name)
+        cert_tag = ""
+        if USE_CERT_ORACLES and spec is not None and getattr(spec, "cert_oracle", None):
+            try:
+                osql = spec.cert_oracle(spark, SF_DIR, con)
+                cert_tag = ",cert"
+            except Exception as exc:
+                print(
+                    f"ERROR {name} (cert-oracle build): {type(exc).__name__}: {str(exc)[:200]}"
+                )
+                failures.append(name)
+                continue
         try:
             frame = fn(spark, SF_DIR)
-            if CHUNK_THRESHOLD and name in oracles:
+            if CHUNK_THRESHOLD and osql is not None:
                 # chunked multiset-digest compare: nothing
                 # result-sized ever reaches the driver on either side,
                 # and each side executes exactly once (the old
@@ -258,8 +343,8 @@ def main():
                 # — ADVICE r11)
                 sn, sh = spark_chunk_digest(frame)
                 try:
-                    ocols = sorted(con.sql(oracles[name]).columns)
-                    on, oh = duck_chunk_digest(con, oracles[name])
+                    ocols = sorted(con.sql(osql).columns)
+                    on, oh = duck_chunk_digest(con, osql)
                 except Exception as exc:
                     print(
                         f"ERROR {name} (oracle): {type(exc).__name__}: {str(exc)[:200]}"
@@ -283,7 +368,7 @@ def main():
                     print(f"MISMATCH {name}: {'; '.join(probs)}")
                     failures.append(name)
                 else:
-                    print(f"ok(chunked) {name}: {sn} rows [{dt:.1f}s]")
+                    print(f"ok(chunked{cert_tag}) {name}: {sn} rows [{dt:.1f}s]")
                 continue
             sdf = frame.toPandas()
         except Exception as exc:
@@ -291,11 +376,11 @@ def main():
             failures.append(name)
             continue
         dt = time.perf_counter() - t0
-        if name not in oracles:
+        if osql is None:
             print(f"ok(rows-only) {name}: {len(sdf)} rows [{dt:.1f}s]")
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            odf = con.sql(osql).df()
         except Exception as exc:
             print(f"ERROR {name} (oracle): {type(exc).__name__}: {str(exc)[:200]}")
             failures.append(name)
@@ -328,7 +413,7 @@ def main():
             # with the width schedule (ADVICE r8).  When a registered
             # exact twin shares this oracle, say where to look.
             twin = f"{name}_exact"
-            if twin in qs and oracles.get(twin) == oracles[name]:
+            if twin in qs and oracles.get(twin) == osql:
                 print(
                     f"  hint: {name} is probabilistic; its oracle is exact."
                     f" Run SIM_ONLY={twin} — if the twin is green, this is"
@@ -336,7 +421,8 @@ def main():
                 )
             failures.append(name)
         else:
-            print(f"ok {name}: {len(sdf)} rows [{dt:.1f}s]")
+            tag = f"(cert)" if cert_tag else ""
+            print(f"ok{tag} {name}: {len(sdf)} rows [{dt:.1f}s]")
     print("FAILURES:", ", ".join(failures) if failures else "none")
 
 

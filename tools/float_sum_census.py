@@ -237,19 +237,164 @@ _SQL_KEYWORDS = {
 }
 
 
+_TRAILING_PG_CAST_RE = re.compile(
+    r"^(?:[a-zA-Z_][\w.]*|\([^()]*\)|[a-zA-Z_]\w*\s*\(.*\))\s*::\s*(BIGINT|HUGEINT)\s*$",
+    re.I | re.S,
+)
+
+
+def _outermost_exact_cast(arg: str) -> bool:
+    """True only when the integer cast is the OUTERMOST expression of
+    the whole agg argument.  A substring test wrongly exempted e.g.
+    ``sum(l_extendedprice * CAST(flag AS BIGINT))`` — the cast is on a
+    factor, the sum is still float (ADVICE r12).  Accepted shapes:
+    ``CAST(<anything balanced> AS BIGINT|HUGEINT)`` spanning the full
+    arg, or a single postfix ``<ident|call|(paren)>::BIGINT`` with no
+    trailing arithmetic."""
+    s = arg.strip()
+    m = re.match(r"CAST\s*\(", s, re.I)
+    if m:
+        depth = 0
+        for i in range(m.end() - 1, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    if s[i + 1:].strip():
+                        return False  # CAST(...) <op> more — not outermost
+                    inner = s[m.end():i].strip()
+                    return bool(
+                        re.search(r"\bAS\s+(BIGINT|HUGEINT)$", inner, re.I)
+                    )
+        return False
+    return bool(_TRAILING_PG_CAST_RE.match(s))
+
+
+def _split_top(s: str, seps: frozenset) -> list:
+    """Split ``s`` on any of ``seps`` occurring at paren depth 0 and
+    outside single-quoted string literals."""
+    parts, cur, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif depth == 0 and ch in seps:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_CASE_KW_RE = re.compile(r"\b(WHEN|THEN|ELSE|END)\b", re.I)
+#: integer-preserving n-ary functions: exact args -> exact result
+_EXACT_FNS_RE = re.compile(
+    r"(COALESCE|IFNULL|GREATEST|LEAST|ABS|NULLIF|IF)\s*\(", re.I
+)
+
+
+def _case_branches(s: str) -> list | None:
+    """THEN/ELSE branch expressions of a top-level CASE ... END, or
+    None if the text doesn't parse as one (conditions are irrelevant
+    to sum exactness — only emitted values feed the aggregate)."""
+    body = s.strip()[4:]  # past CASE
+    branches, depth, pos, collecting, start = [], 0, 0, False, 0
+    in_str = False
+    for m in _CASE_KW_RE.finditer(body):
+        seg = body[pos:m.start()]
+        for ch in seg:
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        pos = m.start()
+        if depth or in_str:
+            continue
+        kw = m.group(1).upper()
+        if collecting:
+            branches.append(body[start:m.start()])
+            collecting = False
+        if kw in ("THEN", "ELSE"):
+            collecting = True
+            start = m.end()
+        elif kw == "END":
+            return branches if body[m.end():].strip() == "" else None
+    return None
+
+
 def _agg_arg_safe(
     arg: str, coltypes: dict[str, str], safe_idents: set[str] = frozenset()
 ) -> bool:
-    """True when a sum/avg ARGUMENT provably cannot be a float sum:
-    it carries the exactsum integer-cents cast, or it references only
-    integer base columns / known-safe aliases with no float literal
-    and no division."""
-    up = arg.upper()
-    if "AS BIGINT" in up or "AS HUGEINT" in up or "::BIGINT" in up:
-        return True
-    if "/" in arg or _FLOAT_LIT_RE.search(arg):
+    """True when a sum/avg ARGUMENT provably cannot be a float sum.
+
+    COMPOSITIONAL (ADVICE r12): the old substring test ('AS BIGINT'
+    anywhere) wrongly exempted ``sum(l_extendedprice * CAST(flag AS
+    BIGINT))``; the fix is structural recursion — an expression is
+    exact iff it is an outermost integer cast, an integer literal, an
+    integer column / known-safe alias, a parenthesized exact
+    expression, a +/-/* composition of exact parts (integer ring ops;
+    any top-level / is immediately unsafe), a CASE whose THEN/ELSE
+    branches are all exact, or an integer-preserving function
+    (coalesce/greatest/...) of exact arguments.  Anything
+    unrecognized falls back to the strict ident-typing analysis."""
+    s = arg.strip()
+    if not s:
         return False
-    idents = [w.lower() for w in _IDENT_RE.findall(arg)]
+    if len(_split_top(s, frozenset("/"))) > 1:
+        return False
+    if _outermost_exact_cast(s):
+        return True
+    if s.startswith("(") and s.endswith(")") and _parens_ok(s[1:-1]):
+        return _agg_arg_safe(s[1:-1], coltypes, safe_idents)
+    if re.fullmatch(r"\d+", s):
+        return True
+    if re.fullmatch(r"[a-zA-Z_][\w.]*", s):
+        last = s.rsplit(".", 1)[-1].lower()
+        return last in safe_idents or coltypes.get(last) in _INT_TYPES
+    up = s.upper()
+    # CASE before the arithmetic split: a CASE body is NOT
+    # parenthesized, so splitting on its internal +/-/* would shred it
+    if up.startswith("CASE") and up.endswith("END"):
+        branches = _case_branches(s)
+        if branches is not None:
+            return bool(branches) and all(
+                _agg_arg_safe(b, coltypes, safe_idents) for b in branches
+            )
+    m = _EXACT_FNS_RE.match(s)
+    if m and s.endswith(")") and _parens_ok(s[m.end():-1]):
+        inner = s[m.end():-1]
+        args = _split_top(inner, frozenset(","))
+        # IF's first arg is a condition (ignored like CASE WHEN);
+        # NULLIF's second arg only gates nullness
+        if m.group(1).upper() == "IF":
+            args = args[1:]
+        elif m.group(1).upper() == "NULLIF":
+            args = args[:1]
+        return bool(args) and all(
+            _agg_arg_safe(a, coltypes, safe_idents) for a in args
+        )
+    parts = [p for p in _split_top(s, frozenset("+-*")) if p.strip()]
+    if len(parts) > 1:
+        return all(_agg_arg_safe(p, coltypes, safe_idents) for p in parts)
+    # fallback: strict ident-typing analysis
+    if _FLOAT_LIT_RE.search(s):
+        return False
+    idents = [w.lower() for w in _IDENT_RE.findall(s)]
     cols = [w for w in idents if w in coltypes]
     known_safe = [w for w in idents if w in safe_idents]
     unknown = [
@@ -261,6 +406,23 @@ def _agg_arg_safe(
     return bool(cols or known_safe) and all(
         coltypes[w] in _INT_TYPES for w in cols
     )
+
+
+def _parens_ok(s: str) -> bool:
+    depth = 0
+    in_str = False
+    for ch in s:
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 
 
 _AGG_OPEN_RE = re.compile(r"\b(sum|avg)\s*\(", re.I)
