@@ -347,3 +347,45 @@ def test_attribution_join_accepts_compound_horizon(spark, sf_dir, events_stream)
 
     df = attribution_join(events_stream, "1 hour 30 minutes")
     assert df.schema["purchase_value"].dataType.typeName() in ("double", "decimal")
+
+
+def test_run_to_files_modes_match_memory_sink(spark, sf_dir, events_stream, tmp_path):
+    """run_to_files (the scale-safe drain, VERDICT r12 item 2) must
+    produce exactly the memory sink's multiset in every output mode:
+    append (native file sink), complete (foreachBatch overwrite), and
+    update (foreachBatch append)."""
+    from pandas_redshift_spark.streaming.stateful import user_running_totals
+    from pandas_redshift_spark.streaming.windows import run_to_files
+
+    cases = [
+        ("append", stream_dedup(events_stream), "f_append"),
+        ("complete", session_aggregate(events_stream), "f_complete"),
+        ("update", user_running_totals(events_stream), "f_update"),
+    ]
+    for mode, plan, name in cases:
+        out = str(tmp_path / name)
+        q = run_to_files(plan, out, output_mode=mode)
+        q.stop()
+        filed = spark.read.schema(plan.schema).parquet(out)
+        run_to_memory(plan, name + "_mem", output_mode=mode)
+        mem = spark.sql(f"SELECT * FROM {name}_mem")
+        assert sorted(filed.columns) == sorted(mem.columns), mode
+        a = sorted(map(str, filed.collect()))
+        b = sorted(map(str, mem.collect()))
+        assert a == b, f"{mode}: file drain != memory sink ({len(a)} vs {len(b)} rows)"
+        spark.catalog.dropTempView(name + "_mem")
+
+
+def test_run_to_files_zero_row_drain_readable(spark, events_stream, tmp_path):
+    """A drain that emits nothing must still read back as an empty
+    frame with the right schema (the read uses the stream's schema
+    explicitly — an empty directory has nothing to infer from)."""
+    from pandas_redshift_spark.streaming.windows import run_to_files
+
+    none = stream_dedup(events_stream).filter(F.lit(False))
+    out = str(tmp_path / "f_empty")
+    q = run_to_files(none, out, output_mode="append")
+    q.stop()
+    got = spark.read.schema(none.schema).parquet(out)
+    assert got.count() == 0
+    assert got.schema == none.schema
