@@ -1429,6 +1429,60 @@ def _super_ctes(iters: int = KMEANS_ITERS) -> str:
     return ",\n    ".join(parts)
 
 
+def _super_train_ctes(iters: int = KMEANS_ITERS) -> str:
+    """Just the super-codebook training + child->super map portion of
+    :func:`_super_ctes` (skk, sup0..sup{iters}, c2s) — for callers that
+    pair it with the SKINNY assignment below.  Emitted text for these
+    CTEs is pinned identical to the ones inside :func:`_super_ctes` by
+    tests/test_cert_oracles.py, so the two can't drift."""
+    full = _super_ctes(iters)
+    marker = ",\n    v2s AS MATERIALIZED"
+    return full[: full.index(marker)]
+
+
+def _skinny_assign_ctes(sup_cte: str) -> str:
+    """Two-level assignment emitting ``assigned(vec_id, cell)`` with
+    SPILL-SAFE windows: :func:`_super_ctes`' assignment computes the
+    dot product inside the window ORDER BY, so the window's sort input
+    carries BOTH 64-double list columns on every candidate row — at
+    sf30 that is 42M x ~1KB ~ 42 GB of sort payload and the r13 leg
+    exhausted the 71 GB spill volume (cert_sf30_ivf_cc_r13.log: 'No
+    space left on device').  Here each score set is projected to
+    (vec_id, id, ip) — 24 B/row — in a MATERIALIZED CTE before the
+    window, so the sort payload shrinks 40x and stays in memory.
+    Same floats, same strict-desc/smallest-id tie-break: results are
+    bit-identical to the fat form (pinned at sf0.001 by the cert
+    triangle test)."""
+    return f"""sup_scores AS MATERIALIZED (
+        SELECT e.vec_id, s.sup, list_inner_product(e.en, s.s_en) AS ip
+        FROM e CROSS JOIN {sup_cte} s
+        WHERE s.sup IN (SELECT DISTINCT sup FROM c2s)
+    ),
+    v2s AS MATERIALIZED (
+        SELECT vec_id, sup FROM (
+            SELECT vec_id, sup, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ip DESC, sup
+            ) AS rn
+            FROM sup_scores
+        ) WHERE rn = 1
+    ),
+    cell_scores AS MATERIALIZED (
+        SELECT v.vec_id, m.cell, list_inner_product(ev.en, c.c_en) AS ip
+        FROM v2s v
+        JOIN e ev ON ev.vec_id = v.vec_id
+        JOIN c2s m ON m.sup = v.sup
+        JOIN cents c ON c.cell = m.cell
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ip DESC, cell
+            ) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    )"""
+
+
 #: DuckDB twin of sim_ivf_topk: trained k-means centroids, nearest-1
 #: cell assignment for the corpus, nearest-4 probes for the queries,
 #: exact re-score in probed cells, top-5 — all deterministic (ties
@@ -2178,7 +2232,8 @@ def _semdedup_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
     cents AS MATERIALIZED (
         SELECT cell, CAST(c_en AS DOUBLE[]) AS c_en FROM cert_semdedup_cents
     ),
-    {_super_ctes()},
+    {_super_train_ctes()},
+    {_skinny_assign_ctes(f"sup{KMEANS_ITERS}")},
     m AS (
         SELECT a.vec_id, a.cell, e.en
         FROM assigned a JOIN e ON a.vec_id = e.vec_id

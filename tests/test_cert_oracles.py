@@ -81,3 +81,16 @@ def test_semdedup_cert_oracle_sanity_rejects_bad_export(spark, sf_dir, monkeypat
         )
     with pytest.raises(AssertionError, match="training sanity"):
         sim._semdedup_cert_oracle(spark, sf_dir, con)
+
+
+def test_super_train_ctes_is_prefix_of_full():
+    """_super_train_ctes must stay byte-identical to the training
+    portion of _super_ctes (the cert oracle pairs it with the skinny
+    assignment; a drift here would silently fork the replayed super
+    codebook)."""
+    from pandas_redshift_spark.operators.similarity import (
+        _super_ctes,
+        _super_train_ctes,
+    )
+
+    assert _super_ctes().startswith(_super_train_ctes())
