@@ -862,29 +862,36 @@ def _cascade_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
         .toPandas()
     )
     con.register("cert_cascade_comp", comp_pd)
+    # Every mark CTE is MATERIALIZED: r1/near/r2 are referenced from
+    # r2/r3 AND the cnt scalar subqueries, and an un-materialized CTE
+    # inlines per reference — the whole shingle/inter pipeline would
+    # re-execute ~4x, which is exactly how the r13 sf10 leg overran a
+    # 60 GB memory budget + 71 GB of spill while the single-execution
+    # jaccard query certs in ~416 s (cert_sf10_cascade_r13.log vs
+    # cert_sf10_r11.log).
     return f"""
     WITH {jaccard_pairs_cte_sql(0.2)},
     comp AS (SELECT node, component_id FROM cert_cascade_comp),
-    r1 AS (
+    r1 AS MATERIALIZED (
         SELECT doc_id FROM (
             SELECT doc_id,
                    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
             FROM documents
         ) WHERE rn > 1
     ),
-    near AS (
+    near AS MATERIALIZED (
         SELECT DISTINCT i.doc_b AS doc_id
         FROM inter i
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
     ),
-    r2 AS (
+    r2 AS MATERIALIZED (
         SELECT doc_id FROM near
         WHERE doc_id NOT IN (SELECT doc_id FROM r1)
     ),
     clus AS (SELECT node AS doc_id FROM comp WHERE node <> component_id),
-    r3 AS (
+    r3 AS MATERIALIZED (
         SELECT doc_id FROM clus
         WHERE doc_id NOT IN (SELECT doc_id FROM r1 UNION SELECT doc_id FROM r2)
     ),
