@@ -66,7 +66,15 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: registered name, so a stale entry fails the suite).
 #: r13: CORRECTNESS_r12 re-verified tpch_q11 hash-green (its exactsum
 #: conversion was the lone r12 entry), draining the r12 set per the
-#: contract.  No r13 result-changing edits so far.
+#: contract.  The four r13 entries are the EXACT-DECIMAL conversions:
+#: a NEW boundary found live at sf30 (join_star_broadcast one-ulp
+#: divergence) — once a group's revenue exceeds ~2.2e11 dollars,
+#: double ulp (6.1e-5) exceeds half the 4dp quantum and round(x,4)
+#: of the SAME exact integer sum lands on different neighbors per
+#: engine.  These four sites aggregate unbounded fractions of the
+#: fact table into few groups, so they cross the boundary on the
+#: certification ladder; revenue now emits as exact DECIMAL(38,4)
+#: (oracle: exact div/mod VARCHAR — see exactsum.revenue_sum_exact).
 #: name -> round in which the result-changing edit was made.  The
 #: round number makes staleness MECHANICAL
 #: (tests/test_oracle_parity.py::test_reverify_drained): as soon as a
@@ -81,7 +89,12 @@ def _driver_verified() -> tuple[set[str], set[str]]:
 #: current round's driver sweep has already produced its
 #: CORRECTNESS_r{R}.json must be tagged R+1, not R — tag with the
 #: first round whose sweep can possibly see the new output.
-REVERIFY_ADDED: dict[str, int] = {}
+REVERIFY_ADDED: dict[str, int] = {
+    "join_star_broadcast": 13,
+    "join_inner": 13,
+    "tpch_q5_local_supplier_volume": 13,
+    "sink_zorder_layout": 13,
+}
 
 REVERIFY_NAMES: set[str] = set(REVERIFY_ADDED)
 

@@ -14,6 +14,8 @@ from pandas_redshift_spark.operators.exactsum import (
     money_cents,
     money_cents_sql,
     revenue_sum,
+    revenue_sum_exact,
+    revenue_sum_exact_sql,
     revenue_sum_sql,
 )
 from pandas_redshift_spark.operators.registry import query
@@ -325,7 +327,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
         n.n_name,
-        {revenue_sum_sql("l.")} AS revenue
+        {revenue_sum_exact_sql("l.")} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -366,7 +368,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(revenue_sum().alias("revenue"))
+        # r13: per-nation groups over the region fact share reach the
+        # double 4dp boundary by ~sf60 (2.6e11 dollars at sf30) -- exact
+        # DECIMAL(38,4) emission (exactsum.revenue_sum_exact)
+        .agg(revenue_sum_exact().alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 

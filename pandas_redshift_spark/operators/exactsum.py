@@ -26,6 +26,22 @@ codegen'd multiplies per row, no extra shuffle or pass.
 DuckDB mirrors the formula with BIGINT casts (its BIGINT sum
 accumulates in HUGEINT, also exact), so both engines divide the SAME
 integer and round the SAME double.
+
+r13 SECOND boundary (found live at sf30): "divide the one exact total
+and round" stops being engine-portable once the GROUP TOTAL exceeds
+the double's dp-representable range — ulp(x) > 10^-dp/2, i.e.
+|x| > 2^52 * 10^-dp (~4.5e11 dollars at 4dp; ~4.5e13 at 2dp).  Past
+it the on-grid value falls BETWEEN representable doubles and the two
+engines' round() implementations land on different neighbors even
+though the integer sums are bit-identical (join_star_broadcast at
+sf30: S = 4,428,837,058,410,300 in BOTH engines; Spark emitted
+442883705841.03, DuckDB .0301 — one ulp apart, both defensible).
+Sites whose groups aggregate unbounded fractions of the fact table
+therefore emit :func:`revenue_sum_exact` (DECIMAL(38,4)) instead;
+bounded-entity groups (per-order, per-supplier, per-partkey) stay on
+the rounded-double form, whose magnitude scales with entity size,
+not corpus size.  tests/test_exact_decimal.py pins the divergence as
+real and the decimal/varchar renderings as identical.
 """
 
 from __future__ import annotations
@@ -65,6 +81,47 @@ def revenue_sum_sql(qual: str = "", dp: int = 4) -> str:
     return (
         f"round(CAST(sum({revenue_scaled_sql(qual)})"
         f" AS DOUBLE) / 10000, {dp})"
+    )
+
+
+def revenue_sum_exact() -> Column:
+    """Exact revenue as DECIMAL(38,4) — the emission form for groups
+    whose magnitude can exceed the DOUBLE 4dp-representable range.
+
+    r13 boundary (found live at sf30, join_star_broadcast): once a
+    group's revenue exceeds ~2.2e11 dollars, ulp(double) at that
+    magnitude (2^-14 = 6.1e-5) exceeds HALF the 4dp quantum — the
+    true 1e-4-grid value falls BETWEEN representable doubles, and
+    ``round(x, 4)`` of the same exact sum diverges between engines
+    (Spark's BigDecimal HALF_UP on the double's decimal expansion
+    picked ...0.0300 where DuckDB's scale-multiply recovered
+    ...0.0301 — one ulp apart, both defensible).  No rounding
+    discipline fixes a representation gap; money at warehouse scale
+    is DECIMAL, which is also what the reference's Redshift tables
+    use (core.py pd_dtype map notwithstanding, TPC-H money is
+    DECIMAL(15,2) canonically).  The integer sum divided into
+    DECIMAL(38,4) is exact at any magnitude a LONG can hold.
+
+    Oracle twin: :func:`revenue_sum_exact_sql` renders the SAME
+    integer as a VARCHAR via div/mod + lpad (DuckDB's pandas bridge
+    degrades DECIMAL back to float64, so the decimal itself can't
+    cross); Spark's Decimal reaches pandas as ``decimal.Decimal``
+    whose ``str()`` is the identical fixed-4dp string — pinned by
+    tests/test_exact_decimal.py at and beyond the boundary value."""
+    return (
+        (F.sum(revenue_scaled()).cast("decimal(38,0)") / F.lit(10000))
+        .cast("decimal(38,4)")
+    )
+
+
+def revenue_sum_exact_sql(qual: str = "") -> str:
+    """DuckDB twin of :func:`revenue_sum_exact`: exact fixed-4dp
+    VARCHAR rendering of the integer sum (div/mod — no decimal
+    division semantics, no doubles anywhere)."""
+    s = f"sum({revenue_scaled_sql(qual)})"
+    return (
+        f"CAST({s} // 10000 AS VARCHAR) || '.' || "
+        f"lpad(CAST({s} % 10000 AS VARCHAR), 4, '0')"
     )
 
 

@@ -12,7 +12,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
-from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
+from pandas_redshift_spark.operators.exactsum import (
+    revenue_sum,
+    revenue_sum_exact,
+    revenue_sum_exact_sql,
+    revenue_sum_sql,
+)
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -21,7 +26,7 @@ from pandas_redshift_spark.session import Tables
     "join_inner",
     oracle=f"""
     SELECT o.o_orderpriority,
-           {revenue_sum_sql("l.")} AS revenue,
+           {revenue_sum_exact_sql("l.")} AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -43,7 +48,10 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return joined.groupBy("o_orderpriority").agg(
-        revenue_sum().alias("revenue"),
+        # r13: 5 priority groups over the whole fact table cross the
+        # double 4dp boundary (~6.5e11 dollars/group at sf30) — exact
+        # DECIMAL(38,4) emission (exactsum.revenue_sum_exact)
+        revenue_sum_exact().alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -182,7 +190,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_broadcast",
     oracle=f"""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           {revenue_sum_sql("l.")} AS revenue
+           {revenue_sum_exact_sql("l.")} AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -214,7 +222,10 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(revenue_sum().alias("revenue"))
+        # r13: region x nation groups over the whole fact table hit the
+        # double 4dp boundary AT sf30 (4.4e11 dollars: one-ulp engine
+        # divergence, cert_sf30_broad_r13.log) — exact DECIMAL(38,4)
+        .agg(revenue_sum_exact().alias("revenue"))
     )
 
 

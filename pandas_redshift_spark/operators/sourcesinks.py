@@ -25,7 +25,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from pandas_redshift_spark.operators.exactsum import revenue_sum, revenue_sum_sql
+from pandas_redshift_spark.operators.exactsum import (
+    revenue_sum_exact,
+    revenue_sum_exact_sql,
+)
 from pandas_redshift_spark.operators.registry import query
 from pandas_redshift_spark.session import Tables
 
@@ -580,7 +583,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_zorder_layout",
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_items,
-           {revenue_sum_sql()} AS revenue
+           {revenue_sum_exact_sql()} AS revenue
     FROM lineitem
     WHERE l_partkey BETWEEN 100 AND 300
       AND l_suppkey BETWEEN 10 AND 40
@@ -615,7 +618,9 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 40)
     ).agg(
         F.count(F.lit(1)).alias("n_items"),
-        revenue_sum().alias("revenue"),
+        # r13: the pruned range revenue crosses the double 4dp
+        # boundary by ~sf100 -- exact DECIMAL(38,4) emission
+        revenue_sum_exact().alias("revenue"),
     )
 
 

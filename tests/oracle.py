@@ -29,10 +29,22 @@ def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     out = pdf.copy()
     out = out[sorted(out.columns)]
     for c in out.columns:
         s = out[c]
+        # Spark DECIMAL arrives as decimal.Decimal objects while the
+        # oracle twin renders the same exact value as VARCHAR (DuckDB's
+        # pandas bridge degrades DECIMAL to float64, so the exact form
+        # must cross as a string — exactsum.revenue_sum_exact, r13);
+        # compare both as their fixed-scale string forms.
+        if s.dtype == object and s.map(
+            lambda v: isinstance(v, decimal.Decimal) or pd.isna(v)
+        ).all() and not s.isna().all():
+            out[c] = s.map(lambda v: str(v) if pd.notna(v) else v)
+            s = out[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):

@@ -1,0 +1,102 @@
+"""The r13 exact-decimal money emission (exactsum.revenue_sum_exact):
+beyond ~2.2e11 dollars, double ulp exceeds half the 4dp quantum and
+``round(sum, 4)`` of the SAME exact integer diverges between engines
+(found live: join_star_broadcast at sf30, one ulp apart).  The fix
+emits Spark DECIMAL(38,4) against an oracle-side exact div/mod
+VARCHAR; these tests pin the two renderings byte-identical across the
+boundary and the four converted queries hash-equal end to end."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+CONVERTED = [
+    "join_star_broadcast",
+    "join_inner",
+    "tpch_q5_local_supplier_volume",
+    "sink_zorder_layout",
+]
+
+#: scaled integers (cents x percent, the 1e-4 grid) spanning: the
+#: live sf30 divergence value, grid edges, a value just past 2^53
+#: (double can no longer hold the integer), and near-LONG-max
+BOUNDARY_VALUES = [
+    4428837058410300,  # the sf30 join_star_broadcast group (true S)
+    0,
+    1,
+    9999,
+    10000,
+    123450000,
+    2**53 - 1,
+    2**53 + 1,
+    922337203685477580,
+]
+
+
+def test_decimal_and_varchar_renderings_identical(spark):
+    sdf = spark.createDataFrame(
+        [(v,) for v in BOUNDARY_VALUES], "s long"
+    ).select(
+        "s",
+        (F.col("s").cast("decimal(38,0)") / F.lit(10000))
+        .cast("decimal(38,4)")
+        .alias("d"),
+    ).toPandas()
+    con = duckdb.connect()
+    odf = con.sql(
+        "SELECT s, CAST(s // 10000 AS VARCHAR) || '.' || "
+        "lpad(CAST(s % 10000 AS VARCHAR), 4, '0') AS d "
+        f"FROM (SELECT unnest({BOUNDARY_VALUES}::BIGINT[]) AS s)"
+    ).df()
+    got = dict(zip(sdf["s"], sdf["d"].map(str)))
+    want = dict(zip(odf["s"], odf["d"]))
+    assert got == want
+
+
+def test_double_round_actually_diverges_at_boundary(spark):
+    """The bug this guards against must be REAL: at the live sf30
+    value, the old double emission disagrees with the exact decimal
+    in at least one engine (if this ever starts passing as equal in
+    both, the conversion was unnecessary and should be revisited)."""
+    # the TRUE sf30 integer sum (both engines agree on it bit for
+    # bit — verified live): the grid value 442883705841.0300 falls
+    # between representable doubles, and the two engines' round()
+    # implementations land on DIFFERENT neighbors (Spark .03,
+    # DuckDB .0301 — one ulp apart)
+    s = 4428837058410300
+    exact = "442883705841.0300"
+    # through a real row so Catalyst can't constant-fold the round()
+    # into exact BigDecimal literal math (folding masks the runtime
+    # double path that actually diverged at sf30)
+    spark_round = (
+        spark.createDataFrame([(s,)], "s long")
+        .select(F.round(F.col("s").cast("double") / 10000, 4).alias("x"))
+        .collect()[0]["x"]
+    )
+    duck_round = duckdb.sql(
+        "SELECT round(CAST(s AS DOUBLE) / 10000, 4) AS x FROM "
+        f"(SELECT {s}::BIGINT AS s)"
+    ).fetchone()[0]
+    assert f"{spark_round:.4f}" != exact or f"{duck_round:.4f}" != exact or (
+        spark_round != duck_round
+    )
+
+
+@pytest.mark.parametrize("name", CONVERTED)
+def test_converted_queries_hash_green(spark, sf_dir, name):
+    from pandas_redshift_spark.operators import all_queries
+    from tools.driver_sim import TABLES, canon_hash
+
+    spec = all_queries()[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    odf = con.sql(spec.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert canon_hash(sdf.copy()) == canon_hash(odf.copy()), name
