@@ -25,6 +25,28 @@ sys.path.insert(0, _REPO)
 from pandas_redshift_spark.operators import all_queries  # noqa: E402
 
 
+def _green_rounds() -> dict[str, set[int]]:
+    """name -> rounds whose CORRECTNESS_r*.json row was hash-green."""
+    import re
+
+    green: dict[str, set[int]] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.setdefault(name, set()).add(int(m.group(1)))
+    return green
+
+
 def _driver_verified() -> tuple[set[str], set[str]]:
     """(hash_verified, rows_only) names from all prior driver rounds.
 
@@ -56,47 +78,48 @@ def _driver_verified() -> tuple[set[str], set[str]]:
     return verified, rows_only
 
 
-#: Queries whose RESULTS change in the CURRENT round: their prior
-#: green CORRECTNESS rows certify the OLD output, so they outrank
+#: Queries whose RESULTS changed in some round: their pre-edit green
+#: CORRECTNESS rows certify the OLD output, so they outrank
 #: untouched-verified entries (but rank after never-checked ones) for
-#: driver re-checking.  PER-ROUND CONTRACT: derive this set fresh each
-#: round from the round's diff and EMPTY it once the driver re-verifies
-#: (tests/test_oracle_parity.py pins the pending <= reverify <=
-#: rows-only <= verified tier order and that every member is a live
-#: registered name, so a stale entry fails the suite).
-#: r13: CORRECTNESS_r12 re-verified tpch_q11 hash-green (its exactsum
-#: conversion was the lone r12 entry), draining the r12 set per the
-#: contract.  The four r13 entries are the EXACT-DECIMAL conversions:
-#: a NEW boundary found live at sf30 (join_star_broadcast one-ulp
-#: divergence) — once a group's revenue exceeds ~2.2e11 dollars,
-#: double ulp (6.1e-5) exceeds half the 4dp quantum and round(x,4)
-#: of the SAME exact integer sum lands on different neighbors per
-#: engine.  These four sites aggregate unbounded fractions of the
-#: fact table into few groups, so they cross the boundary on the
-#: certification ladder; revenue now emits as exact DECIMAL(38,4)
-#: (oracle: exact div/mod VARCHAR — see exactsum.revenue_sum_exact).
-#: name -> round in which the result-changing edit was made.  The
-#: round number makes staleness MECHANICAL
-#: (tests/test_oracle_parity.py::test_reverify_drained): as soon as a
-#: CORRECTNESS_r{M}.json with M >= the recorded round shows the name
-#: hash-green, the driver has re-verified the NEW output and the entry
-#: must be dropped — the suite fails until it is, so draining no
-#: longer needs a verdict to catch (VERDICT r11 item 3).
-#: GRANULARITY CAVEAT (ADVICE r12): the marker is a round number, so a
-#: green row recorded in round R BEFORE an edit made later in the same
-#: round R is indistinguishable from a post-edit re-verification.
-#: Contract addendum: a result-changing edit that lands AFTER the
-#: current round's driver sweep has already produced its
-#: CORRECTNESS_r{R}.json must be tagged R+1, not R — tag with the
-#: first round whose sweep can possibly see the new output.
+#: driver re-checking.  ``name -> round in which the result-changing
+#: edit was made``.  SELF-DRAINING (VERDICT r13 item 1): entries are
+#: never deleted by hand — :func:`_active_reverify` drops a name from
+#: the re-check tier as soon as any CORRECTNESS_r{M}.json with
+#: M >= the recorded round shows it hash-green (the driver has then
+#: re-verified the NEW output).  Satisfied entries stay here as the
+#: historical ledger; only the ACTIVE subset affects ordering, so the
+#: suite stays green when a driver file lands mid-cycle.
+#: GRANULARITY (ADVICE r12): the marker is a round number, so a
+#: result-changing edit that lands AFTER the current round's driver
+#: sweep already produced its CORRECTNESS_r{R}.json must be tagged
+#: R+1 — the first round whose sweep can possibly see the new output.
+#: Ledger: r12 = tpch_q11 exactsum conversion (drained by r12 sweep);
+#: r13 = the four EXACT-DECIMAL conversions after the sf30 one-ulp
+#: 4dp-double boundary find (all four drained by the r13 sweep —
+#: revenue emits DECIMAL(38,4) via exactsum.revenue_sum_exact).
 REVERIFY_ADDED: dict[str, int] = {
+    "tpch_q11_important_stock": 12,
     "join_star_broadcast": 13,
     "join_inner": 13,
     "tpch_q5_local_supplier_volume": 13,
     "sink_zorder_layout": 13,
 }
 
-REVERIFY_NAMES: set[str] = set(REVERIFY_ADDED)
+
+def _active_reverify() -> set[str]:
+    """REVERIFY_ADDED entries NOT yet re-verified post-edit.
+
+    A name drains mechanically once a CORRECTNESS_r{M}.json with
+    M >= its recorded edit round shows hash_match true — no manual
+    deletion, so ``pytest`` cannot go red from bookkeeping when the
+    driver lands a new CORRECTNESS file mid-cycle.
+    """
+    green = _green_rounds()
+    return {
+        name
+        for name, added in REVERIFY_ADDED.items()
+        if not any(r >= added for r in green.get(name, ()))
+    }
 
 
 def _ordered_specs():
@@ -171,8 +194,9 @@ def _ordered_specs():
 
     pending.sort(key=rank)  # stable: registration order within a tier
 
-    reverify = [s for s in checked if s.name in REVERIFY_NAMES]
-    checked = [s for s in checked if s.name not in REVERIFY_NAMES]
+    active = _active_reverify()
+    reverify = [s for s in checked if s.name in active]
+    checked = [s for s in checked if s.name not in active]
     return pending + reverify + weak + checked
 
 

@@ -85,9 +85,11 @@ def test_pending_queries_ordered_first():
 
         pytest.skip("no CORRECTNESS artifacts on disk")
     specs = all_queries()
-    # the reverify set is a per-round contract: every member must be a
-    # LIVE registered name (a renamed/removed member is stale)
-    assert e.REVERIFY_NAMES <= set(specs), e.REVERIFY_NAMES - set(specs)
+    # every ledger member must be a LIVE registered name (a renamed or
+    # removed member is stale — its re-check could never happen)
+    assert set(e.REVERIFY_ADDED) <= set(specs), (
+        set(e.REVERIFY_ADDED) - set(specs)
+    )
     # a rows-only name that now has an oracle is pending again; names
     # recorded in old rounds but since renamed/removed are ignored
     # (they can't appear in queries() either)
@@ -98,7 +100,7 @@ def test_pending_queries_ordered_first():
     }
     tier = {n: 3 for n in verified}
     tier.update({n: 2 for n in rows_only - verified - repend})
-    tier.update({n: 1 for n in e.REVERIFY_NAMES if n in verified})
+    tier.update({n: 1 for n in e._active_reverify() if n in verified})
     last = 0
     for n in list(e.queries()):
         t = tier.get(n, 0)
@@ -106,43 +108,49 @@ def test_pending_queries_ordered_first():
         last = t
 
 
-def test_reverify_drained():
-    """REVERIFY entries must be DROPPED once the driver re-verifies
-    the new output: an entry added in round R whose name is hash-green
-    in any CORRECTNESS_r{M}.json with M >= R has served its purpose —
-    the green row certifies the post-edit output — and keeping it
-    would hold a verified name in the early tier forever (VERDICT r11
-    item 3: the r11 set went stale exactly this way).  A green row
-    from a round BEFORE the edit does not drain (it certified the old
-    output)."""
-    import glob
-    import json
-    import os
-    import re
-
+def test_reverify_self_drains():
+    """The re-check tier is DERIVED, not hand-maintained (VERDICT r13
+    item 1): an entry added in round R drains out of
+    ``_active_reverify()`` as soon as any CORRECTNESS_r{M}.json with
+    M >= R shows the name hash-green — the green row certifies the
+    post-edit output.  A green row from a round BEFORE the edit does
+    NOT drain (it certified the old output).  Verified here against
+    the real on-disk CORRECTNESS files: active == exactly the ledger
+    entries with no post-edit green round."""
     import __spark_entry__ as e
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    assert set(e.REVERIFY_ADDED) == e.REVERIFY_NAMES
-    green_rounds: dict[str, set[int]] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        try:
-            rows = json.load(open(path))
-        except (OSError, ValueError):
-            continue
-        if not (m and isinstance(rows, dict)):
-            continue
-        rnd = int(m.group(1))
-        for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
-                green_rounds.setdefault(name, set()).add(rnd)
-    stale = {
-        name: sorted(r for r in green_rounds.get(name, ()) if r >= added)
+    green = e._green_rounds()
+    expected_active = {
+        name
         for name, added in e.REVERIFY_ADDED.items()
-        if any(r >= added for r in green_rounds.get(name, ()))
+        if not any(r >= added for r in green.get(name, ()))
     }
-    assert not stale, (
-        f"REVERIFY entries already re-verified by the driver (drop them): "
-        f"{stale}"
+    assert e._active_reverify() == expected_active
+    # the r12/r13 ledger entries were re-verified by their own rounds'
+    # sweeps (pinned: a regression in _green_rounds parsing would
+    # silently resurrect them into the early tier)
+    for name, added in e.REVERIFY_ADDED.items():
+        if added <= 13:
+            assert name not in e._active_reverify(), (
+                f"{name} (edited r{added}) should have drained — "
+                f"green rounds: {sorted(green.get(name, ()))}"
+            )
+
+
+def test_reverify_drain_logic_synthetic(monkeypatch):
+    """Edge cases of the drain rule, independent of on-disk files:
+    pre-edit green does not drain; post-edit or same-round green
+    does; never-checked stays active."""
+    import __spark_entry__ as e
+
+    monkeypatch.setattr(
+        e,
+        "REVERIFY_ADDED",
+        {"pre_green_only": 9, "same_round_green": 9, "never_green": 9},
     )
+    monkeypatch.setattr(
+        e,
+        "_green_rounds",
+        lambda: {"pre_green_only": {7, 8}, "same_round_green": {8, 9}},
+    )
+    assert e._active_reverify() == {"pre_green_only", "never_green"}
