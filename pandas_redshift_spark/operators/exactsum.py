@@ -117,11 +117,28 @@ def revenue_sum_exact() -> Column:
 def revenue_sum_exact_sql(qual: str = "") -> str:
     """DuckDB twin of :func:`revenue_sum_exact`: exact fixed-4dp
     VARCHAR rendering of the integer sum (div/mod — no decimal
-    division semantics, no doubles anywhere)."""
-    s = f"sum({revenue_scaled_sql(qual)})"
+    division semantics, no doubles anywhere).
+
+    Sign-safe (ADVICE r13): see :func:`exact_4dp_varchar_sql`."""
+    return exact_4dp_varchar_sql(f"sum({revenue_scaled_sql(qual)})")
+
+
+def exact_4dp_varchar_sql(s: str) -> str:
+    """Fixed-4dp VARCHAR rendering of an integer (1e-4-grid scaled)
+    SQL expression ``s``, matching ``str(decimal.Decimal)`` of the
+    Spark-side ``CAST(s AS DECIMAL(38,0)) / 10000`` for ANY sign.
+
+    Sign-safe (ADVICE r13): DuckDB's ``%`` carries the sign and
+    ``//`` floors toward -inf, so a naive div/mod render corrupts
+    negative totals (``lpad('-5000',4,'0')`` truncates to ``'-50'``
+    and the floored quotient is off by one).  Render as
+    sign + abs-quotient + '.' + zero-padded abs-remainder instead
+    (a -0.xxxx total renders '-0.xxxx' in both engines).  Boundary
+    test: tests/test_exact_decimal.py covers negative values."""
     return (
-        f"CAST({s} // 10000 AS VARCHAR) || '.' || "
-        f"lpad(CAST({s} % 10000 AS VARCHAR), 4, '0')"
+        f"(CASE WHEN {s} < 0 THEN '-' ELSE '' END) || "
+        f"CAST(abs({s}) // 10000 AS VARCHAR) || '.' || "
+        f"lpad(CAST(abs({s}) % 10000 AS VARCHAR), 4, '0')"
     )
 
 

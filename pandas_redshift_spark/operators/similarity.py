@@ -2165,6 +2165,70 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: canonical low-rung fixture for the cert-sweep trainer drift pin
+#: (overridable so tests can point it at a scratch fixture)
+KMEANS_DRIFT_FIXTURE = os.environ.get(
+    "PRS_KMEANS_DRIFT_FIXTURE", "/root/testdata/sf0.01"
+)
+
+
+def _trainer_codebook_drift_check(spark: SparkSession) -> None:
+    """Break the self-referential loop in the big-SF semdedup cert
+    (ADVICE r13): that oracle pins the codebook exported from the SAME
+    memoized trainer the query under test uses, so its inline sanity
+    checks (unit norm, seed stratum) cannot catch a wrong-but-VALID
+    trainer regression — e.g. a schedule change that still emits
+    unit-norm, on-stratum centroids would certify against itself.
+
+    This check re-grounds the trainer independently at cert time: run
+    the live trainer on the canonical low-rung fixture (same
+    seed/schedule rules — deterministic sample, smallest-id seeds,
+    K = max(16, N/125)) and compare the exported codebook BIT-EXACTLY
+    against the DuckDB :func:`_kmeans_ctes` replay of the same
+    schedule.  Any drift in the trainer code fails the cert sweep
+    loudly before the big-SF pin, instead of silently certifying the
+    drifted codebook.  Cost: one small training run (memo-cached per
+    session) + a seconds-scale DuckDB replay."""
+    import duckdb
+
+    fixture = KMEANS_DRIFT_FIXTURE
+    t = Tables(spark, fixture)
+    emb = _emb_double(t).select("vec_id", "emb_n")
+    k = max(16, math.ceil(table_rows(t, "embeddings") / 125.0))
+    trained = sorted(
+        (int(c), [float(x) for x in v])
+        for c, v in train_kmeans_centroid_values(
+            spark, emb, k, cache_key=("kmeans", fixture)
+        )
+    )
+    dcon = duckdb.connect()
+    try:
+        dcon.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{fixture}/embeddings.parquet')"
+        )
+        rows = dcon.sql(
+            f"WITH {_EN_CTE}, {_kmeans_ctes(str(k))} "
+            "SELECT cell, c_en FROM cents ORDER BY cell"
+        ).fetchall()
+    finally:
+        dcon.close()
+    replay = [(int(c), [float(x) for x in v]) for c, v in rows]
+    if trained != replay:
+        bad = [
+            (a[0], b[0])
+            for a, b in zip(trained, replay)
+            if a != b
+        ][:5]
+        raise AssertionError(
+            "trainer drift: live codebook != independent _kmeans_ctes "
+            f"replay on {fixture} (k={k}; {len(trained)} vs {len(replay)} "
+            f"cells; first diverging cells {bad}) — the big-SF cert "
+            "pin would certify a drifted trainer; fix the trainer or "
+            "the replay before certifying"
+        )
+
+
 def _semdedup_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
     """Big-SF certification oracle for dedup_semantic_ivf (VERDICT r12
     item 3): the primary oracle's Lloyd-training replay (sample x K
@@ -2197,6 +2261,10 @@ def _semdedup_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
             f"(k={k_cells} > {KMEANS_FLAT_TRAIN_MAX_K}); no fixture SF "
             "reaches the hierarchical trainer"
         )
+    # ground the trainer against the low-rung independent replay
+    # BEFORE the self-referential pin (ADVICE r13: the inline sanity
+    # checks below can't catch a wrong-but-valid codebook)
+    _trainer_codebook_drift_check(spark)
     cents = train_kmeans_centroid_values(
         spark, emb, k_cells, cache_key=("kmeans", sf_dir)
     )

@@ -62,13 +62,19 @@ def test_cert_oracle_triangle(spark, sf_dir, name):
 
 def test_semdedup_cert_oracle_sanity_rejects_bad_export(spark, sf_dir, monkeypatch):
     """The inline training sanity must fail loudly on a corrupted
-    codebook export (a silent pass would certify garbage)."""
+    codebook export (a silent pass would certify garbage).  The
+    corruption targets only the query-SF export so the earlier
+    trainer drift pin (which trains on the canonical low-rung
+    fixture) passes and the INLINE layer is the one exercised."""
     import pandas_redshift_spark.operators.similarity as sim
 
     real = sim.train_kmeans_centroid_values
 
     def corrupt(*a, **kw):
         cents = [(c, list(v)) for c, v in real(*a, **kw)]
+        key = kw.get("cache_key") or (a[3] if len(a) > 3 else None)
+        if key and key[1] == sim.KMEANS_DRIFT_FIXTURE:
+            return cents  # leave the drift-pin training honest
         cents[0] = (cents[0][0], [x * 2.0 for x in cents[0][1]])  # non-unit
         return cents
 
@@ -81,6 +87,36 @@ def test_semdedup_cert_oracle_sanity_rejects_bad_export(spark, sf_dir, monkeypat
         )
     with pytest.raises(AssertionError, match="training sanity"):
         sim._semdedup_cert_oracle(spark, sf_dir, con)
+
+
+def test_trainer_drift_check_grounds_the_pinned_codebook(spark, monkeypatch):
+    """ADVICE r13: the big-SF cert pins a codebook from the same
+    trainer the query uses — self-referential.  The drift check must
+    (a) pass for the live trainer (bit-exact vs the independent
+    DuckDB replay on the canonical fixture) and (b) fail loudly on a
+    wrong-but-VALID regression that the inline sanity cannot see
+    (unit-norm, on-stratum centroids that simply aren't the schedule's
+    output — here: two seed centroids swapped)."""
+    import pandas_redshift_spark.operators.similarity as sim
+
+    sim._trainer_codebook_drift_check(spark)  # live trainer: grounded
+
+    real = sim.train_kmeans_centroid_values
+
+    def swapped(*a, **kw):
+        cents = [(c, list(v)) for c, v in real(*a, **kw)]
+        # swap the vectors behind the first two cell ids: still
+        # unit-norm, still on-stratum ids — invisible to the inline
+        # sanity, visible only against the independent replay
+        cents[0], cents[1] = (
+            (cents[0][0], cents[1][1]),
+            (cents[1][0], cents[0][1]),
+        )
+        return cents
+
+    monkeypatch.setattr(sim, "train_kmeans_centroid_values", swapped)
+    with pytest.raises(AssertionError, match="trainer drift"):
+        sim._trainer_codebook_drift_check(spark)
 
 
 def test_super_train_ctes_is_prefix_of_full():

@@ -21,7 +21,10 @@ CONVERTED = [
 
 #: scaled integers (cents x percent, the 1e-4 grid) spanning: the
 #: live sf30 divergence value, grid edges, a value just past 2^53
-#: (double can no longer hold the integer), and near-LONG-max
+#: (double can no longer hold the integer), near-LONG-max, and the
+#: negative mirror cases (ADVICE r13: signed measures — deltas,
+#: refunds — must render correctly too, incl. -0.xxxx totals where
+#: the quotient is zero but the sign must survive)
 BOUNDARY_VALUES = [
     4428837058410300,  # the sf30 join_star_broadcast group (true S)
     0,
@@ -32,10 +35,21 @@ BOUNDARY_VALUES = [
     2**53 - 1,
     2**53 + 1,
     922337203685477580,
+    -1,
+    -9999,
+    -10000,
+    -10001,
+    -5000,  # the ADVICE example: naive lpad truncated '-5000'→'-500'
+    -4428837058410300,
+    -922337203685477580,
 ]
 
 
 def test_decimal_and_varchar_renderings_identical(spark):
+    """The ACTUAL helper (exactsum.exact_4dp_varchar_sql) against
+    Spark's decimal emission, across sign and magnitude."""
+    from pandas_redshift_spark.operators.exactsum import exact_4dp_varchar_sql
+
     sdf = spark.createDataFrame(
         [(v,) for v in BOUNDARY_VALUES], "s long"
     ).select(
@@ -46,8 +60,7 @@ def test_decimal_and_varchar_renderings_identical(spark):
     ).toPandas()
     con = duckdb.connect()
     odf = con.sql(
-        "SELECT s, CAST(s // 10000 AS VARCHAR) || '.' || "
-        "lpad(CAST(s % 10000 AS VARCHAR), 4, '0') AS d "
+        f"SELECT s, {exact_4dp_varchar_sql('s')} AS d "
         f"FROM (SELECT unnest({BOUNDARY_VALUES}::BIGINT[]) AS s)"
     ).df()
     got = dict(zip(sdf["s"], sdf["d"].map(str)))

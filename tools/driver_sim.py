@@ -194,10 +194,19 @@ def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
     n_tot, h_tot = 0, 0
     if DIGEST_PROCS > 1:
         import collections
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 
         futs = collections.deque()
-        with ProcessPoolExecutor(DIGEST_PROCS) as ex:
+        # spawn, not fork (ADVICE r13): the parent holds live py4j/JVM
+        # client threads and a DuckDB connection; forking a
+        # multithreaded process can inherit held locks mid-acquire and
+        # hang workers intermittently.  row_hash_sum's inputs (a
+        # pandas chunk + a frozenset) pickle fine, so spawn costs only
+        # interpreter startup per worker — amortized over the sweep.
+        with ProcessPoolExecutor(
+            DIGEST_PROCS, mp_context=multiprocessing.get_context("spawn")
+        ) as ex:
             def drain_one():
                 nonlocal n_tot, h_tot
                 n, h = futs.popleft().result()
@@ -333,6 +342,15 @@ def main():
                 )
                 failures.append(name)
                 continue
+            # the build may itself run Spark jobs (e.g. the semdedup
+            # codebook replay); report it separately and restart the
+            # clock so ok(...) timings measure the query under test,
+            # not oracle construction (ADVICE r13 — cross-round
+            # timing comparisons in cert logs were conflated)
+            build_dt = time.perf_counter() - t0
+            if build_dt >= 1.0:
+                print(f"cert-oracle build {name}: {build_dt:.1f}s")
+            t0 = time.perf_counter()
         try:
             frame = fn(spark, SF_DIR)
             if CHUNK_THRESHOLD and osql is not None:
