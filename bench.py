@@ -136,6 +136,22 @@ HEADLINE = (
     "sim_pq_adc_topk",
     "pipe_chunk_overlap",
     "multimodal_phash_dedup",
+    # r14 addition (VERDICT r13 item 7): the four r13 DECIMAL(38,4)
+    # exact-emission conversions must be priced round-over-round.
+    # join_inner / join_star_broadcast / tpch_q5 already sit in the
+    # original 22 (r12 pre- vs r14 post-conversion diffs price them);
+    # sink_zorder_layout completes the set.  The final JSON also
+    # carries them under "decimal_sites" so the exact-emission path's
+    # cost is one field, not a cross-file diff.
+    "sink_zorder_layout",
+)
+
+#: the r13 exact-DECIMAL conversion sites (see operators/exactsum.py)
+DECIMAL_SITES = (
+    "join_inner",
+    "join_star_broadcast",
+    "tpch_q5_local_supplier_volume",
+    "sink_zorder_layout",
 )
 
 
@@ -277,6 +293,12 @@ def main() -> None:
             if timings[n] > 0 and medians[n] / timings[n] > 1.15
         },
         "spread_blob": "bench_spread.json",
+        # the exact-DECIMAL emission sites, priced as their own field
+        # (VERDICT r13 item 7): DECIMAL(38,4) aggregation is heavier
+        # than a LONG sum and was invisible in the headline total
+        "decimal_sites": {
+            n: timings[n] for n in DECIMAL_SITES if n in timings
+        },
         # ambient-machine state (VERDICT r10 item 6): four r10 paired
         # runs spanned 0.609-0.791 purely on load/page-cache swing —
         # these fields let future drift triage itself from the artifact

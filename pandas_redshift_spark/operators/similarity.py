@@ -2229,6 +2229,137 @@ def _trainer_codebook_drift_check(spark: SparkSession) -> None:
         )
 
 
+def _hier_replay_ctes(
+    k_cells: int,
+    iters: int = KMEANS_ITERS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+    n_dims: int = EMBEDDING_DIMS,
+) -> str:
+    """CTE chain replaying the HIERARCHICAL schedule
+    (:func:`train_kmeans_hierarchical` + :func:`_assign_two_level_join`)
+    in DuckDB, bit-exactly, ending in ``assigned(vec_id, cell)`` over
+    the full corpus (VERDICT r13 item 5: the hierarchical regime had
+    no replay — its cert boundary was a NotImplementedError guard).
+
+    Level per level, same arithmetic pins as :func:`_kmeans_ctes`:
+
+    1. supers: the flat schedule at S = ceil(sqrt(K)) on the sample —
+       literally ``_kmeans_ctes`` with suffix ``hs`` (emits
+       ``centshs``), the machinery already certified at sf0.01-sf3;
+    2. ``samp_sup``: each sample vector to its max-dot super
+       (``row_number ORDER BY lip DESC, id`` == Spark's
+       ``max(struct(sim, -id))`` — ties to the smaller id);
+    3. child seeds: per super, the ceil(K/S) smallest-id sample
+       members (``row_number OVER (PARTITION BY sup ORDER BY
+       vec_id)``), cell = seed vec_id — globally unique;
+    4. per iteration: assignment joins each sample vector only to ITS
+       super's children (the shuffle-join schedule), order-pinned
+       per-(sup,cell,dim) member folds (``array_agg(val ORDER BY
+       vec_id)`` x ones == Spark's sorted collect_list fold),
+       left-fold renorm, keep-prev on empty/zero-norm (Spark emits
+       NULL for zero-norm then coalesces — same CASE here);
+    5. final: corpus vector -> max-dot LIVE super (supers holding >=1
+       child) -> max-dot child within that super.
+
+    Re-referenced chain nodes are AS MATERIALIZED (the r8 lesson:
+    DuckDB inlines plain CTEs per reference).  Feasibility: the
+    replay is CHEAPER than the flat one at the same K — level-1 is
+    N x S dots and child assignment meets only ~sqrt(K) children per
+    vector — so forced-threshold rungs certify comfortably; a TRUE
+    hierarchical rung (K > 16384 means >2e9 corpus vectors) would
+    want the skinny-window projection treatment first
+    (:func:`_skinny_assign_ctes`)."""
+    s_cells = math.ceil(math.sqrt(k_cells))
+    k_child = math.ceil(k_cells / s_cells)
+    parts = [
+        _kmeans_ctes(str(s_cells), iters, sample_mod, n_dims, suffix="hs"),
+        f"""hkdims AS (SELECT unnest(range(1, {n_dims} + 1)) AS dim),
+    samp_sup AS MATERIALIZED (
+        SELECT vec_id, en, sup FROM (
+            SELECT s.vec_id, s.en, c.cell AS sup, row_number() OVER (
+                PARTITION BY s.vec_id
+                ORDER BY list_inner_product(s.en, c.c_en) DESC, c.cell
+            ) AS rn
+            FROM samphs s CROSS JOIN centshs c
+        ) WHERE rn = 1
+    ),
+    child0 AS MATERIALIZED (
+        SELECT sup, vec_id AS cell, en AS c_en FROM (
+            SELECT sup, vec_id, en, row_number() OVER (
+                PARTITION BY sup ORDER BY vec_id
+            ) AS rn FROM samp_sup
+        ) WHERE rn <= {k_child}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"child{i-1}"
+        parts.append(
+            f"""ch{i}_asg AS (
+        SELECT vec_id, sup, cell FROM (
+            SELECT s.vec_id, s.sup, c.cell, row_number() OVER (
+                PARTITION BY s.vec_id
+                ORDER BY list_inner_product(s.en, c.c_en) DESC, c.cell
+            ) AS rn
+            FROM samp_sup s JOIN {prev} c ON s.sup = c.sup
+        ) WHERE rn = 1
+    ),
+    ch{i}_vals AS (
+        SELECT a.sup, a.cell, d.dim,
+               array_agg(s.en[d.dim] ORDER BY s.vec_id) AS vals,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM ch{i}_asg a JOIN samp_sup s ON a.vec_id = s.vec_id
+        CROSS JOIN hkdims d
+        GROUP BY a.sup, a.cell, d.dim
+    ),
+    ch{i}_avg AS (
+        SELECT sup, cell, dim,
+               list_inner_product(vals, list_transform(vals, x -> 1.0)) / cnt
+                   AS cv
+        FROM ch{i}_vals
+    ),
+    ch{i}_arr AS (
+        SELECT sup, cell, array_agg(cv ORDER BY dim) AS c_raw
+        FROM ch{i}_avg GROUP BY sup, cell
+    ),
+    child{i} AS MATERIALIZED (
+        SELECT p.sup, p.cell,
+               CASE WHEN w.c_raw IS NULL
+                         OR list_inner_product(w.c_raw, w.c_raw) = 0
+                    THEN p.c_en
+                    ELSE list_transform(w.c_raw,
+                        x -> x / sqrt(list_inner_product(w.c_raw, w.c_raw)))
+               END AS c_en
+        FROM {prev} p LEFT JOIN ch{i}_arr w
+            ON p.sup = w.sup AND p.cell = w.cell
+    )"""
+        )
+    parts.append(
+        f"""livesup AS (SELECT DISTINCT sup FROM child{iters}),
+    v2s AS MATERIALIZED (
+        SELECT vec_id, en, sup FROM (
+            SELECT v.vec_id, v.en, c.cell AS sup, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY list_inner_product(v.en, c.c_en) DESC, c.cell
+            ) AS rn
+            FROM e v CROSS JOIN (
+                SELECT c.cell, c.c_en FROM centshs c
+                JOIN livesup l ON c.cell = l.sup
+            ) c
+        ) WHERE rn = 1
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY list_inner_product(v.en, c.c_en) DESC, c.cell
+            ) AS rn
+            FROM v2s v JOIN child{iters} c ON v.sup = c.sup
+        ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
 def _semdedup_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
     """Big-SF certification oracle for dedup_semantic_ivf (VERDICT r12
     item 3): the primary oracle's Lloyd-training replay (sample x K
@@ -2256,11 +2387,31 @@ def _semdedup_cert_oracle(spark: SparkSession, sf_dir: str, con) -> str:
     n_vecs = table_rows(t, "embeddings")
     k_cells = max(16, math.ceil(n_vecs / 125.0))
     if k_cells > KMEANS_FLAT_TRAIN_MAX_K:
-        raise NotImplementedError(
-            "cert oracle covers the flat-trainer regime only "
-            f"(k={k_cells} > {KMEANS_FLAT_TRAIN_MAX_K}); no fixture SF "
-            "reaches the hierarchical trainer"
-        )
+        # HIERARCHICAL regime (r14, VERDICT r13 item 5 — this used to
+        # be a NotImplementedError guard): replay the ENTIRE two-level
+        # schedule independently in SQL (:func:`_hier_replay_ctes`) —
+        # nothing pinned, so no drift check is needed.  The replay is
+        # cheaper than the flat one at equal K (child assignment
+        # meets only ~sqrt(K) children per vector), so the regime is
+        # certifiable at any forced-threshold rung; certified via
+        # PRS_KMEANS_FLAT_MAX_K-forced driver_sim legs (CERT_r14.md)
+        # and pinned == the Spark result at sf0.001 by
+        # tests/test_cert_oracles.py.
+        return f"""
+    WITH {_EN_CTE},
+    {_hier_replay_ctes(k_cells)},
+    m AS MATERIALIZED (
+        SELECT a.vec_id, a.cell, e.en
+        FROM assigned a JOIN e ON a.vec_id = e.vec_id
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.en, b.en) >= 0.3
+    )
+    SELECT m.vec_id, m.cell, d.vec_id IS NULL AS kept
+    FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+    """
     # ground the trainer against the low-rung independent replay
     # BEFORE the self-referential pin (ADVICE r13: the inline sanity
     # checks below can't catch a wrong-but-valid codebook)

@@ -89,6 +89,39 @@ def test_semdedup_cert_oracle_sanity_rejects_bad_export(spark, sf_dir, monkeypat
         sim._semdedup_cert_oracle(spark, sf_dir, con)
 
 
+def test_semdedup_cert_oracle_hierarchical_regime(spark, sf_dir, monkeypatch):
+    """VERDICT r13 item 5: the hierarchical-trainer regime used to be
+    a NotImplementedError boundary in the cert oracle; now it is a
+    full independent SQL replay (_hier_replay_ctes).  With the flat
+    ceiling forced below the fixture's K, the Spark side routes
+    through train_kmeans_hierarchical + _assign_two_level_join and
+    the cert oracle must hash-match it end to end — the same triangle
+    contract the flat regime holds (no primary-oracle leg here: the
+    static primary replays the flat schedule by construction)."""
+    import pandas_redshift_spark.operators.similarity as sim
+    from pandas_redshift_spark.session import _PERSIST_MEMO
+
+    monkeypatch.setattr(sim, "KMEANS_FLAT_TRAIN_MAX_K", 8)
+    _PERSIST_MEMO.clear()
+
+    spec = all_queries()["dedup_semantic_ivf"]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cert_sql = spec.cert_oracle(spark, sf_dir, con)
+    assert "child0" in cert_sql  # really the hierarchical replay
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    cert = con.sql(cert_sql).df()
+    assert sorted(cert.columns) == sorted(sdf.columns)
+    assert canon_hash(sdf.copy()) == canon_hash(cert.copy()), (
+        "hierarchical-regime Spark result != hierarchical SQL replay"
+    )
+    _PERSIST_MEMO.clear()
+
+
 def test_trainer_drift_check_grounds_the_pinned_codebook(spark, monkeypatch):
     """ADVICE r13: the big-SF cert pins a codebook from the same
     trainer the query uses — self-referential.  The drift check must
