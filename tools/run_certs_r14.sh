@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-14 certification ladder (VERDICT r13 items 3-6), one leg at a
+# time so no leg inherits another's memory pressure (the r13
+# pipe_chunk_overlap oracle OOM was concurrent-leg pressure).
+# Run from /tmp with a copied driver_sim.py; logs land in benchruns/.
+set -u
+cd /tmp || exit 1
+cp /root/repo/tools/driver_sim.py /tmp/driver_sim.py
+B=/root/repo/benchruns
+SF30=/root/repo/.scaledata/sf30
+SF60=/root/repo/.scaledata/sf60
+SF1=/root/repo/.scaledata/sf1
+
+run_leg() { # name timeout_s log env...
+  local name=$1 tmo=$2 log=$3; shift 3
+  echo "=== leg $name start $(date +%T)"
+  env "$@" timeout "$tmo" python /tmp/driver_sim.py > "$log" 2>&1
+  echo "=== leg $name exit=$? $(date +%T)"
+  grep -E "ok |ok\(|MISMATCH|ERROR|FAILURES|SKIPPED|cert-oracle build" "$log" | tail -20
+}
+
+# Leg 1 — sf30 broad: the cascade cert orphan + four scale-risky
+# families never certified at sf30
+run_leg sf30_broad 7200 "$B/cert_sf30_broad_r14.log" \
+  SIM_SF_DIR=$SF30 SIM_CERT_ORACLES=1 SIM_CHUNK_THRESHOLD=2000000 \
+  SIM_NAMES=pipe_dedup_cascade,join_fuzzy_blocked,window_moving_median,window_range_frame,text_tfidf_top_terms
+
+# Leg 2 — pipe_chunk_overlap SOLO at sf30 (VERDICT item 4: r13 died
+# only under concurrent-leg memory pressure)
+run_leg sf30_chunk_overlap 5400 "$B/cert_sf30_chunk_overlap_r14.log" \
+  SIM_SF_DIR=$SF30 SIM_CHUNK_THRESHOLD=2000000 \
+  SIM_NAMES=pipe_chunk_overlap
+
+# Leg 3 — sf30 phash pair (16-proc oracle digest, the r13 sf10 recipe)
+run_leg sf30_phash 10800 "$B/cert_sf30_phash_r14.log" \
+  SIM_SF_DIR=$SF30 SIM_CHUNK_THRESHOLD=2000000 SIM_DIGEST_PROCS=16 \
+  SIM_NAMES=multimodal_phash_dedup,multimodal_phash_near_dup
+
+# Leg 4 — hierarchical-trainer regime cert (VERDICT item 5): force the
+# flat ceiling below sf1's K=160 so dedup_semantic_ivf routes through
+# train_kmeans_hierarchical; the cert oracle replays the two-level
+# schedule independently in SQL
+run_leg sf1_hier 3600 "$B/cert_sf1_hier_r14.log" \
+  SIM_SF_DIR=$SF1 SIM_CERT_ORACLES=1 PRS_KMEANS_FLAT_MAX_K=32 \
+  SIM_NAMES=dedup_semantic_ivf
+
+# Leg 5 — sf60 probes (VERDICT item 6): the DECIMAL-conversion
+# prediction (tpch_q5 crosses the old 4dp-double boundary ~sf60) plus
+# the riskiest linear survivors
+run_leg sf60_probe 10800 "$B/cert_sf60_probe_r14.log" \
+  SIM_SF_DIR=$SF60 SIM_CERT_ORACLES=1 SIM_CHUNK_THRESHOLD=2000000 \
+  SIM_NAMES=tpch_q5_local_supplier_volume,streaming_session_value,dedup_exact_hash
+
+echo "=== all legs done $(date +%T)"
