@@ -204,9 +204,10 @@ def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
         # hang workers intermittently.  row_hash_sum's inputs (a
         # pandas chunk + a frozenset) pickle fine, so spawn costs only
         # interpreter startup per worker — amortized over the sweep.
-        with ProcessPoolExecutor(
+        ex = ProcessPoolExecutor(
             DIGEST_PROCS, mp_context=multiprocessing.get_context("spawn")
-        ) as ex:
+        )
+        try:
             def drain_one():
                 nonlocal n_tot, h_tot
                 n, h = futs.popleft().result()
@@ -222,6 +223,18 @@ def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
                     drain_one()
             while futs:
                 drain_one()
+        except BaseException:
+            # best-effort teardown that must NOT mask the body error:
+            # a with-block's __exit__ shutdown can raise its own
+            # RuntimeError ('cannot join thread before it is started')
+            # and REPLACE the original exception — the r14 sf30 phash
+            # leg lost a DuckDB OOM behind exactly that.
+            try:
+                ex.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
+            raise
+        ex.shutdown(wait=True)
         return n_tot, h_tot
     while True:
         chunk = rel.fetch_df_chunk(16)

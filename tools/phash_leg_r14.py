@@ -1,0 +1,39 @@
+"""sf30 phash certification leg (r14): build a LARGE-HEAP session
+BEFORE driver_sim.main() — the documented adversarial-session pattern
+(the sim reuses a live session).  The banded pair enumeration's
+working set exceeds the vanilla local-JVM heap at this rung
+(cert_sf30_phash_r14.log: java.lang.OutOfMemoryError in executor
+tasks); correctness is session-shape-independent (the same queries
+hash-certify on vanilla sessions at every lower rung and under the
+local-cluster sweep), so the heap buys completion, not the answer.
+
+Run from /tmp next to a copied driver_sim.py:
+
+    cd /tmp && cp /root/repo/tools/{driver_sim,phash_leg_r14}.py . \
+      && python phash_leg_r14.py
+"""
+
+import os
+import sys
+
+os.environ.setdefault("SIM_SF_DIR", "/root/repo/.scaledata/sf30")
+os.environ.setdefault("SIM_CHUNK_THRESHOLD", "2000000")
+os.environ.setdefault("SIM_DIGEST_PROCS", "24")
+os.environ.setdefault(
+    "SIM_NAMES", "multimodal_phash_dedup,multimodal_phash_near_dup"
+)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[16]")
+    .config("spark.driver.memory", "48g")
+    .config("spark.sql.shuffle.partitions", "32")
+    .appName("cert-phash-sf30")
+    .getOrCreate()
+)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import driver_sim  # noqa: E402
+
+driver_sim.main()
