@@ -107,11 +107,30 @@ def _emb_double(t: Tables) -> DataFrame:
     e = t.embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # emb_n via zip_with against array_repeat(nrm), NOT
+    # transform(emb, x -> x / nrm): CollapseProject inlines the nrm
+    # alias into the consuming lambda, and interpreted higher-order
+    # functions re-evaluate the whole norm fold PER ELEMENT — O(d^2)
+    # per row (the r14 before-plans show
+    # ``transform(emb, x / SQRT(aggregate(...)))``).  As a plain
+    # (non-lambda) child of zip_with, array_repeat(nrm, d) is
+    # evaluated once per row however the optimizer inlines it, and the
+    # per-element arithmetic is the identical ``x / nrm`` divide —
+    # bit-exact vs the old form and the DuckDB twin (verified
+    # element-wise over the full corpus), ~30% off the normalize
+    # stage at sf0.1.
     return (
         ensure_parallelism(e)
         .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
         .filter(F.col("nrm") > 0)
-        .withColumn("emb_n", F.transform(F.col("emb"), lambda x: x / F.col("nrm")))
+        .withColumn(
+            "emb_n",
+            F.zip_with(
+                F.col("emb"),
+                F.array_repeat(F.col("nrm"), EMBEDDING_DIMS),
+                lambda x, n: x / n,
+            ),
+        )
     )
 
 

@@ -213,14 +213,43 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 class _scoped_state_confs:
-    """Context manager scoping the two streaming-execution confs
-    (state parallelism + RocksDB provider) to one drain, restoring the
-    session's batch settings on exit — shared by run_to_memory and
-    run_to_files; rationale in run_to_memory's docstring."""
+    """Context manager scoping the streaming-execution confs (state
+    parallelism + RocksDB provider + drain-cost knobs) to one drain,
+    restoring the session's batch settings on exit — shared by
+    run_to_memory and run_to_files; rationale in run_to_memory's
+    docstring.
+
+    Drain-cost knobs (r14 optimization round, measured at sf0.1 /
+    local[32], identical output row-for-row):
+
+    - ``noDataMicroBatches.enabled=false``: a no-data micro-batch
+      exists to advance the watermark so APPEND-mode windowed
+      aggregates / outer stream-stream joins can flush their
+      watermark-gated output after the last data batch.  Every
+      registered drain is complete/update mode or an immediate-emit
+      append (inner join, dropDuplicates), so the trailing no-data
+      batch only buys one more full state-store commit cycle across
+      every store — pure fixed cost, no rows.  Measured: attribution
+      join 3.19 -> 2.07 s.  CONSTRAINT: a future append-mode windowed
+      aggregate or OUTER stream-stream join drained through these
+      helpers must re-enable it or its final windows never emit (the
+      watermark-eviction differential test drives its own raw
+      writeStream and is unaffected).
+    - RocksDB ``changelogCheckpointing``: commit uploads the per-batch
+      changelog instead of a full SST snapshot — the production-
+      recommended commit mode at scale (commit cost tracks delta size,
+      not total state size) and 16-22% faster even at bench shape
+      (attribution 3.19 -> 2.69 s, session drain 1.61 -> 1.26 s solo;
+      2.07 -> 1.94 s stacked on the no-data knob).
+    """
 
     _PROV_KEY = "spark.sql.streaming.stateStore.providerClass"
     _ROCKSDB = (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    _NODATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    _CHANGELOG_KEY = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     )
 
     def __init__(self, spark: SparkSession, state_partitions: int | None):
@@ -232,18 +261,27 @@ class _scoped_state_confs:
     def __enter__(self):
         self._before = self.spark.conf.get("spark.sql.shuffle.partitions")
         self._before_prov = self.spark.conf.get(self._PROV_KEY, None)
+        self._before_nodata = self.spark.conf.get(self._NODATA_KEY, None)
+        self._before_changelog = self.spark.conf.get(self._CHANGELOG_KEY, None)
         self.spark.conf.set(
             "spark.sql.shuffle.partitions", str(self.state_partitions)
         )
         self.spark.conf.set(self._PROV_KEY, self._ROCKSDB)
+        self.spark.conf.set(self._NODATA_KEY, "false")
+        self.spark.conf.set(self._CHANGELOG_KEY, "true")
         return self
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self._before)
-        if self._before_prov is None:
-            self.spark.conf.unset(self._PROV_KEY)
-        else:
-            self.spark.conf.set(self._PROV_KEY, self._before_prov)
+        for key, before in (
+            (self._PROV_KEY, self._before_prov),
+            (self._NODATA_KEY, self._before_nodata),
+            (self._CHANGELOG_KEY, self._before_changelog),
+        ):
+            if before is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, before)
         return False
 
 
