@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Capture ``explain("formatted")`` for bench/headline queries into
+``plans/r14/<query>_<tag>.txt`` (the optimization-round evidence files:
+the judge checks plan claims against these, guide §1.1/§7.2).
+
+Usage::
+
+    python tools/capture_plans.py before [name ...]
+    python tools/capture_plans.py after  [name ...]
+
+With no names, captures every query in bench.HEADLINE.  Runs on the
+same session shape as bench (local[$SPARK_GRAFT_CPUS], sf dir from
+$SPARK_GRAFT_SF_DIR).
+
+Caveats recorded in each file header:
+
+- Queries that EXECUTE work while building their frame (streaming
+  drains run the whole job; k-means trainers collect centroids) show
+  the plan of the RETURNED frame — for streaming executions that is
+  the parquet read-back of the sink, so the interesting streaming
+  plan is described in the operator docstring, not here.
+- Plans are captured COLD per process (fresh session, memos empty,
+  then queries run in the listed order), so memoized frames render
+  their build subtree the first time they appear.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pandas_redshift_spark.operators import all_queries  # noqa: E402
+from pandas_redshift_spark.session import build_session  # noqa: E402
+
+
+def explain_str(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    if not names:
+        import bench
+
+        names = list(bench.HEADLINE)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(_REPO, "plans", "r14")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = build_session("plan-capture")
+    specs = all_queries()
+    for name in names:
+        df = specs[name].fn(spark, sf_dir)
+        txt = explain_str(df)
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(
+                f"# {name} — explain(formatted), tag={tag}, sf_dir={sf_dir}\n"
+                f"# captured by tools/capture_plans.py (cold session, "
+                f"queries captured in bench.HEADLINE order)\n"
+            )
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
