@@ -67,13 +67,23 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(text_col: str = "text", n: int = 3):
+def shingles(text_col: str = "text", n: int = 3, tokens_col: str | None = None):
     """Distinct word n-gram shingles of a text column as an array
     (built-ins only: split -> sequence -> transform -> array_distinct).
     Texts with fewer than ``n`` tokens yield an EMPTY array — the
     guard matters because sequence(0, -1) would count downward and
-    element_at(_, 0) throws under ANSI mode."""
-    toks = F.split(F.col(text_col), " ")
+    element_at(_, 0) throws under ANSI mode.
+
+    Pass ``tokens_col`` naming an ALREADY-MATERIALIZED token-array
+    column to make the per-gram ``element_at`` reads O(1): with the
+    default inline ``split(text_col)``, the split subtree is embedded
+    in the transform lambda and interpreted higher-order functions
+    re-evaluate it per element — the whole text is re-split ~3n times
+    per doc, O(n^2) character work (r14 before-plans showed
+    ``split(text)`` x5 in the shingle projection; the materialized
+    form measures ~2x faster at sf0.1 with identical output).  Use
+    :func:`shingled` for the standard two-projection frame."""
+    toks = F.col(tokens_col) if tokens_col else F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.array_distinct(
         F.transform(
@@ -85,6 +95,20 @@ def shingles(text_col: str = "text", n: int = 3):
     )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingled(
+    d: DataFrame, alias: str = "shingle_set", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``(doc_id, <alias>)`` via the two-projection shape: tokens are
+    split in their own projection (multi-referenced by the consumer,
+    so CollapseProject cannot inline the split back into the n-gram
+    lambda), then shingled from the materialized array.  Identical
+    strings in identical order to the inline form — only the
+    evaluation count of ``split`` changes."""
+    return d.select("doc_id", F.split(F.col(text_col), " ").alias("__toks__")).select(
+        "doc_id", shingles(n=n, tokens_col="__toks__").alias(alias)
     )
 
 
@@ -133,7 +157,7 @@ def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         d = ensure_parallelism(Tables(spark, sf_dir).documents)
-        return d.select("doc_id", shingles().alias("shingle_set"))
+        return shingled(d, alias="shingle_set")
 
     return memoized_persist(spark, ("shingle_frame", sf_dir), build)
 
@@ -268,7 +292,7 @@ def minhash_signatures(d: DataFrame, n_hashes: int = 32) -> DataFrame:
     # second md5, and shingle-building dominates the stage anyway.
     g1 = f"{md5_hash_spark_sql('s', 1, 8)} % {HASH_MOD}"
     g2 = f"{md5_hash_spark_sql('s', 9, 8)} % {HASH_MOD}"
-    sh = d.select("doc_id", shingles().alias("ss")).select(
+    sh = shingled(d, alias="ss").select(
         "doc_id",
         F.expr(f"transform(ss, s -> {g1})").alias("g1"),
         F.expr(f"transform(ss, s -> {g2})").alias("g2"),
@@ -993,7 +1017,11 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         d = ensure_parallelism(Tables(spark, sf_dir).documents)
-        toks = F.split("text", " ")
+        # tokens materialized first (same lambda-invariant fix as
+        # shingled): inlined, the per-chunk slice re-evaluates
+        # split(text) once per chunk
+        tokd = d.select("doc_id", F.split("text", " ").alias("toks"))
+        toks = F.col("toks")
         k = F.lit(CHUNK_TOKENS)
         idx = F.sequence(
             F.lit(0), F.ceil(F.size(toks) / CHUNK_TOKENS).cast("bigint") - 1
@@ -1005,7 +1033,7 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         return (
-            d.select("doc_id", F.explode(chunk_hashes).alias("chunk_h"))
+            tokd.select("doc_id", F.explode(chunk_hashes).alias("chunk_h"))
             .groupBy("chunk_h", "doc_id")
             .agg(F.count(F.lit(1)).alias("n_inst"))
         )

@@ -391,7 +391,13 @@ def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut (>=20) happens before the joins, so at 100 TB only the bigram
     head — not the long tail — flows through scoring."""
     d = ensure_parallelism(Tables(spark, sf_dir).documents)
-    toks = F.split(F.col("text"), " ")
+    # tokens materialized in their own projection: with the split
+    # inlined, the bigram lambda's element_at re-evaluates
+    # split(text) per position — O(n^2) character work per doc (r14;
+    # same fix as dedup.shingled).  Multi-referencing the alias keeps
+    # CollapseProject from inlining it back.
+    toks = F.col("toks")
+    tokd = d.select(F.split(F.col("text"), " ").alias("toks"))
     idx = F.sequence(F.lit(0), F.size(toks) - 2)
     bigram_arr = F.when(
         F.size(toks) >= 2,
@@ -404,8 +410,8 @@ def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bigrams = d.select(F.explode(bigram_arr).alias("bg"))
-    unigrams = d.select(F.explode(toks).alias("w"))
+    bigrams = tokd.select(F.explode(bigram_arr).alias("bg"))
+    unigrams = tokd.select(F.explode(toks).alias("w"))
     bc_all = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
     bc = bc_all.filter(F.col("cab") >= 20)
     uc = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))

@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import broadcast
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    bounds: dict | None = None,
+) -> Column:
     """Morton (Z-curve) key over numeric columns: each column is
     min-max normalized into ``bits`` bits, then the bits are
     interleaved so locality in the key implies locality in EVERY
@@ -34,22 +39,27 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
 
     The per-column min/max comes from one 1-row mergeable aggregate
     (same driver-side cost class as a global count — at 100 TB you'd
-    read it from table stats instead).  The interleave itself is pure
-    JVM bit arithmetic (shiftright/shiftleft/bitwise OR built-ins),
-    whole-stage-codegen friendly, and ``bits*len(cols)`` must fit the
-    63 usable bits of a long."""
+    read it from table stats instead; pass ``bounds`` as
+    ``{col: (min, max)}`` doubles to skip the job, e.g. from
+    ``stats.column_minmax``'s session-memoized catalog-stats lookup).
+    The interleave itself is pure JVM bit arithmetic
+    (shiftright/shiftleft/bitwise OR built-ins), whole-stage-codegen
+    friendly, and ``bits*len(cols)`` must fit the 63 usable bits of a
+    long."""
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     if bits * len(cols) > 63:
         raise ValueError(f"{bits} bits x {len(cols)} cols exceeds a long")
-    row = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
-    ).first()
+    if bounds is None:
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).first()
+        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
     top = (1 << bits) - 1
     norms = []
     for c in cols:
-        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        mn, mx = bounds[c]
         if mn is None or mx is None or mx <= mn:
             norms.append(F.lit(0).cast("long"))
         else:
@@ -73,6 +83,7 @@ def apply_layout(
     sortkey: str = "",
     sort_interleaved: bool = False,
     num_partitions: int | None = None,
+    sortkey_bounds: dict | None = None,
 ) -> DataFrame:
     """Translate Redshift physical hints into a repartitioned/sorted
     DataFrame prior to write (or join)."""
@@ -94,7 +105,9 @@ def apply_layout(
             # parquet min/max stats stay narrow for ALL keys, matching
             # Redshift's interleaved zone-map semantics
             out = (
-                out.withColumn("__zorder__", zorder_key(df, keys))
+                out.withColumn(
+                    "__zorder__", zorder_key(df, keys, bounds=sortkey_bounds)
+                )
                 .sortWithinPartitions("__zorder__")
                 .drop("__zorder__")
             )

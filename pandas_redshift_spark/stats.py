@@ -44,3 +44,29 @@ def table_rows(t: Tables, name: str) -> int:
     if key not in _COUNT_MEMO:
         _COUNT_MEMO[key] = t.load(name).count()
     return _COUNT_MEMO[key]
+
+
+_MINMAX_MEMO: dict[tuple, dict] = {}
+
+
+def column_minmax(t: Tables, name: str, cols: tuple[str, ...]) -> dict:
+    """Per-column ``{col: (min, max)}`` of raw numeric columns as
+    DOUBLES, one agg job per session per (table, cols) — the same
+    catalog-statistics class as :func:`table_rows` (r14: the z-order
+    layout sink re-ran this 1-row agg on every invocation; on a real
+    lake these bounds come from ANALYZE/footer stats).  The agg casts
+    to double BEFORE min/max, exactly like the inline form it
+    replaces, so the downstream normalization arithmetic is
+    bit-identical."""
+    import pyspark.sql.functions as F
+
+    app_id = t.spark.sparkContext.applicationId
+    evict_stale(_MINMAX_MEMO, app_id)
+    key = (app_id, t.sf_dir, name, tuple(cols))
+    if key not in _MINMAX_MEMO:
+        row = t.load(name).agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).first()
+        _MINMAX_MEMO[key] = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    return _MINMAX_MEMO[key]
