@@ -1895,14 +1895,28 @@ def _pq_exprs(spark: SparkSession, books: list, memo_key: tuple) -> tuple:
             cen_lits[m].alias("cen"),
         )
 
+    # corpus encode reads PRE-SLICED subvectors (``subs_col`` below,
+    # materialized in its own projection by the caller): with
+    # ``slice(emb_n, ...)`` as the fold's query vector, the
+    # interpreted per-candidate lambda re-allocates the 8-double slice
+    # for every one of the 32 candidates x 8 subspaces = 2048 array
+    # copies per row (r14); ``element_at`` on a materialized
+    # array<array<double>> attribute is a reference read.  Same dot
+    # folds over the same doubles — arithmetic unchanged.
+    subs_col = F.array(*[sub(F.col("emb_n"), m) for m in range(PQ_M)]).alias(
+        "__subs__"
+    )
     codes_col = F.array(
-        *[argmax_dot(sub(F.col("emb_n"), m), cands(m)) for m in range(PQ_M)]
+        *[
+            argmax_dot(F.element_at(F.col("__subs__"), m + 1), cands(m))
+            for m in range(PQ_M)
+        ]
     ).alias("codes")
     luts_col = F.array(*[_pq_lut(cen_lits, sub, m) for m in range(PQ_M)]).alias(
         "luts"
     )
-    _PQ_EXPR_MEMO[key] = (codes_col, luts_col)
-    return codes_col, luts_col
+    _PQ_EXPR_MEMO[key] = (subs_col, codes_col, luts_col)
+    return subs_col, codes_col, luts_col
 
 
 @query("sim_pq_adc_topk", oracle=_pq_adc_oracle())
@@ -1966,13 +1980,15 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # memoized expression trees (see _PQ_EXPR_MEMO: building them is
     # the warm-path bottleneck, ~2 s/call)
-    codes_col, luts_col = _pq_exprs(
+    subs_col, codes_col, luts_col = _pq_exprs(
         spark, books, (sf_dir, PQ_M, PQ_SUB, PQ_CODES)
     )
 
-    # corpus -> 8 code positions: one narrow projection of argmax
-    # folds over the literal sub-codebooks
-    codes = emb.select("vec_id", codes_col)
+    # corpus -> 8 code positions: pre-slice the subvectors in their
+    # own projection (multi-referenced, so they materialize once per
+    # row), then one narrow projection of argmax folds over the
+    # literal sub-codebooks reading the slices by reference
+    codes = emb.select("vec_id", subs_col).select("vec_id", codes_col)
 
     # queries -> per-subspace POSITIONAL LUTs (one dot per code, in
     # position order), computed once per query row; m-ascending array
