@@ -523,25 +523,40 @@ def run_foreachbatch_upsert(events: DataFrame, stage_name: str = "fb_upsert") ->
     keep-latest — associative, so ANY micro-batch split of the input
     lands on the same final table), and swap the staging dir
     atomically (never overwrite the dir being read).  Returns the
-    final merged snapshot, eagerly checkpointed so the staging dir
-    can be reclaimed.  The bare-parquet equivalent of a streaming
-    MERGE INTO; at a real deployment the swap is a transactional-table
-    commit and the trigger continuous — the per-batch plan is
-    unchanged."""
+    final merged snapshot read LAZILY from the sink directory — the
+    directory IS the table, exactly like run_to_files (r14: the old
+    eager ``localCheckpoint`` re-materialized the entire final
+    dimension into the block manager just so the staging dir could be
+    reclaimed immediately — wasted work at bench shape and a
+    memory-pressure source at scale).  Each invocation gets a fresh
+    uuid dir under the pid-scoped ``fb_upsert_<pid>`` root, so
+    earlier invocations' returned frames stay readable; the root is
+    atexit-reaped here and dead-pid roots are swept at
+    operators.streaming_exec import (its _SWEEP_PREFIXES already
+    names ``fb_upsert_``).  The bare-parquet equivalent of a
+    streaming MERGE INTO; at a real deployment the swap is a
+    transactional-table commit and the trigger continuous — the
+    per-batch plan is unchanged."""
+    import atexit
     import os
     import shutil
     import tempfile
+    import uuid
 
     spark = events.sparkSession
     # pid-scoped like _SNAP_ROOT (ADVICE r5): a fixed shared dir lets
     # two concurrent sessions clobber each other's current/next dirs
-    # and checkpoint mid-run
-    stage_root = os.path.join(
+    # and checkpoint mid-run; uuid per INVOCATION so prior calls'
+    # lazily-read snapshots are never deleted mid-session
+    pid_root = os.path.join(
         tempfile.gettempdir(),
         "pandas_redshift_spark_stage",
         f"{stage_name}_{os.getpid()}",
     )
-    shutil.rmtree(stage_root, ignore_errors=True)
+    if not os.path.isdir(pid_root):
+        os.makedirs(pid_root, exist_ok=True)
+        atexit.register(shutil.rmtree, pid_root, ignore_errors=True)
+    stage_root = os.path.join(pid_root, uuid.uuid4().hex[:12])
     os.makedirs(stage_root, exist_ok=True)
     cur_dir = os.path.join(stage_root, "current")
     next_dir = os.path.join(stage_root, "next")
@@ -581,6 +596,7 @@ def run_foreachbatch_upsert(events: DataFrame, stage_name: str = "fb_upsert") ->
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    final = spark.read.parquet(cur_dir).localCheckpoint(eager=True)
-    shutil.rmtree(stage_root, ignore_errors=True)
-    return final
+    # lazy read of the committed snapshot; checkpoint + next are gone,
+    # only the final current/ parquet stays until process exit
+    shutil.rmtree(os.path.join(stage_root, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(cur_dir)
