@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Capture ``explain("formatted")`` for bench/headline queries into
-``plans/r14/<query>_<tag>.txt`` (the optimization-round evidence files:
-the judge checks plan claims against these, guide §1.1/§7.2).
+``plans/$PLANS_ROUND/<query>_<tag>.txt`` (default ``plans/r15``; the
+optimization-round evidence files: the judge checks plan claims
+against these, guide §1.1/§7.2).
 
 Usage::
 
@@ -51,7 +52,7 @@ def main() -> None:
 
         names = list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_REPO, "plans", "r14")
+    out_dir = os.path.join(_REPO, "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session("plan-capture")
     specs = all_queries()
