@@ -230,19 +230,24 @@ def streaming_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the batch twin's lag formulation (``>``); with nanosecond
     event times the corpus never lands on the boundary, and the sim
     check at three SFs pins the agreement."""
-    from pandas_redshift_spark.streaming.windows import session_aggregate
+    from pandas_redshift_spark.streaming.windows import (
+        adaptive_state_width,
+        session_aggregate,
+    )
 
     ev = read_events_stream(spark, sf_dir)
     # Session-window state grows with data (~1 store key per session),
-    # but each RocksDB store instance pays a fixed per-batch commit
-    # cost, so the best width sits BELOW core count until state is
-    # huge.  Measured best-of-n at local[32]: width 32/16/8 =
-    # 1.97/1.58/1.54 s at sf0.1 and 5.06/4.94/6.01 s at sf1 — cores/2
-    # is at-or-near best on both rungs while 8 regresses once state
-    # is ~1M sessions.  A real firehose sizes this up with key
-    # cardinality x throughput (see run_to_memory's docstring).
-    parts = max(spark.sparkContext.defaultParallelism // 2, 2)
-    return _run(session_aggregate(ev), "complete", state_partitions=min(parts, 32))
+    # but each RocksDB store instance pays a fixed per-batch
+    # open+commit cost, so the best width grows with state size up to
+    # a cores-derived ceiling.  r15 measured (trackTotalNumberOfRows
+    # off, min of 3, local[32]): width 16/8/4 = 1.11/1.00/1.10 s at
+    # sf0.1 but 1.83/1.98/2.70 s at sf1 — the INPUT-SIZE-derived width
+    # (256 KB of source per state partition) picks the winner at both
+    # rungs and keeps growing to the dp cap at a real firehose (see
+    # adaptive_state_width's docstring).
+    cap = min(max(spark.sparkContext.defaultParallelism // 2, 2), 32)
+    parts = adaptive_state_width(spark, sf_dir, 256 << 10, cap)
+    return _run(session_aggregate(ev), "complete", state_partitions=parts)
 
 
 @query(
@@ -310,16 +315,24 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence to the batch join is exact.  In production the same
     plan runs against Kafka with the drain sink swapped out;
     reference has no streaming surface at all (core.py:82-87)."""
-    from pandas_redshift_spark.streaming.windows import attribution_join
+    from pandas_redshift_spark.streaming.windows import (
+        adaptive_state_width,
+        attribution_join,
+    )
 
     ev = read_events_stream(spark, sf_dir)
     # a stream-stream join runs FOUR state stores per partition (two
     # per side), so the per-partition store cost is 4x an aggregation's
-    # — divide the default state parallelism by the store multiplicity.
-    # Measured at sf0.1/local[32]: 32 partitions (128 stores) 6.0s vs
-    # 8 partitions (32 stores) 3.0s, identical output.
-    parts = max(spark.sparkContext.defaultParallelism // 4, 1)
-    return _run(attribution_join(ev), "append", state_partitions=min(parts, 16))
+    # — divide the cores-derived CEILING by the store multiplicity
+    # (sf0.1/local[32]: 32 partitions = 128 stores 6.0s vs 8 = 32
+    # stores 3.0s, identical output), then size the actual width from
+    # INPUT BYTES up to that cap: r15 measured width 8/4/2 =
+    # 1.56/1.61/1.87 s at sf0.1 but 3.44/4.55/7.90 s at sf1 — 512 KB
+    # of source per state partition lands on the measured winner at
+    # both rungs (adaptive_state_width's docstring has the table).
+    cap = min(max(spark.sparkContext.defaultParallelism // 4, 1), 16)
+    parts = adaptive_state_width(spark, sf_dir, 512 << 10, cap)
+    return _run(attribution_join(ev), "append", state_partitions=parts)
 
 
 @query(

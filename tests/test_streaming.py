@@ -389,3 +389,62 @@ def test_run_to_files_zero_row_drain_readable(spark, events_stream, tmp_path):
     got = spark.read.schema(none.schema).parquet(out)
     assert got.count() == 0
     assert got.schema == none.schema
+
+
+def test_append_windowed_aggregate_emits_final_windows(spark, tmp_path):
+    """ENFORCEMENT of the no-data-batch constraint (r14 verdict item
+    5): the drain helpers disable no-data micro-batches as a fixed-
+    cost cut, which is only safe for immediate-emit append plans and
+    complete/update modes.  An APPEND-mode windowed aggregate needs
+    the trailing no-data batch to advance the watermark and flush its
+    closed windows — run_to_files must detect that shape and re-enable
+    the batch, or this drain would silently emit nothing."""
+    import datetime as dt
+
+    from pandas_redshift_spark.streaming.windows import (
+        _append_needs_no_data_batches,
+        run_to_files,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "nodata_src")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        (t(8, 5), "view", 1.0),
+        (t(8, 20), "view", 2.0),
+        # advances the watermark to 11:30 (1h delay) on the trailing
+        # no-data batch, closing the 08:00 window
+        (t(12, 30), "view", 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    plan = tumbling_counts(stream, watermark="1 hour")
+    assert _append_needs_no_data_batches(plan)  # windowed agg -> True
+    out = str(tmp_path / "nodata_out")
+    q = run_to_files(plan, out, output_mode="append")
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.schema(plan.schema).parquet(out).collect()
+    }
+    # without the re-enabled no-data batch this is {} — the final
+    # windows never emit
+    assert got.get(("2024-01-01 08:00:00", "view")) == (2, 3.0), got
+
+
+def test_append_immediate_emit_plans_skip_no_data_batches(spark, sf_dir, events_stream):
+    """The immediate-emit append drains (inner stream-stream join,
+    dropDuplicatesWithinWatermark) must NOT re-enable the no-data
+    batch — it buys them one extra full state-store commit cycle for
+    zero rows (the r14 fixed-cost cut this guard protects)."""
+    from pandas_redshift_spark.streaming.windows import (
+        _append_needs_no_data_batches,
+        attribution_join,
+    )
+
+    assert not _append_needs_no_data_batches(attribution_join(events_stream))
+    assert not _append_needs_no_data_batches(stream_dedup(events_stream))
