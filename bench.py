@@ -200,13 +200,78 @@ def _baseline_r1(repo: str, sf_dir: str) -> dict | None:
         return None
 
 
+def _task_time_by_label(event_log_dir: str) -> dict[str, float]:
+    """Sum executor run time (seconds) per bench job label from the
+    Spark event log (r15, VERDICT r14 item 2: at sf0.1 every 8c/32c
+    wall-clock ratio is ~1, so wall time alone cannot distinguish a
+    parallel operator from a serial one — executor task-time is the
+    scale signal).  Jobs are labelled ``bench:<query>`` around the
+    TIMED runs only; unlabelled (warm-up/baseline) work is ignored."""
+    import glob
+
+    tt: dict[str, float] = {}
+    job_label: dict[int, str] = {}
+    stage_job: dict[int, int] = {}
+    paths = [
+        p
+        for pat in ("*", "*/*")  # flat file, or the v2 dir layout
+        for p in glob.glob(os.path.join(event_log_dir, pat))
+        if os.path.isfile(p)
+    ]
+    for path in sorted(paths):
+        try:
+            with open(path) as f:
+                for line in f:
+                    if '"Event":"SparkListenerJobStart"' not in line and \
+                       '"Event":"SparkListenerTaskEnd"' not in line:
+                        continue
+                    ev = json.loads(line)
+                    if ev.get("Event") == "SparkListenerJobStart":
+                        desc = (ev.get("Properties") or {}).get(
+                            "spark.job.description", ""
+                        )
+                        if desc.startswith("bench:"):
+                            jid = ev["Job ID"]
+                            job_label[jid] = desc[len("bench:"):]
+                            for sid in ev.get("Stage IDs", []):
+                                stage_job[sid] = jid
+                    else:
+                        sid = ev.get("Stage ID")
+                        jid = stage_job.get(sid)
+                        if jid is None or jid not in job_label:
+                            continue
+                        metrics = ev.get("Task Metrics") or {}
+                        run_ms = metrics.get("Executor Run Time", 0)
+                        name = job_label[jid]
+                        tt[name] = tt.get(name, 0.0) + run_ms / 1000.0
+        except (OSError, ValueError):
+            continue
+    return {k: round(v, 3) for k, v in tt.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = tuple(override.split(",")) if override else HEADLINE
     machine = _machine_state()
-    spark = build_session("pandas_redshift_spark-bench")
+    # event log: measurement-only conf so per-query executor task-time
+    # can be attributed post-run (see _task_time_by_label); uniform
+    # tiny per-event write cost across all queries
+    import tempfile
+
+    event_dir = tempfile.mkdtemp(prefix="prs_bench_eventlog_")
+    spark = build_session(
+        "pandas_redshift_spark-bench",
+        extra_confs={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": event_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    from pandas_redshift_spark import session as _session_mod
+
     specs = all_queries()
 
     # warm the OS page cache over every input file (not timed): the
@@ -242,6 +307,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    cold_first: dict[str, float] = {}
+    memo_hits: dict[str, dict[str, int]] = {}
     for name in names:
         fn = specs[name].fn
         # per-query untimed warm-up (VERDICT r12 item 6): the first
@@ -249,19 +316,38 @@ def main() -> None:
         # shuffle-file creation; warming it out of band makes all 3
         # timed runs same-state, so the min/median spread separates a
         # real plan regression (both shift) from cache luck (median
-        # jitters, min holds)
+        # jitters, min holds).  Its wall time is recorded as the
+        # COLD-invocation number (r15, VERDICT r14 item 7: the
+        # catalog-stats/memoization share of each warm timing is the
+        # cold-minus-min gap, auditable per query from the artifact).
+        t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold_first[name] = round(time.perf_counter() - t0, 3)
+        hits_before = dict(_session_mod.MEMO_HITS)
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         runs = []
         for _ in range(3):  # best-of-3: damp JIT/GC/scheduler jitter
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        delta = {
+            fam: n - hits_before.get(fam, 0)
+            for fam, n in _session_mod.MEMO_HITS.items()
+            if n - hits_before.get(fam, 0) > 0
+        }
+        if delta:
+            memo_hits[name] = delta
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     spark.stop()
     machine["loadavg_end_1m"] = _loadavg()
+    task_time = _task_time_by_label(event_dir)
+    import shutil
+
+    shutil.rmtree(event_dir, ignore_errors=True)
 
     median_total = round(sum(medians.values()), 3)
     # per-query spread (VERDICT r12 item 6): full min/median per query
@@ -275,6 +361,14 @@ def main() -> None:
         "metric": "per_query_spread",
         "queries_min": timings,
         "queries_median": medians,
+        # r15 transparency additions (VERDICT r14 items 2+7), per
+        # query: summed executor task-time of the 3 timed runs (the
+        # parallelism signal wall time can't give at sf0.1), the
+        # untimed cold first invocation (memo/catalog-stats share =
+        # cold minus min), and which session memos the timed runs hit
+        "task_time_sec_3runs": task_time,
+        "cold_first_run_sec": cold_first,
+        "memo_hits": memo_hits,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo_dir, "bench_spread.json"), "w") as f:
@@ -299,6 +393,20 @@ def main() -> None:
         "decimal_sites": {
             n: timings[n] for n in DECIMAL_SITES if n in timings
         },
+        # r15 (VERDICT r14 items 2+7): aggregate transparency fields —
+        # per-query detail lives in the spread blob above (the final
+        # line must stay inside the driver's ~2.5 KB tail capture).
+        # warm-up policy: each query gets ONE untimed warm-up run
+        # (primes codegen, shuffle files and session memos), then 3
+        # timed runs; cold_first_run_sec in the blob prices what the
+        # warm-up absorbs, per query.
+        "task_time_total_sec": round(sum(task_time.values()), 3),
+        "memo_hit_total": {
+            fam: sum(d.get(fam, 0) for d in memo_hits.values())
+            for fam in sorted({f for d in memo_hits.values() for f in d})
+        },
+        "cold_first_run_total_sec": round(sum(cold_first.values()), 3),
+        "sink_zorder_cold_sec": cold_first.get("sink_zorder_layout"),
         # ambient-machine state (VERDICT r10 item 6): four r10 paired
         # runs spanned 0.609-0.791 purely on load/page-cache swing —
         # these fields let future drift triage itself from the artifact

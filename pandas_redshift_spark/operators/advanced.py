@@ -280,6 +280,7 @@ def sample_bernoulli_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_shipping_priority",
+    memo_plan=True,
     oracle=f"""
     SELECT
         l.l_orderkey,
@@ -324,6 +325,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q5_local_supplier_volume",
+    memo_plan=True,
     oracle=f"""
     SELECT
         n.n_name,

@@ -133,6 +133,7 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_decontaminate",
+    memo_plan=True,
     oracle=f"""
     WITH {shingle_cte_sql()},
     bench AS (

@@ -314,6 +314,7 @@ def profile_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "profile_drift_psi",
+    memo_plan=True,
     oracle="""
     WITH binned AS (
         SELECT event_type,

@@ -52,6 +52,19 @@ class QuerySpec:
     #: independent replay.  tests/test_cert_oracles.py pins
     #: cert-oracle == primary-oracle result at a small SF.
     cert_oracle: Callable | None = None
+    #: r15: True routes repeat invocations through
+    #: ``session.memoized_frame`` — the BUILT logical plan (an
+    #: immutable, unexecuted DataFrame) is shared per (session,
+    #: sf_dir), the same object class the endorsed ``_TABLE_MEMO`` /
+    #: ``_PQ_EXPR_MEMO`` memos already share.  Nothing executed is
+    #: cached; every run still computes from the parquet inputs.  Set
+    #: only on queries whose MEASURED per-invocation Python build cost
+    #: is >= ~0.1 s (py4j round-trips re-assembling the identical
+    #: expression trees; table in OPTIMIZATION_r15.md), and never on
+    #: operators whose fn() performs per-invocation side effects
+    #: (streaming drains, sinks, DML) — those must re-execute their
+    #: build.  Visible per query in bench.py's ``memo_hits`` field.
+    memo_plan: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -62,6 +75,7 @@ def query(
     oracle: str | None = None,
     single_jvm_only: str | None = None,
     cert_oracle: Callable | None = None,
+    memo_plan: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering an operator implementation.
 
@@ -69,16 +83,28 @@ def query(
     only for genuinely non-SQL-expressible operators (LSH, streaming).
     ``single_jvm_only`` declares a documented multi-JVM waiver for the
     query's test stand-in; ``cert_oracle`` a big-SF certification
-    oracle builder (see :class:`QuerySpec` for both).
+    oracle builder; ``memo_plan`` session-shares the built logical
+    plan (see :class:`QuerySpec` for all three).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        run = fn
+        if memo_plan:
+            from pandas_redshift_spark.session import memoized_frame
+
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: F811
+                return memoized_frame(
+                    spark, ("plan", name, sf_dir), lambda: fn(spark, sf_dir)
+                )
+
+            run.__doc__ = fn.__doc__
         _REGISTRY[name] = QuerySpec(
-            name, fn, oracle, (fn.__doc__ or "").strip(),
+            name, run, oracle, (fn.__doc__ or "").strip(),
             single_jvm_only=single_jvm_only,
             cert_oracle=cert_oracle,
+            memo_plan=memo_plan,
         )
         return fn
 

@@ -19,6 +19,7 @@ from pandas_redshift_spark.session import Tables
 
 @query(
     "q1_pricing_summary",
+    memo_plan=True,
     oracle="""
     SELECT
         l_returnflag,

@@ -111,6 +111,7 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q10_returned_items",
+    memo_plan=True,
     oracle=f"""
     SELECT
         c.c_custkey,
@@ -604,6 +605,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q9_product_type_profit",
+    memo_plan=True,
     oracle="""
     SELECT n_name AS nation, o_year,
            round(CAST(sum(amount_e4) AS DOUBLE) / 10000, 4) AS sum_profit
@@ -865,6 +867,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q21_waiting_suppliers",
+    memo_plan=True,
     oracle="""
     SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
     FROM supplier s

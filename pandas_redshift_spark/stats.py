@@ -30,19 +30,21 @@ no current hash.
 
 from __future__ import annotations
 
-from pandas_redshift_spark.session import Tables, evict_stale
+from pandas_redshift_spark.session import Tables, evict_stale, note_memo_hit
 
 _COUNT_MEMO: dict[tuple, int] = {}
 
 
 def table_rows(t: Tables, name: str) -> int:
-    """Raw row count of ``{sf_dir}/{name}.parquet``, one job per
+    """Raw row count of ``{sf_dir}/{name}.parquet``, one count job per
     session per table (app-scoped memo, stale apps evicted)."""
     app_id = t.spark.sparkContext.applicationId
     evict_stale(_COUNT_MEMO, app_id)
     key = (app_id, t.sf_dir, name)
     if key not in _COUNT_MEMO:
         _COUNT_MEMO[key] = t.load(name).count()
+    else:
+        note_memo_hit("table_rows")
     return _COUNT_MEMO[key]
 
 
@@ -69,4 +71,6 @@ def column_minmax(t: Tables, name: str, cols: tuple[str, ...]) -> dict:
             *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
         ).first()
         _MINMAX_MEMO[key] = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    else:
+        note_memo_hit("column_minmax")
     return _MINMAX_MEMO[key]

@@ -21,7 +21,11 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pandas_redshift_spark.session import configure_session, evict_stale
+from pandas_redshift_spark.session import (
+    configure_session,
+    evict_stale,
+    note_memo_hit,
+)
 
 #: (applicationId, parquet path) -> StructType: the file-stream
 #: source needs an explicit schema, and the batch probe that infers
@@ -59,6 +63,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, path)
     if key not in _SCHEMA_MEMO:
         _SCHEMA_MEMO[key] = spark.read.parquet(path).schema  # footer probe
+    else:
+        note_memo_hit("stream_schema")
     schema = _SCHEMA_MEMO[key]
     # the file stream source requires a *directory*; stage a symlink
     # dir (the corpus ships single-file tables; a production lake

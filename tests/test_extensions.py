@@ -596,9 +596,10 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         # without clearing, the second partition-count run would read
         # the FIRST run's materialized frames and the comparison is
         # vacuous for any memoized query
-        from pandas_redshift_spark.session import _PERSIST_MEMO
+        from pandas_redshift_spark.session import _FRAME_MEMO, _PERSIST_MEMO
 
         _PERSIST_MEMO.clear()
+        _FRAME_MEMO.clear()
         spark.catalog.clearCache()
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
