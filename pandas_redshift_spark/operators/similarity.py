@@ -123,7 +123,11 @@ def _emb_double(t: Tables) -> DataFrame:
     # per-element arithmetic is the identical ``x / nrm`` divide —
     # bit-exact vs the old form and the DuckDB twin (verified
     # element-wise over the full corpus), ~30% off the normalize
-    # stage at sf0.1.
+    # stage at sf0.1.  The repeat count is size(emb), not the
+    # EMBEDDING_DIMS constant (ADVICE r14): zip_with null-pads the
+    # shorter side, so a row whose vector length differed from the
+    # constant would silently normalize to nulls instead of being
+    # handled like any other length.
     return (
         ensure_parallelism(e)
         .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
@@ -132,7 +136,7 @@ def _emb_double(t: Tables) -> DataFrame:
             "emb_n",
             F.zip_with(
                 F.col("emb"),
-                F.array_repeat(F.col("nrm"), EMBEDDING_DIMS),
+                F.array_repeat(F.col("nrm"), F.size(F.col("emb"))),
                 lambda x, n: x / n,
             ),
         )
@@ -2063,7 +2067,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_en",
             F.zip_with(
                 F.col("emb"),
-                F.array_repeat(F.col("nrm"), EMBEDDING_DIMS),
+                F.array_repeat(F.col("nrm"), F.size(F.col("emb"))),
                 lambda x, n: x / n,
             ),
         )

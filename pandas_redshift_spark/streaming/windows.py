@@ -637,6 +637,14 @@ def run_foreachbatch_upsert(events: DataFrame, stage_name: str = "fb_upsert") ->
     import uuid
 
     spark = events.sparkSession
+    # the dead-pid sweep at operators.streaming_exec import reaps
+    # roots by KNOWN prefix — a custom stage_name outside that family
+    # would leak its root forever after a hard kill (ADVICE r14)
+    if not stage_name.startswith("fb_upsert"):
+        raise ValueError(
+            f"stage_name {stage_name!r} must start with 'fb_upsert' so "
+            "streaming_exec's dead-pid sweep can reap it"
+        )
     # pid-scoped like _SNAP_ROOT (ADVICE r5): a fixed shared dir lets
     # two concurrent sessions clobber each other's current/next dirs
     # and checkpoint mid-run; uuid per INVOCATION so prior calls'
@@ -649,6 +657,19 @@ def run_foreachbatch_upsert(events: DataFrame, stage_name: str = "fb_upsert") ->
     if not os.path.isdir(pid_root):
         os.makedirs(pid_root, exist_ok=True)
         atexit.register(shutil.rmtree, pid_root, ignore_errors=True)
+    # bound the per-session accumulation (ADVICE r14): keep only the
+    # most recent invocations' snapshots — a long session re-invoking
+    # the upsert otherwise piles one dimension copy per call onto /tmp
+    # until exit.  K=8 leaves plenty of slack for callers that hold a
+    # returned (lazily-read) frame across a few later invocations;
+    # holding one longer than that needs its own copy.
+    keep = 8
+    old = sorted(
+        (os.path.join(pid_root, d) for d in os.listdir(pid_root)),
+        key=os.path.getmtime,
+    )
+    for stale in old[: max(0, len(old) - (keep - 1))]:
+        shutil.rmtree(stale, ignore_errors=True)
     stage_root = os.path.join(pid_root, uuid.uuid4().hex[:12])
     os.makedirs(stage_root, exist_ok=True)
     cur_dir = os.path.join(stage_root, "current")
