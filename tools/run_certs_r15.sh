@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-15 certification ladder (VERDICT r14 item 4), one leg at a
+# time so no leg inherits another's memory pressure.  Priorities from
+# the r14 verdict: (1) this round's streaming confs at sf30 — real
+# state size under trackTotalNumberOfRows=false + changelog
+# checkpointing + size-derived widths; (2) the hierarchical-regime
+# cert oracle at a forced rung; (3) the r14-withdrawn sf30
+# chunk-overlap and phash legs.  Run from /tmp with a copied
+# driver_sim.py; logs land in benchruns/.
+set -u
+cd /tmp || exit 1
+cp /root/repo/tools/driver_sim.py /tmp/driver_sim.py
+B=/root/repo/benchruns
+SF30=/root/repo/.scaledata/sf30
+SF1=/root/repo/.scaledata/sf1
+
+run_leg() { # name timeout_s log env...
+  local name=$1 tmo=$2 log=$3; shift 3
+  echo "=== leg $name start $(date +%T)"
+  env "$@" timeout "$tmo" python /tmp/driver_sim.py > "$log" 2>&1
+  echo "=== leg $name exit=$? $(date +%T)"
+  grep -E "ok |ok\(|MISMATCH|ERROR|FAILURES|SKIPPED|cert-oracle build" "$log" | tail -20
+}
+
+# Leg 1 — sf30 streaming: the r15 drain-conf changes at real state
+# size (30M events; session state ~9.5M sessions).  The four drains
+# whose executed confs/widths changed this round.
+run_leg sf30_stream 10800 "$B/cert_sf30_stream_r15.log" \
+  SIM_SF_DIR=$SF30 SIM_CHUNK_THRESHOLD=2000000 \
+  SIM_NAMES=streaming_session_value,streaming_attribution_join,streaming_enrich_static,streaming_foreachbatch_upsert
+
+# Leg 2 — hierarchical-regime cert oracle at a forced rung (sf1
+# K=160 > forced flat ceiling 32): dedup_semantic_ivf routes through
+# train_kmeans_hierarchical; the cert oracle replays the two-level
+# schedule independently in SQL.
+run_leg sf1_hier 3600 "$B/cert_sf1_hier_r15.log" \
+  SIM_SF_DIR=$SF1 SIM_CERT_ORACLES=1 PRS_KMEANS_FLAT_MAX_K=32 \
+  SIM_NAMES=dedup_semantic_ivf
+
+# Leg 3 — pipe_chunk_overlap SOLO at sf30 (withdrawn r14 leg; r13
+# died only under concurrent-leg memory pressure)
+run_leg sf30_chunk_overlap 5400 "$B/cert_sf30_chunk_overlap_r15.log" \
+  SIM_SF_DIR=$SF30 SIM_CHUNK_THRESHOLD=2000000 \
+  SIM_NAMES=pipe_chunk_overlap
+
+# Leg 4 — sf30 phash pair (16-proc oracle digest, the r13 sf10 recipe)
+run_leg sf30_phash 10800 "$B/cert_sf30_phash_r15.log" \
+  SIM_SF_DIR=$SF30 SIM_CHUNK_THRESHOLD=2000000 SIM_DIGEST_PROCS=16 \
+  SIM_NAMES=multimodal_phash_dedup,multimodal_phash_near_dup
+
+echo "=== all legs done $(date +%T)"
