@@ -324,6 +324,19 @@ class _scoped_state_confs:
       min-of-3: attribution 1.83 -> 1.56 s / session drain
       1.22 -> 1.00 s at sf0.1, and the win GROWS with state size —
       4.48 -> 3.44 s / 2.71 -> 1.83 s at 10x data (sf1).
+    - ``join.stateFormatVersion=3`` (r15): a stream-stream join keeps
+      FOUR state stores per partition (keyToNumValues + keyWithIndex
+      per side); format v3 (Spark 4, RocksDB-only) folds them into
+      ONE store with virtual column families — 4x fewer store
+      opens/commits/changelog uploads per batch, same join state
+      machine.  Safe to opt in per drain because every drain starts
+      from a fresh uuid checkpoint (the version is baked into a
+      checkpoint at first batch; there is no cross-run state here).
+    - ``sessionWindow.merge.sessions.in.local.partition=true`` (r15):
+      pre-merges session windows map-side before the shuffle (guide
+      §2.3 partial aggregation — the corpus averages ~3 events per
+      session, so the shuffle carries ~3x fewer rows), identical
+      merged sessions after the state store.
     """
 
     _PROV_KEY = "spark.sql.streaming.stateStore.providerClass"
@@ -337,6 +350,14 @@ class _scoped_state_confs:
     _TRACKROWS_KEY = (
         "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     )
+    #: plan-level drain confs applied/restored generically (A/B probes
+    #: monkeypatch this map to isolate one knob)
+    EXTRA_CONFS = {
+        "spark.sql.streaming.join.stateFormatVersion": "3",
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition": (
+            "true"
+        ),
+    }
 
     def __init__(
         self,
@@ -356,6 +377,9 @@ class _scoped_state_confs:
         self._before_nodata = self.spark.conf.get(self._NODATA_KEY, None)
         self._before_changelog = self.spark.conf.get(self._CHANGELOG_KEY, None)
         self._before_trackrows = self.spark.conf.get(self._TRACKROWS_KEY, None)
+        self._before_extra = {
+            key: self.spark.conf.get(key, None) for key in self.EXTRA_CONFS
+        }
         self.spark.conf.set(
             "spark.sql.shuffle.partitions", str(self.state_partitions)
         )
@@ -365,6 +389,8 @@ class _scoped_state_confs:
         )
         self.spark.conf.set(self._CHANGELOG_KEY, "true")
         self.spark.conf.set(self._TRACKROWS_KEY, "false")
+        for key, val in self.EXTRA_CONFS.items():
+            self.spark.conf.set(key, val)
         return self
 
     def __exit__(self, *exc):
@@ -374,6 +400,7 @@ class _scoped_state_confs:
             (self._NODATA_KEY, self._before_nodata),
             (self._CHANGELOG_KEY, self._before_changelog),
             (self._TRACKROWS_KEY, self._before_trackrows),
+            *self._before_extra.items(),
         ):
             if before is None:
                 self.spark.conf.unset(key)
