@@ -332,11 +332,11 @@ class _scoped_state_confs:
       machine.  Safe to opt in per drain because every drain starts
       from a fresh uuid checkpoint (the version is baked into a
       checkpoint at first batch; there is no cross-run state here).
-    - ``sessionWindow.merge.sessions.in.local.partition=true`` (r15):
-      pre-merges session windows map-side before the shuffle (guide
-      §2.3 partial aggregation — the corpus averages ~3 events per
-      session, so the shuffle carries ~3x fewer rows), identical
-      merged sessions after the state store.
+    (``sessionWindow.merge.sessions.in.local.partition`` was A/B'd
+    for the session drain and NOT adopted: interleaved min-of-5 at
+    10x data measured the map-side pre-merge pass costing slightly
+    more than the ~3x shuffle-row reduction saves — session rows are
+    narrow and RocksDB put cost dominates either way.)
     """
 
     _PROV_KEY = "spark.sql.streaming.stateStore.providerClass"
@@ -354,9 +354,6 @@ class _scoped_state_confs:
     #: monkeypatch this map to isolate one knob)
     EXTRA_CONFS = {
         "spark.sql.streaming.join.stateFormatVersion": "3",
-        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition": (
-            "true"
-        ),
     }
 
     def __init__(

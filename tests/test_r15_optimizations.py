@@ -134,22 +134,15 @@ def test_profile_summary_branch_scans_prune_disjoint_columns(spark, sf_dir):
 
 
 def test_scoped_state_confs_extra_knobs_set_and_restored(spark):
-    """The r15 plan-level drain knobs — stream-stream join state
+    """The r15 plan-level drain knob — stream-stream join state
     format v3 (one virtual-column-family store per partition instead
-    of four) and map-side session-window pre-merge — must apply
-    inside _scoped_state_confs and restore the session's settings on
-    exit, like the r14 knobs."""
+    of four) — must apply inside _scoped_state_confs and restore the
+    session's setting on exit, like the r14 knobs."""
     from pandas_redshift_spark.streaming.windows import _scoped_state_confs
 
     join_key = "spark.sql.streaming.join.stateFormatVersion"
-    merge_key = (
-        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
-    )
     assert _scoped_state_confs.EXTRA_CONFS[join_key] == "3"
-    assert _scoped_state_confs.EXTRA_CONFS[merge_key] == "true"
-    before = {k: spark.conf.get(k, None) for k in (join_key, merge_key)}
+    before = spark.conf.get(join_key, None)
     with _scoped_state_confs(spark, 4):
         assert spark.conf.get(join_key) == "3"
-        assert spark.conf.get(merge_key) == "true"
-    for k, v in before.items():
-        assert spark.conf.get(k, None) == v
+    assert spark.conf.get(join_key, None) == before
