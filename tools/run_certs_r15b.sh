@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-15 cert ladder, part 2.  Leg 4 re-runs the sf30 phash pair
+# (the first attempt's 16-process oracle digest hit a transient
+# can't-start-new-thread under concurrent-probe load — this script
+# must run SOLO); leg 5 re-certifies the two drains whose executed
+# confs changed after the ladder-start HEAD (join state format v3)
+# at sf30 on the final HEAD.
+set -u
+cd /tmp || exit 1
+cp /root/repo/tools/driver_sim.py /tmp/driver_sim.py
+B=/root/repo/benchruns
+SF30=/root/repo/.scaledata/sf30
+
+run_leg() { # name timeout_s log env...
+  local name=$1 tmo=$2 log=$3; shift 3
+  echo "=== leg $name start $(date +%T)"
+  env "$@" timeout "$tmo" python /tmp/driver_sim.py > "$log" 2>&1
+  echo "=== leg $name exit=$? $(date +%T)"
+  grep -E "ok |ok\(|MISMATCH|ERROR|FAILURES|SKIPPED" "$log" | tail -20
+}
+
+run_leg sf30_phash 10800 "$B/cert_sf30_phash_r15.log" \
+  SIM_SF_DIR=$SF30 SIM_CHUNK_THRESHOLD=2000000 SIM_DIGEST_PROCS=16 \
+  SIM_NAMES=multimodal_phash_dedup,multimodal_phash_near_dup
+
+run_leg sf30_stream_v3 10800 "$B/cert_sf30_stream_v3_r15.log" \
+  SIM_SF_DIR=$SF30 SIM_CHUNK_THRESHOLD=2000000 \
+  SIM_NAMES=streaming_attribution_join,streaming_session_value
+
+echo "=== all legs done $(date +%T)"
