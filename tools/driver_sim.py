@@ -207,6 +207,18 @@ def duck_chunk_digest(con, sql: str) -> tuple[int, int]:
         ex = ProcessPoolExecutor(
             DIGEST_PROCS, mp_context=multiprocessing.get_context("spawn")
         )
+        # Pre-warm the FULL pool (workers + the executor's management
+        # thread) BEFORE the first fetch: the executor spawns both
+        # lazily per submit, and the first submit only happens after
+        # fetch_df_chunk has EXECUTED the oracle query — at which
+        # point a big DuckDB replay (e.g. the sf30 phash grid) holds
+        # tens of GB across enough mmaps that pthread_create/fork
+        # fail with ENOMEM ("can't start new thread"; two sf30 legs
+        # died exactly there).  Each submit grows the pool by at most
+        # one worker, so DIGEST_PROCS no-op submits spawn everything
+        # while the process is still small.
+        for f in [ex.submit(int, 0) for _ in range(DIGEST_PROCS)]:
+            f.result()
         try:
             def drain_one():
                 nonlocal n_tot, h_tot
